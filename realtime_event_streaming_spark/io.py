@@ -1,0 +1,108 @@
+"""Table I/O: read the driver's parquet tables, write engine tables.
+
+Read side
+---------
+``load_table`` normalizes the one irregular input: ``events.ts`` is
+stored as parquet INT64 TIMESTAMP(NANOS); with
+``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a long which
+we truncate to microseconds (``ts div 1000`` — integer division, no
+double round-trip) and expose as TIMESTAMP_NTZ so semantics match the
+DuckDB oracle's naive microsecond timestamps exactly.
+
+Write side
+----------
+``write_events_table`` mirrors the reference's at-rest layout
+(reference: sql/clickhouse_tables.sql:16-20 — MergeTree partitioned by
+toYYYYMM(ts), ORDER BY (ts, user_id, event_id), bloom-filter indexes on
+user_id/page at :105,:108) as partitioned Parquet:
+
+- month partition column -> Hive-style partition dirs -> Catalyst
+  partition pruning for the time-range predicates every reference query
+  uses;
+- ``sortWithinPartitions(ts)`` -> parquet row-group min/max stats act as
+  the primary-index range scan;
+- parquet bloom filters on point-lookup columns -> data skipping.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import prepare
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table; normalize ``events.ts`` to TIMESTAMP_NTZ."""
+    prepare(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register temp views for ``spark.sql`` queries over one SF dir."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_events_table(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    bloom_cols: tuple[str, ...] = ("user_id", "page"),
+) -> None:
+    """Write an event-fact table in the reference's at-rest layout."""
+    out = df.withColumn("month", F.date_format(F.col(ts_col), "yyyyMM"))
+    writer = (
+        out.repartition("month")
+        .sortWithinPartitions(ts_col)
+        .write.mode("overwrite")
+        .partitionBy("month")
+    )
+    for c in bloom_cols:
+        if c in df.columns:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    writer.parquet(path)
+
+
+def expire_old_partitions(
+    spark: SparkSession, path: str, cutoff_month: str
+) -> list[str]:
+    """TTL/retention job (reference: clickhouse_tables.sql:19,36,53,71).
+
+    Drops whole month partitions older than ``cutoff_month`` ('yyyyMM').
+    Partition-level deletes are the scalable TTL: no data rewrite, no
+    row-level scan — the same operation ClickHouse's TTL performs at
+    part granularity.
+    """
+    import shutil
+    from pathlib import Path
+
+    dropped = []
+    root = Path(path)
+    if not root.exists():
+        return dropped
+    for p in sorted(root.glob("month=*")):
+        month = p.name.split("=", 1)[1]
+        if month < cutoff_month:
+            shutil.rmtree(p)
+            dropped.append(month)
+    return dropped

@@ -1,0 +1,66 @@
+"""SparkSession factory and per-session preparation.
+
+Design notes (100 TB posture):
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting
+  and dynamic join-strategy switching replace hand-tuned partition
+  counts when the same plans run on a real cluster.
+- ``spark.sql.shuffle.partitions`` defaults to 2x local cores here; on a
+  cluster this is expected to be overridden (or left to AQE with a high
+  initial value).
+- Arrow enabled for any pandas-UDF path (the slow-path escape hatch).
+- Session timezone pinned to UTC so event-time bucketing is
+  deterministic and matches the DuckDB oracle (naive timestamps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to ANY session we are handed (including
+#: the driver's own session in ``__spark_entry__``). Only confs that are
+#: safe to set at runtime belong here.
+RUNTIME_CONFS: dict[str, str] = {
+    # The driver-generated events.parquet stores ts as INT64
+    # TIMESTAMP(NANOS) which Spark's reader rejects by default; read it
+    # as a long and convert explicitly (io.load_events).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not runtime-settable in this build — keep going; every
+            # conf above is documented runtime-settable in Spark 4.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "realtime-event-streaming-spark") -> SparkSession:
+    """Create (or fetch) a local session sized from the environment.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract);
+    on a real cluster the builder master/conf come from spark-submit and
+    this factory is bypassed entirely.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    return prepare(builder.getOrCreate())
