@@ -1,1 +1,146 @@
-"""Placeholder — filled in by the operators milestone."""
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline carries image/audio/video as opaque
+``binary`` columns with typed metadata, decoded/feature-extracted by
+Arrow-batched Python (the only place Python belongs in the hot path —
+mapInPandas streams Arrow record batches, never rows).
+
+The container has no image/audio libraries, so the *decode* step is a
+deterministic stub (bytes -> length/fingerprint/dims, video ->
+fixed-stride frame slices) — clearly marked, same batch shape and
+schema as a real decoder. The Spark-side plumbing (binary encoding,
+metadata struct, mapInPandas signature, per-batch iteration, frame
+explosion) is real and oracle-checked: the stub's outputs are pure
+functions of the payload, reproducible in SQL.
+
+Swap ``_decode_stub``/``_frame_stub`` for PIL/ffmpeg calls and nothing
+else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+from ..registry import register
+
+N_FRAMES = 4
+
+FEATURES_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, content_fp string, width int, height int"
+)
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_fp string"
+
+
+def binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents re-shaped as multimodal assets: payload bytes + typed
+    metadata struct — the canonical wide-table layout (payload column
+    LAST so metadata-only queries never touch the heavy bytes thanks to
+    parquet column pruning)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.struct(
+            F.lit("image/fake").alias("kind"),
+            (64 + (F.col("doc_id") % 16) * 32).cast("int").alias("width"),
+            (64 + (F.col("n_chars") % 9) * 32).cast("int").alias("height"),
+        ).alias("meta"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+
+
+def decode_image_real(content: bytes):  # pragma: no cover - stub
+    """Real decoder hook. Not available in this container.
+
+    A production deployment implements this with PIL/torchvision and
+    the mapInPandas plumbing below is unchanged.
+    """
+    raise NotImplementedError("image decoding requires PIL; use the stub path")
+
+
+def _decode_stub(content: bytes) -> tuple[int, str]:
+    """Deterministic fake decode: (n_bytes, 8-hex content fingerprint)."""
+    import hashlib
+
+    return len(content), hashlib.md5(content).hexdigest()[:8]
+
+
+def _features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        decoded = [_decode_stub(c) for c in pdf["content"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "n_bytes": [d[0] for d in decoded],
+                "content_fp": [d[1] for d in decoded],
+                "width": [m["width"] for m in pdf["meta"]],
+                "height": [m["height"] for m in pdf["meta"]],
+            }
+        )
+
+
+_FEATURES_DUCK = """
+SELECT doc_id,
+       n_chars AS n_bytes,
+       substr(md5(text), 1, 8) AS content_fp,
+       cast(64 + (doc_id % 16) * 32 AS INT) AS width,
+       cast(64 + (n_chars % 9) * 32 AS INT) AS height
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_features", _FEATURES_DUCK, tags=("multimodal",))
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary assets via
+    mapInPandas (decode stubbed deterministically; see module doc).
+    The oracle reproduces the stub in SQL, pinning the full plumbing:
+    binary encode -> batch iterate -> python decode -> typed output."""
+    assets = binary_assets(spark, sf_dir)
+    return assets.mapInPandas(_features_batches, FEATURES_SCHEMA).orderBy("doc_id")
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fixed-stride 'video frame' sampling: N_FRAMES equal slices of the
+    payload, fingerprint each — one output row per frame (row-exploding
+    mapInPandas, the shape a real frame sampler has)."""
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_fp": []}
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            flen = len(content) // N_FRAMES
+            if flen == 0:
+                continue
+            for i in range(N_FRAMES):
+                chunk = bytes(content[i * flen : (i + 1) * flen])
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_fp"].append(hashlib.md5(chunk).hexdigest()[:8])
+        yield pd.DataFrame(out)
+
+
+_FRAMES_DUCK = f"""
+SELECT doc_id, i AS frame_idx,
+       substr(md5(substr(text, i * (n_chars // {N_FRAMES}) + 1,
+                         n_chars // {N_FRAMES})), 1, 8) AS frame_fp
+FROM documents CROSS JOIN
+     (SELECT unnest(generate_series(0, {N_FRAMES - 1})) AS i) AS g
+WHERE n_chars // {N_FRAMES} > 0
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register("multimodal_frame_sample", _FRAMES_DUCK, tags=("multimodal",))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: mapInPandas exploding each
+    asset into {n} fingerprinted frames (deterministic stub for the
+    ffmpeg step)."""
+    assets = binary_assets(spark, sf_dir)
+    return assets.mapInPandas(_frame_batches, FRAMES_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )

@@ -1,1 +1,280 @@
-"""Placeholder — filled in by the operators milestone."""
+"""Similarity search over the ``embeddings`` table (array<float> x 64).
+
+Extension surface for training-data pipelines (no counterpart in the
+reference, which has no array types — SURVEY.md §2.9 note):
+
+- brute-force cosine top-k (the correctness baseline),
+- sign-LSH bucketed top-k (the scale path: candidates restricted to a
+  hash bucket, turning O(Q x N) into O(Q x N/2^bits) per probe),
+- near-duplicate pair detection by cosine threshold within buckets,
+- per-label centroid reduction (vector aggregate).
+
+All vector math uses built-in higher-order functions (``zip_with`` +
+``aggregate`` fold — JVM-side, codegen'd); no Python UDF in the hot
+path. Embeddings are cast float->double once so the fold is a
+deterministic left-to-right double accumulation, matching DuckDB's
+``list_dot_product`` bit-for-bit at our rounding.
+
+Scale notes (100 TB): the query set is broadcast (it is small by
+definition); candidates stream partition-local; top-k per query is a
+window row_number over (rounded score, id) — deterministic under ties.
+At cluster scale the LSH variant with more bits (and multi-probe)
+bounds per-query work; IVF would replace the bucket equality with a
+centroid assignment join — same plan shape.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..io import load_table
+from ..registry import register
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOPK = 5
+LSH_BITS = 8
+NEAR_DUP_COS = 0.9
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 AS DOUBLE), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings cast to double with precomputed norm and LSH bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.expr("transform(embedding, x -> cast(x AS DOUBLE))")
+    df = emb.select("vec_id", "label", v.alias("v"))
+    dot_vv = F.expr(_DOT.format(a="v", b="v"))
+    bucket = F.expr(
+        "concat_ws('', transform(sequence(1, {b}), "
+        "i -> CASE WHEN element_at(v, i) >= cast(0 AS DOUBLE) THEN '1' ELSE '0' END))".format(
+            b=LSH_BITS
+        )
+    )
+    return df.select(
+        "vec_id", "label", "v", F.sqrt(dot_vv).alias("norm"), bucket.alias("bucket")
+    )
+
+
+_DUCK_VECTORS = f"""
+vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+         list_aggregate(list_transform(generate_series(1, {LSH_BITS}),
+             i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END),
+           'string_agg', '') AS bucket
+  FROM embeddings
+)
+"""
+
+_COS_DUCK = "list_dot_product(q.v, c.v) / (q.norm * c.norm)"
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+_BRUTE_DUCK = f"""
+WITH {_DUCK_VECTORS},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_COS_DUCK}, 4) AS cosine
+  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_bruteforce", _BRUTE_DUCK, headline=True, tags=("similarity",))
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{k} per query vector (queries = vec_id < 10),
+    brute force over all candidates. The query side is broadcast; ties
+    broken on (rounded cosine, neighbor_id) for cross-engine
+    determinism."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qnorm") * F.col("cnorm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH bucketed top-k
+# ---------------------------------------------------------------------------
+
+_LSH_DUCK = f"""
+WITH {_DUCK_VECTORS},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_COS_DUCK}, 4) AS cosine
+  FROM vecs q JOIN vecs c
+    ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_lsh_topk", _LSH_DUCK, tags=("similarity",))
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-{k}: candidates restricted to the query's
+    {bits}-bit sign-LSH bucket (random-hyperplane LSH specialized to
+    axis-aligned planes — deterministic, no stored projection matrix).
+    The bucket equality turns the cross join into a co-partitioned
+    equi-join: shuffle both sides by bucket, compare within."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "bucket",
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        F.col("bucket").alias("cbucket"),
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qnorm") * F.col("cnorm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        q.join(
+            c,
+            (F.col("bucket") == F.col("cbucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate pairs by cosine threshold (bucketed)
+# ---------------------------------------------------------------------------
+
+_NEAR_DUP_DUCK = f"""
+WITH {_DUCK_VECTORS}
+SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+       round({_COS_DUCK}, 4) AS cosine
+FROM vecs q JOIN vecs c
+  ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+WHERE {_COS_DUCK} >= {NEAR_DUP_COS}
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("embedding_near_dup", _NEAR_DUP_DUCK, tags=("similarity", "dedup"))
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= {t}) with
+    sign-LSH bucket blocking — the embedding analogue of MinHash-LSH
+    dedup. (Empty on the synthetic fixtures — no planted vector dups —
+    which the oracle confirms.)"""
+    vecs = _vectors(spark, sf_dir)
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "bucket",
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        F.col("bucket").alias("cbucket"),
+    )
+    cos = F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qnorm") * F.col("cnorm"))
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("cbucket"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .where(cos >= NEAR_DUP_COS)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-label centroid (vector aggregate)
+# ---------------------------------------------------------------------------
+
+_CENTROID_DUCK = """
+WITH pos AS (
+  SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+  FROM embeddings, UNNEST(generate_series(1, 64)) AS g(i)
+  GROUP BY label, i
+)
+SELECT label,
+       (SELECT count(*) FROM embeddings e WHERE e.label = pos.label) AS n,
+       round(sqrt(sum(m * m)), 4) AS centroid_norm
+FROM pos GROUP BY label ORDER BY label
+"""
+
+
+@register("label_centroid_norms", _CENTROID_DUCK, tags=("similarity",))
+def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm — the vector-aggregate pattern (mean
+    over each dimension, positional explode + two-level agg). At scale
+    this is the IVF training step's inner loop."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label",
+        F.posexplode(F.expr("transform(embedding, x -> cast(x AS DOUBLE))")).alias(
+            "i0", "x"
+        ),
+    ).groupBy("label", (F.col("i0") + 1).alias("i")).agg(F.avg("x").alias("m"))
+    n = emb.groupBy("label").agg(F.count("*").alias("n"))
+    return (
+        pos.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm"))
+        .join(n, "label")
+        .select("label", "n", "centroid_norm")
+        .orderBy("label")
+    )

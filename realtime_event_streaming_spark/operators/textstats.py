@@ -1,1 +1,350 @@
-"""Placeholder — filled in by the operators milestone."""
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data pipeline surface: token counting (whitespace + regex
+"BPE-ish" word pieces), quality scoring (length / lexical diversity /
+stopword ratios), language-ID (marker-token heuristic), document
+fingerprinting (content hash + rolling-window min-hash), and a full
+64-bit SimHash with banded near-pair search.
+
+Everything is built-in JVM expressions (no Python in the hot path).
+SimHash needs per-bit arithmetic on md5 nibbles; the 64 bit-sum
+aggregates are *generated* per SQL dialect (Spark ``div`` vs DuckDB
+``//``) from one template so the oracle is the same algorithm by
+construction.
+
+Scale notes (100 TB): all per-doc operators are embarrassingly
+parallel single-scan projections; the only shuffles are the bounded
+group-bys (per doc / per lang) and the banded simhash self-join, which
+is keyed by 16-bit bands (same LSH-bucket-join shape as MinHash).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table, register_views
+from ..registry import register
+
+STOPWORDS = ("a", "the")
+_HEX = "0123456789abcdef"
+_POPCNT = "0112122312232334"  # popcount of 0..15, as a lookup string
+
+# ---------------------------------------------------------------------------
+# token stats per language
+# ---------------------------------------------------------------------------
+
+_TOKEN_STATS_BODY = """
+SELECT lang,
+       count(*) AS n_docs,
+       cast(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       cast(sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT)
+         AS total_words,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens_per_doc
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("token_stats", _TOKEN_STATS_BODY, headline=True, tags=("text",))
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token census per language: whitespace tokens, regex word
+    pieces, characters. Single scan, 5-group shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    words = F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ws).cast("bigint").alias("total_tokens"),
+            F.sum(words).cast("bigint").alias("total_words"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.avg(ws), 4).alias("avg_tokens_per_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-document quality score
+# ---------------------------------------------------------------------------
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_QUALITY_DUCK = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+)
+SELECT doc_id, lang,
+       len(tk) AS n_tokens,
+       len(list_distinct(tk)) AS n_distinct_tokens,
+       round(len(list_distinct(tk)) / cast(len(tk) AS DOUBLE), 4) AS ttr,
+       round(len(list_filter(tk, x -> x IN ({_SW_LIST})))
+             / cast(len(tk) AS DOUBLE), 4) AS stopword_ratio,
+       round(least(1.0, ln(1 + len(tk)) / 5)
+             * (len(list_distinct(tk)) / cast(len(tk) AS DOUBLE))
+             * (1 - len(list_filter(tk, x -> x IN ({_SW_LIST})))
+                    / cast(len(tk) AS DOUBLE)), 4) AS quality_score
+FROM t
+ORDER BY doc_id
+"""
+
+
+@register("doc_quality", _QUALITY_DUCK, tags=("text",))
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, type-token ratio
+    (lexical diversity), stopword ratio, and a composite score
+    (log-length x diversity x content-density). Pure projection — no
+    shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    n = F.size(tk).cast("double")
+    nd = F.size(F.array_distinct(tk))
+    sw = F.size(F.expr(f"filter(split(text, ' '), x -> x IN ({_SW_LIST}))"))
+    ttr = nd / n
+    swr = sw / n
+    score = F.least(F.lit(1.0), F.log(1 + F.size(tk)) / 5) * ttr * (1 - swr)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(tk).alias("n_tokens"),
+        nd.alias("n_distinct_tokens"),
+        F.round(ttr, 4).alias("ttr"),
+        F.round(swr, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# language-ID (marker-token heuristic)
+# ---------------------------------------------------------------------------
+
+_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "los", "de"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "les", "et", "une"),
+}
+
+
+def _hits_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return f"len(list_filter(tk, x -> x IN ({lst})))"
+
+
+def _hits_spark(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return f"size(filter(split(text, ' '), x -> x IN ({lst})))"
+
+
+_LANG_ID_DUCK = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         {_hits_sql('en')} AS en_hits, {_hits_sql('es')} AS es_hits,
+         {_hits_sql('de')} AS de_hits, {_hits_sql('fr')} AS fr_hits
+  FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0 THEN 'und'
+            WHEN en_hits >= greatest(es_hits, de_hits, fr_hits) THEN 'en'
+            WHEN es_hits >= greatest(de_hits, fr_hits) THEN 'es'
+            WHEN de_hits >= fr_hits THEN 'de'
+            ELSE 'fr' END AS predicted_lang,
+       en_hits, es_hits, de_hits, fr_hits
+FROM s ORDER BY doc_id
+"""
+
+
+@register("lang_id_markers", _LANG_ID_DUCK, tags=("text",))
+def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language identification (stopword-profile n-gram
+    heuristic, deterministic argmax with fixed tie order). The fixture
+    corpus shares one vocabulary across langs, so predictions skew
+    'en'/'und' — the operator contract (per-doc scores + argmax) is
+    what's under test."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(_hits_spark("en")).alias("en_hits"),
+        F.expr(_hits_spark("es")).alias("es_hits"),
+        F.expr(_hits_spark("de")).alias("de_hits"),
+        F.expr(_hits_spark("fr")).alias("fr_hits"),
+    )
+    pred = F.expr(
+        "CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0 THEN 'und' "
+        "WHEN en_hits >= greatest(es_hits, de_hits, fr_hits) THEN 'en' "
+        "WHEN es_hits >= greatest(de_hits, fr_hits) THEN 'es' "
+        "WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END"
+    )
+    return s.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        "en_hits",
+        "es_hits",
+        "de_hits",
+        "fr_hits",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (content hash + rolling 5-gram min-hash)
+# ---------------------------------------------------------------------------
+
+_FINGERPRINT_DUCK = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk, text FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+)
+SELECT doc_id,
+       substr(md5(text), 1, 16) AS content_fp,
+       (SELECT min(substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                          || ' ' || tk[i+3] || ' ' || tk[i+4]), 1, 16))
+        FROM UNNEST(generate_series(1, len(tk) - 4)) AS g(i)) AS rolling_fp
+FROM t ORDER BY doc_id
+"""
+
+
+@register("doc_fingerprint", _FINGERPRINT_DUCK, tags=("text",))
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two fingerprints per doc: whole-content hash (exact-dup key) and
+    the min over rolling word-5-gram hashes (a 1-hash MinHash — stable
+    under small edits, the winnowing idea reduced to one band)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rolling = F.expr(
+        "array_min(transform(sequence(1, size(tk) - 4), i -> "
+        "substr(md5(concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), "
+        "element_at(tk, i + 2), element_at(tk, i + 3), element_at(tk, i + 4))), "
+        "1, 16)))"
+    )
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("tk"), "text")
+        .where(F.size("tk") >= 5)
+        .select(
+            "doc_id",
+            F.substring(F.md5("text"), 1, 16).alias("content_fp"),
+            rolling.alias("rolling_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 64-bit SimHash (generated per-dialect bit arithmetic)
+# ---------------------------------------------------------------------------
+
+
+_TOKS_DUCK = (
+    "SELECT doc_id, md5(tok) AS h FROM "
+    "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)"
+)
+_TOKS_SPARK = (
+    "SELECT doc_id, md5(tok) AS h FROM "
+    "(SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)"
+)
+
+
+def _simhash_sql(intdiv: str, toks_subquery: str) -> str:
+    """Full simhash query; ``intdiv`` is 'div' (Spark) or '//' (DuckDB).
+
+    Bit j of nibble n (MSB-first) of md5(token): parse the nibble via an
+    instr lookup, shift with integer division, mask with %2. A bit of
+    the final simhash is 1 iff the weighted (by occurrence) bit-sum is
+    > half the token count.
+    """
+    sums = []
+    for n in range(16):
+        for j in range(4):
+            mask = 8 >> j
+            sums.append(
+                f"sum(((instr('{_HEX}', substr(h, {n + 1}, 1)) - 1) "
+                f"{intdiv} {mask}) % 2) AS s_{n}_{j}"
+            )
+    nibble_chars = []
+    for n in range(16):
+        bits = " + ".join(
+            f"(CASE WHEN 2 * s_{n}_{j} > cnt THEN {8 >> j} ELSE 0 END)"
+            for j in range(4)
+        )
+        nibble_chars.append(f"substr('{_HEX}', ({bits}) + 1, 1)")
+    concat = " || ".join(nibble_chars)
+    return f"""
+WITH toks AS ({toks_subquery}),
+bitsums AS (
+  SELECT doc_id, count(*) AS cnt, {', '.join(sums)}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {concat} AS simhash
+FROM bitsums
+"""
+
+
+_SIMHASH_DUCK = _simhash_sql("//", _TOKS_DUCK) + " ORDER BY doc_id"
+_SIMHASH_SPARK = _simhash_sql("div", _TOKS_SPARK) + " ORDER BY doc_id"
+
+
+@register("simhash_docs", _SIMHASH_DUCK, headline=True, tags=("text", "dedup"))
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (hex string): per-token md5 bits,
+    occurrence-weighted majority vote per bit. One explode + one
+    group-by-doc with 64 sum aggregates — all codegen'd integer math,
+    no UDF."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_SIMHASH_SPARK)
+
+
+def _near_sql(xor_fmt: str, explode4: str, simhash_cte: str) -> str:
+    terms = []
+    for p in range(1, 17):
+        a_nib = f"(instr('{_HEX}', substr(a.simhash, {p}, 1)) - 1)"
+        b_nib = f"(instr('{_HEX}', substr(b.simhash, {p}, 1)) - 1)"
+        x = xor_fmt.format(a=a_nib, b=b_nib)
+        terms.append(f"cast(substr('{_POPCNT}', ({x}) + 1, 1) AS INT)")
+    hamming = " + ".join(terms)
+    return f"""
+WITH sh AS ({simhash_cte}),
+bands AS (
+  SELECT doc_id, b.band_idx AS band_idx,
+         substr(simhash, b.band_idx * 4 + 1, 4) AS band
+  FROM sh CROSS JOIN {explode4}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band = y.band AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, ({hamming}) AS hamming
+FROM cand
+JOIN sh a ON a.doc_id = doc_a
+JOIN sh b ON b.doc_id = doc_b
+WHERE ({hamming}) <= 6
+ORDER BY doc_a, doc_b
+"""
+
+
+_SIMHASH_NEAR_DUCK = _near_sql(
+    "xor({a}, {b})",
+    "(SELECT unnest(generate_series(0, 3)) AS band_idx) AS b",
+    _simhash_sql("//", _TOKS_DUCK),
+)
+
+_SIMHASH_NEAR_SPARK = _near_sql(
+    "({a} ^ {b})",
+    "(SELECT explode(sequence(0, 3)) AS band_idx) AS b",
+    _simhash_sql("div", _TOKS_SPARK),
+)
+
+
+@register("simhash_near_pairs", _SIMHASH_NEAR_DUCK, tags=("text", "dedup"))
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: 4 x 16-bit bands for candidate
+    blocking (a pair within Hamming distance <= 3 of 64 must agree on
+    >= 1 band; we keep pairs at distance <= 6, accepting band-miss
+    recall loss — the standard Charikar trade)."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_SIMHASH_NEAR_SPARK)
