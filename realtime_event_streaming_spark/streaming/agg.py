@@ -1,0 +1,134 @@
+"""Streaming minute rollup — the engine-maintained materialized view.
+
+One streaming aggregation replaces BOTH of the reference's duplicated
+write paths (Flink window job StreamJob.java:253-304 AND the ClickHouse
+MV clickhouse_tables.sql:75-85 — the double-write bug, SURVEY.md
+§1.5.2): tumbling 1-minute event-time windows per (page, country) with
+count + EXACT distinct users (reference semantics: HashSet
+StreamJob.java:102-108 / uniqExact :83).
+
+Exact distinct in a streaming window is not a built-in aggregate; the
+implementation chains two stateful operators in one query:
+
+    parsed events (watermark = window + lateness)
+      ├─ branch "all":  every event
+      └─ branch "uniq": dropDuplicates(minute-key, page, country, user)
+      unionByName -> window groupBy -> conditional counts
+
+``cnt`` counts the "all" branch, ``unique_users`` the deduplicated
+branch — one sink, append mode, exact. The dedup state must survive
+until its window closes, so this query's watermark delay is
+window length + reference lateness (60 s + 10 s); windows therefore
+finalize 60 s later than the reference's, with identical contents.
+The ``approx`` variant keeps the reference's 10 s emission latency by
+trading exact uniques for HLL (approx_count_distinct) — the documented
+100 TB default, where per-window user sets stop being a good idea
+anyway (SURVEY.md §7 hard-part 1).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: Watermark delay for the exact path: window length + reference's 10 s
+#: bounded out-of-orderness (StreamJob.java:215).
+EXACT_WATERMARK = "70 seconds"
+
+_WINDOW = "1 minute"
+
+
+def minute_rollup_stream_exact(events: DataFrame) -> DataFrame:
+    """Exact cnt + unique_users per 1-min window x (page, country).
+
+    ``events`` must carry ``withWatermark("ts", EXACT_WATERMARK)``
+    (see ingest.parse_clicks(watermark=...)).
+    """
+    w = F.window("ts", _WINDOW)
+    allr = events.select(
+        "ts", "page", "country", "user_id", F.lit("all").alias("kind")
+    )
+    # Dedup key uses a *string* minute bucket: a window() column would
+    # carry event-time metadata and collide with the agg's event-time
+    # column (Spark allows one per stream).
+    uniq = (
+        events.withColumn("mkey", F.date_format("ts", "yyyyMMddHHmm"))
+        .dropDuplicates(["mkey", "page", "country", "user_id"])
+        .select("ts", "page", "country", "user_id", F.lit("uniq").alias("kind"))
+    )
+    agg = (
+        allr.unionByName(uniq)
+        .groupBy(w.alias("win"), "page", "country")
+        .agg(
+            F.count(F.when(F.col("kind") == "all", 1)).alias("cnt"),
+            F.count(F.when(F.col("kind") == "uniq", 1)).alias("unique_users"),
+        )
+    )
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "page",
+        "country",
+        "cnt",
+        "unique_users",
+    )
+
+
+def minute_rollup_stream_approx(events: DataFrame) -> DataFrame:
+    """Approximate variant: single stateful operator, 10 s watermark
+    parity with the reference, HLL distinct — the scale default."""
+    w = F.window("ts", _WINDOW)
+    return (
+        events.groupBy(w.alias("win"), "page", "country")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.approx_count_distinct("user_id").alias("unique_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "page",
+            "country",
+            "cnt",
+            "unique_users",
+        )
+    )
+
+
+def minute_rollup_batch(events: DataFrame) -> DataFrame:
+    """Batch ground truth: same grouping, countDistinct — used by the
+    reconciliation test (the Spark analogue of the reference's
+    pipeline-consistency query metrics_queries.sql:42-57)."""
+    w = F.window("ts", _WINDOW)
+    return (
+        events.groupBy(w.alias("win"), "page", "country")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "page",
+            "country",
+            "cnt",
+            "unique_users",
+        )
+    )
+
+
+def write_rollup(agg: DataFrame, path: str, checkpoint: str, trigger=None):
+    """Append the finalized windows to the partitioned agg table
+    (reference sink batching 5 s -> processingTime trigger,
+    StreamJob.java:293-297)."""
+    out = agg.withColumn("month", F.date_format("window_start", "yyyyMM"))
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("month")
+        .outputMode("append")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -1,0 +1,87 @@
+"""Streaming ingestion: wire JSON -> typed events -> raw fact table.
+
+Reference dataflow (SURVEY.md §3 entry 1): Kafka source
+(StreamJob.java:205-211) -> Jackson parse with malformed-row drop
+(:228-249) -> watermark 10 s (:215) -> JDBC raw sink with ingest
+timestamp (:307-329).
+
+Spark form: any (key, value)-shaped source — ``format("kafka")`` in
+production, file/rate sources in tests (the transformations are
+source-agnostic DataFrame code; the engine has no hard Kafka
+dependency). Parse ONCE with ``from_json`` (the reference parses twice
+— SURVEY.md §1.5.4); malformed JSON yields null structs which we drop
+(DROPMALFORMED semantics, §1.4); unparseable timestamps are dropped,
+not wall-clock-faked (§1.5.5).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import CLICK_WIRE_SCHEMA
+
+WATERMARK = "10 seconds"  # StreamJob.java:215
+
+
+def read_json_file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of JSON-lines (one micro-batch per file) —
+    the test-harness stand-in for the Kafka source."""
+    return (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+
+
+def parse_clicks(
+    raw: DataFrame, value_col: str = "value", watermark: str = WATERMARK
+) -> DataFrame:
+    """Wire JSON -> typed click events with event-time watermark.
+
+    Works identically on streaming and batch frames (the same logical
+    plan incrementalizes — that is the point of Structured Streaming).
+
+    ``watermark`` defaults to the reference's 10 s bounded
+    out-of-orderness; the exact-distinct rollup passes a longer delay
+    (window length + lateness) because its dedup state must survive
+    until the window closes (see streaming/agg.py).
+    """
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), CLICK_WIRE_SCHEMA).alias("e")
+    )
+    return (
+        parsed
+        # DROPMALFORMED: null struct (bad JSON) or null/absent ts.
+        .where(F.col("e").isNotNull() & F.col("e.ts").isNotNull())
+        .select(
+            F.col("e.event_id").alias("event_id"),
+            F.col("e.user_id").alias("user_id"),
+            F.timestamp_millis(F.col("e.ts")).alias("ts"),
+            F.col("e.page").alias("page"),
+            F.col("e.referrer").alias("referrer"),
+            F.col("e.country").alias("country"),
+            F.col("e.device").alias("device"),
+        )
+        .withWatermark("ts", watermark)
+    )
+
+
+def write_raw_events(events: DataFrame, path: str, checkpoint: str, trigger=None):
+    """Raw append sink with ingest timestamp (reference clicks_raw:
+    created_at DEFAULT now(), clickhouse_tables.sql:14; 10 s batching
+    StreamJob.java:318-322 -> processingTime trigger). Month partition
+    for pruning parity with MergeTree PARTITION BY toYYYYMM."""
+    out = events.withColumn("created_at", F.current_timestamp()).withColumn(
+        "month", F.date_format("ts", "yyyyMM")
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("month")
+        .outputMode("append")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -1,0 +1,186 @@
+"""Streaming end-to-end tests (SURVEY.md §5.3-§5.4).
+
+- reconciliation: streaming exact rollup == batch groupBy of the same
+  events (the Spark analogue of metrics_queries.sql:42-57);
+- late-data: rows arriving beyond the watermark are dropped, on-time
+  rows are not (verified, not assumed — SURVEY.md §7 hard-part 3);
+- stateful anomaly operator: spike flagged only after >= 5 prior
+  windows (StreamJob.java:175,:178 semantics);
+- ingestion: DROPMALFORMED behavior of the JSON parse.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from realtime_event_streaming_spark.sources.clickgen import (
+    as_json_records,
+    generate_clicks,
+    write_stream_fixture,
+)
+from realtime_event_streaming_spark.streaming.agg import (
+    EXACT_WATERMARK,
+    minute_rollup_batch,
+    minute_rollup_stream_exact,
+)
+from realtime_event_streaming_spark.streaming.anomaly_stream import (
+    alerts,
+    score_rollup_stream,
+)
+from realtime_event_streaming_spark.streaming.ingest import (
+    parse_clicks,
+    read_json_file_stream,
+)
+
+
+def _run_to_memory(df, spark, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def test_exact_rollup_matches_batch(spark, tmp_path):
+    clicks = generate_clicks(spark, n_events=3000, n_users=100, rate_per_sec=5)
+    write_stream_fixture(clicks, str(tmp_path / "in"), n_files=5)
+
+    stream = parse_clicks(
+        read_json_file_stream(spark, str(tmp_path / "in")),
+        watermark=EXACT_WATERMARK,
+    )
+    emitted = _run_to_memory(
+        minute_rollup_stream_exact(stream), spark, "rollup_exact"
+    )
+
+    truth = minute_rollup_batch(parse_clicks(as_json_records(clicks)))
+    joined = emitted.alias("s").join(
+        truth.alias("b"), ["window_start", "page", "country"]
+    )
+    n_emitted = emitted.count()
+    assert n_emitted > 100, "expected a substantial set of finalized windows"
+    mismatches = joined.where(
+        (F.col("s.cnt") != F.col("b.cnt"))
+        | (F.col("s.unique_users") != F.col("b.unique_users"))
+    ).count()
+    assert mismatches == 0
+    # every emitted window exists in the batch truth (no phantom rows)
+    assert joined.count() == n_emitted
+
+
+def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path):
+    # Every 100th event's ts is pushed 10 minutes into the past: far
+    # beyond the 70 s watermark by the time it arrives (arrival order =
+    # generation order), so the streaming rollup must not count it.
+    clicks = generate_clicks(
+        spark,
+        n_events=3000,
+        n_users=100,
+        rate_per_sec=5,
+        late_every=100,
+        late_by_seconds=600,
+    )
+    write_stream_fixture(clicks, str(tmp_path / "in"), n_files=5)
+
+    stream = parse_clicks(
+        read_json_file_stream(spark, str(tmp_path / "in")),
+        watermark=EXACT_WATERMARK,
+    )
+    emitted = _run_to_memory(minute_rollup_stream_exact(stream), spark, "rollup_late")
+
+    # batch truth over on-time rows only
+    late_ids = clicks.where(
+        (F.col("_seq") % 100) == 99
+    ).select("event_id")
+    on_time_clicks = parse_clicks(as_json_records(clicks)).join(
+        late_ids, "event_id", "left_anti"
+    )
+    truth = minute_rollup_batch(on_time_clicks)
+
+    joined = emitted.alias("s").join(
+        truth.alias("b"), ["window_start", "page", "country"]
+    )
+    mismatches = joined.where(F.col("s.cnt") != F.col("b.cnt")).count()
+    assert emitted.count() > 50
+    assert mismatches == 0, "late rows leaked into finalized windows"
+
+
+def test_anomaly_stream_flags_spike_after_history(spark, tmp_path):
+    # Synthetic rollup: per key, 9 calm windows (cnt ~100) then a spike.
+    rows = []
+    for key_i, (page, country) in enumerate([("/", "US"), ("/cart", "DE")]):
+        for m in range(10):
+            cnt = 100 + (m % 3) + key_i  # calm with slight wiggle
+            if m == 9:
+                cnt = 1000  # spike
+            rows.append(
+                (
+                    f"2024-01-01 00:{m:02d}:00",
+                    f"2024-01-01 00:{m + 1:02d}:00",
+                    page,
+                    country,
+                    cnt,
+                    cnt,
+                )
+            )
+    rollup = spark.createDataFrame(
+        rows,
+        "window_start string, window_end string, page string, country string,"
+        " cnt long, unique_users long",
+    )
+    fixture = str(tmp_path / "rollup")
+    rollup.coalesce(1).write.mode("overwrite").parquet(fixture)
+
+    stream = (
+        spark.readStream.schema(rollup.schema).parquet(fixture)
+    )
+    scored = _run_to_memory(score_rollup_stream(stream), spark, "scored")
+
+    assert scored.count() == 20  # every rollup row scored
+    anom = scored.where(F.col("is_anomaly") == "true").collect()
+    assert len(anom) == 2, f"expected exactly the two spikes, got {anom}"
+    assert all(r.cnt == 1000 and r.n_observations == 9 for r in anom)
+    # early windows must be insufficient-history, never anomalous
+    early = scored.where(F.col("n_observations") < 5).collect()
+    assert all(r.is_anomaly == "false" for r in early)
+    assert all(r.reason == "insufficient-history" for r in early)
+    # alert formatting side-output
+    alert_rows = alerts(spark.table("scored")).collect()
+    assert len(alert_rows) == 2
+    assert all("ANOMALY DETECTED" in r.alert for r in alert_rows)
+
+
+def test_parse_drops_malformed(spark):
+    raw = spark.createDataFrame(
+        [
+            ('{"event_id":"e1","user_id":"u1","ts":1704067200000,"page":"/",'
+             '"referrer":"/","country":"US","device":"mobile"}',),
+            ("not json at all",),
+            ('{"event_id":"e2","user_id":"u2"}',),  # missing ts -> dropped
+            ('{"event_id":"e3","user_id":"u3","ts":1704067201000,"page":"/x",'
+             '"referrer":"/","country":"DE","device":"desktop"}',),
+        ],
+        "value string",
+    )
+    parsed = parse_clicks(raw).collect()
+    assert sorted(r.event_id for r in parsed) == ["e1", "e3"]
+    assert all(r.ts is not None for r in parsed)
+
+
+def test_clickgen_deterministic_and_weighted(spark):
+    a = generate_clicks(spark, n_events=5000, n_users=200).orderBy("_seq").collect()
+    b = generate_clicks(spark, n_events=5000, n_users=200).orderBy("_seq").collect()
+    assert a == b, "generator must be deterministic"
+    from collections import Counter
+
+    pages = Counter(r.page for r in a)
+    assert abs(pages["/"] / 5000 - 0.25) < 0.03
+    assert abs(pages["/search"] / 5000 - 0.15) < 0.03
+    # referrer chain: a non-'/' referrer must equal SOME page value
+    pages_set = {p for p, _ in Counter(r.page for r in a).items()}
+    assert {r.referrer for r in a} <= pages_set | {"/"}
