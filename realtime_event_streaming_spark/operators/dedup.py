@@ -202,16 +202,53 @@ ORDER BY doc_a, doc_b
 """
 
 
+def minhash_signature_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc: ``sig`` = 16-element array ordered by seed.
+
+    Collapsing the long form to an array BEFORE any join means the
+    expensive shingle explosion runs once and everything downstream
+    (banding, agreement estimation) is narrow-row array math — at 100 TB
+    the candidate join then shuffles 1 row/doc instead of 16."""
+    sig = minhash_signatures(spark, sf_dir)
+    return sig.groupBy("doc_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(seed, h))), s -> s.h)"
+        ).alias("sig")
+    )
+
+
 @register("dedup_minhash_lsh", _MINHASH_PAIRS_DUCK, headline=True, tags=("dedup",))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash signatures + LSH banding
     (shingle -> minhash -> band -> bucket-join), estimated Jaccard from
     signature agreement. 8 bands x 2 rows: catch probability
-    1-(1-J^2)^8 — ~0.999 at J=0.8, ~2% per random pair at J=0.05."""
-    sig = minhash_signatures(spark, sf_dir)
-    bands = sig.groupBy(
-        "doc_id", (F.col("seed") / 2).cast("int").alias("band_idx")
-    ).agg(F.md5(F.concat_ws("|", F.min("h"), F.max("h"))).alias("band_hash"))
+    1-(1-J^2)^8 — ~0.999 at J=0.8, ~2% per random pair at J=0.05.
+
+    Plan shape: one shingle explosion -> per-doc signature array ->
+    band explode (8 rows/doc) -> bucket self-join -> distinct pairs ->
+    two narrow joins to fetch signature arrays -> zip_with agreement.
+    The oracle states the same algorithm in long form; results are
+    identical by construction."""
+    # Materialize signatures once: three downstream branches (banding +
+    # both sides of the pair join) would otherwise each recompute the
+    # shingle explosion. At warehouse scale this materialization is an
+    # explicit signatures table; in-query, a local checkpoint.
+    sig_arr = minhash_signature_arrays(spark, sf_dir).localCheckpoint(eager=False)
+    bands = sig_arr.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {N_BANDS - 1})")).alias("band_idx"),
+        "sig",
+    ).select(
+        "doc_id",
+        "band_idx",
+        # band key over (sorted) pair of rows: deterministic set hash
+        F.expr(
+            "md5(concat_ws('|', least(element_at(sig, band_idx * 2 + 1), "
+            "element_at(sig, band_idx * 2 + 2)), "
+            "greatest(element_at(sig, band_idx * 2 + 1), "
+            "element_at(sig, band_idx * 2 + 2))))"
+        ).alias("band_hash"),
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -223,19 +260,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa, sb = sig.alias("sa"), sig.alias("sb")
-    agree = F.avg(
-        F.when(F.col("sa.h") == F.col("sb.h"), F.lit(1.0)).otherwise(F.lit(0.0))
+    est = F.expr(
+        "round(size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) "
+        f"/ cast({N_HASHES} AS DOUBLE), 4)"
     )
     return (
-        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(
-            sb,
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sa.seed") == F.col("sb.seed")),
+        cand.join(
+            sig_arr.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")),
+            "doc_a",
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.round(agree, 4).alias("est_jaccard"))
+        .join(
+            sig_arr.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
@@ -274,11 +312,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (document frequency <= {cap}) — the standard blocking that keeps the
     join linear-ish at scale; Jaccard is computed over the same rare
     sets on both engines so the definition is consistent."""
-    sh = shingles(spark, sf_dir)
+    # One shingle materialization feeds the frequency filter, both join
+    # sides and the per-doc counts (else 4 recomputations of the
+    # explode). At warehouse scale: an explicit shingle-posting table.
+    sh = shingles(spark, sf_dir).localCheckpoint(eager=False)
     rare = sh.groupBy("s").agg(F.count("*").alias("df_s")).where(
         F.col("df_s") <= SHINGLE_DF_CAP
     )
-    rs = sh.join(rare.select("s"), "s")
+    rs = sh.join(rare.select("s"), "s").localCheckpoint(eager=False)
     cnt = rs.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = rs.alias("a"), rs.alias("b")
     inter = (
