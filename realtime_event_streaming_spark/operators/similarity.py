@@ -242,6 +242,138 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF top-k: coarse quantizer (label-trained centroids) + nprobe search
+# ---------------------------------------------------------------------------
+
+NPROBE = 3
+
+_L2SQ = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "cast(0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
+_IVF_DUCK = f"""
+WITH {_DUCK_VECTORS},
+cent AS (
+  SELECT label AS cell, list(m ORDER BY i) AS c
+  FROM (
+    SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+    FROM embeddings, UNNEST(generate_series(1, 64)) AS g(i)
+    GROUP BY label, i
+  ) GROUP BY label
+),
+scored_cells AS (
+  SELECT v.vec_id, cent.cell,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_distance(v.v, cent.c), cent.cell)
+           AS cell_rank
+  FROM vecs v CROSS JOIN cent
+),
+assign AS (SELECT vec_id, cell FROM scored_cells WHERE cell_rank = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM scored_cells
+  WHERE cell_rank <= {NPROBE} AND vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 4) AS cosine
+  FROM cand
+  JOIN vecs q ON q.vec_id = query_id
+  JOIN vecs c ON c.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_ivf_topk", _IVF_DUCK, tags=("similarity",))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: a coarse quantizer (centroids trained
+    from the label partition — the k-means step of a production IVF,
+    here deterministic) assigns every vector to its nearest cell; each
+    query probes its {nprobe} nearest cells and ranks candidates by
+    exact cosine. The candidate set shrinks by ~cells/nprobe; at scale
+    the assignment is a one-off materialized table and search is a
+    co-partitioned equi-join on cell id — the same plan shape as the
+    LSH variant, with learned instead of hashed cells.
+
+    Cell ranking uses squared L2 in Spark and Euclidean in the oracle —
+    monotone-equivalent, so identical ranks."""
+    vecs = _vectors(spark, sf_dir).localCheckpoint(eager=False)
+    cent = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            F.col("label").alias("cell"),
+            F.posexplode(
+                F.expr("transform(embedding, x -> cast(x AS DOUBLE))")
+            ).alias("i", "x"),
+        )
+        .groupBy("cell", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, m))), s -> s.m)"
+            ).alias("c")
+        )
+    )
+    wcell = Window.partitionBy("vec_id").orderBy("l2sq", "cell")
+    scored_cells = (
+        vecs.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cell",
+            F.expr(_L2SQ.format(a="v", b="c")).alias("l2sq"),
+        )
+        .withColumn("cell_rank", F.row_number().over(wcell))
+        .localCheckpoint(eager=False)
+    )
+    assign = scored_cells.where(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    probes = scored_cells.where(
+        (F.col("cell_rank") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    cand = probes.join(assign, "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    q = vecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qnorm") * F.col("cnorm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # per-label centroid (vector aggregate)
 # ---------------------------------------------------------------------------
 

@@ -74,12 +74,19 @@ def minute_rollup_stream_exact(events: DataFrame) -> DataFrame:
     )
 
 
-def minute_rollup_stream_approx(events: DataFrame) -> DataFrame:
-    """Approximate variant: single stateful operator, 10 s watermark
-    parity with the reference, HLL distinct — the scale default."""
-    w = F.window("ts", _WINDOW)
+def rollup_stream_approx(
+    events: DataFrame,
+    window: str = _WINDOW,
+    dims: tuple[str, ...] = ("page", "country"),
+) -> DataFrame:
+    """Approximate multi-grain variant: single stateful operator, 10 s
+    watermark parity with the reference, HLL distinct — the scale
+    default. Grains per the reference's rollup tables
+    (clickhouse_tables.sql): 1 min x (page, country) :23-37;
+    5 min x page :40-54; 1 hour x (page, country, device) :57-72."""
+    w = F.window("ts", window)
     return (
-        events.groupBy(w.alias("win"), "page", "country")
+        events.groupBy(w.alias("win"), *dims)
         .agg(
             F.count("*").alias("cnt"),
             F.approx_count_distinct("user_id").alias("unique_users"),
@@ -87,12 +94,26 @@ def minute_rollup_stream_approx(events: DataFrame) -> DataFrame:
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
-            "page",
-            "country",
+            *dims,
             "cnt",
             "unique_users",
         )
     )
+
+
+def minute_rollup_stream_approx(events: DataFrame) -> DataFrame:
+    return rollup_stream_approx(events)
+
+
+def rollup_5min_stream(events: DataFrame) -> DataFrame:
+    """The orphan rt.page_5min_agg's intended writer (5 min x page)."""
+    return rollup_stream_approx(events, "5 minutes", ("page",))
+
+
+def rollup_hourly_stream(events: DataFrame) -> DataFrame:
+    """The orphan rt.page_hourly_agg's intended writer
+    (1 hour x page, country, device)."""
+    return rollup_stream_approx(events, "1 hour", ("page", "country", "device"))
 
 
 def minute_rollup_batch(events: DataFrame) -> DataFrame:

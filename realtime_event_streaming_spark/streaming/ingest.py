@@ -24,6 +24,44 @@ from ..schemas import CLICK_WIRE_SCHEMA
 WATERMARK = "10 seconds"  # StreamJob.java:215
 
 
+def read_kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str = "click_events",
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka source in the reference's configuration (topic
+    `click_events`, latest offsets — StreamJob.java:205-211). Returns
+    the raw (key, value, ...) frame; feed to ``parse_clicks``.
+
+    Requires the spark-sql-kafka package on the classpath; every
+    transformation downstream is source-agnostic, so tests use
+    ``read_json_file_stream`` instead of a broker.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def write_kafka_sink(
+    df: DataFrame, brokers: str, topic: str, checkpoint: str
+):
+    """Kafka producer parity (produce.py:148-174: key=user_id,
+    value=JSON): expects (key, value) columns, e.g. from
+    ``sources.clickgen.as_json_records``."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def read_json_file_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream of JSON-lines (one micro-batch per file) —
     the test-harness stand-in for the Kafka source."""
