@@ -83,6 +83,34 @@ def write_events_table(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    spark: SparkSession,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    location: str | None = None,
+) -> None:
+    """Persist a table bucketed (and sorted) by its join key.
+
+    The 100 TB lever for fact-fact joins: two tables bucketed by the
+    same key with the same bucket count join with ZERO shuffle (Spark
+    reads co-located buckets). E.g. bucket ``orders`` and ``lineitem``
+    by order key and the orders⋈lineitem join in segment_top_orders /
+    order_priority_count drops both exchanges — verified in
+    tests/test_bucketing.py by asserting the absence of shuffle nodes.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+    )
+    if location:
+        writer = writer.option("path", location)
+    writer.saveAsTable(table)
+
+
 def expire_old_partitions(
     spark: SparkSession, path: str, cutoff_month: str
 ) -> list[str]:
