@@ -240,12 +240,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TOKS_DUCK = (
-    "SELECT doc_id, md5(tok) AS h FROM "
-    "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)"
+    "SELECT doc_id, tok, count(*) AS w FROM "
+    "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) "
+    "GROUP BY doc_id, tok"
 )
 _TOKS_SPARK = (
-    "SELECT doc_id, md5(tok) AS h FROM "
-    "(SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)"
+    "SELECT doc_id, tok, count(*) AS w FROM "
+    "(SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents) "
+    "GROUP BY doc_id, tok"
 )
 
 
@@ -254,16 +256,22 @@ def _simhash_sql(intdiv: str, toks_subquery: str) -> str:
 
     Bit j of nibble n (MSB-first) of md5(token): parse the nibble via an
     instr lookup, shift with integer division, mask with %2. A bit of
-    the final simhash is 1 iff the weighted (by occurrence) bit-sum is
+    the final simhash is 1 iff the occurrence-weighted bit-sum is
     > half the token count.
+
+    The md5/bit arithmetic runs once per DISTINCT (doc, token) with an
+    occurrence weight ``w`` — on natural corpora tokens repeat heavily,
+    so this is a large constant-factor win over hashing every
+    occurrence (and the natural shape for a global vocabulary table at
+    100 TB: hash the vocab once, broadcast-join the weights).
     """
     sums = []
     for n in range(16):
         for j in range(4):
             mask = 8 >> j
             sums.append(
-                f"sum(((instr('{_HEX}', substr(h, {n + 1}, 1)) - 1) "
-                f"{intdiv} {mask}) % 2) AS s_{n}_{j}"
+                f"sum(w * (((instr('{_HEX}', substr(h, {n + 1}, 1)) - 1) "
+                f"{intdiv} {mask}) % 2)) AS s_{n}_{j}"
             )
     nibble_chars = []
     for n in range(16):
@@ -275,9 +283,10 @@ def _simhash_sql(intdiv: str, toks_subquery: str) -> str:
     concat = " || ".join(nibble_chars)
     return f"""
 WITH toks AS ({toks_subquery}),
+hashed AS (SELECT doc_id, w, md5(tok) AS h FROM toks),
 bitsums AS (
-  SELECT doc_id, count(*) AS cnt, {', '.join(sums)}
-  FROM toks GROUP BY doc_id
+  SELECT doc_id, sum(w) AS cnt, {', '.join(sums)}
+  FROM hashed GROUP BY doc_id
 )
 SELECT doc_id, {concat} AS simhash
 FROM bitsums

@@ -1,0 +1,103 @@
+"""Relational-surface queries beyond the reference's own corpus.
+
+The reference leans on ClickHouse for its SQL surface; a user switching
+engines expects the standard shapes to simply work. These cover the
+surface areas the other plan modules don't: multi-grain aggregation in
+one pass (GROUPING SETS — the one-query alternative to the reference's
+separate rollup tables, SURVEY.md §2.4/A8), anti-joins, and correlated
+scalar subqueries (decorrelated by Catalyst into a join — no custom
+work needed, SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import dialect as D
+from ..io import load_table, register_views
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS: minute/total grains of (event_type, device) in one pass
+# ---------------------------------------------------------------------------
+
+_GS_BODY = f"""
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce({D.DEVICE_SQL}, 'ALL') AS device,
+       count(*) AS cnt,
+       count(DISTINCT user_id) AS unique_users
+FROM events
+GROUP BY GROUPING SETS ((event_type, {D.DEVICE_SQL}), (event_type), ())
+ORDER BY event_type, device
+"""
+
+
+@register("grouping_sets_rollup", _GS_BODY, tags=("sql",))
+def grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain aggregation in ONE scan via GROUPING SETS — the
+    single-pass alternative to the reference's three separate rollup
+    tables (Spark plans one Expand + one aggregate; at 100 TB this
+    halves the scans vs per-grain queries)."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_GS_BODY)
+
+
+# ---------------------------------------------------------------------------
+# Anti-join: customers with no orders
+# ---------------------------------------------------------------------------
+
+_ANTI_DUCK = """
+SELECT c_mktsegment, count(*) AS inactive_customers
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("inactive_customers", _ANTI_DUCK, tags=("sql", "star"))
+def inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no recent orders: NOT EXISTS -> left anti-join on
+    the customer key (the filtered orders side prunes at the scan). No
+    row duplication, no distinct."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("inactive_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery: parts priced above their type's average
+# ---------------------------------------------------------------------------
+
+_CORR_BODY = """
+SELECT p_type, count(*) AS n_above_avg,
+       round(max(p_retailprice), 2) AS max_price
+FROM part p
+WHERE p_retailprice > (
+  SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+)
+GROUP BY p_type
+ORDER BY p_type
+"""
+
+
+@register("parts_above_type_avg", _CORR_BODY, tags=("sql", "star"))
+def parts_above_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery; Catalyst decorrelates it into an
+    aggregate + join (one scan of part per side, no per-row
+    re-execution)."""
+    register_views(spark, sf_dir, tables=("part",))
+    return spark.sql(_CORR_BODY)

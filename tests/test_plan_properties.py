@@ -1,0 +1,75 @@
+"""Plan-property regression tests: the physical plans we audited by
+hand (PERF.md) are asserted here so a refactor that silently loses
+pushdown, top-k or broadcast behavior fails CI, not the 100 TB run."""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from realtime_event_streaming_spark.functions.skew import salted_join
+from realtime_event_streaming_spark.io import load_table
+from realtime_event_streaming_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(df, spark):
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return load_all()
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark, reg):
+    plan = _formatted_plan(reg["pricing_summary"].spark_fn(spark, SF), spark)
+    assert re.search(r"PushedFilters:.*LessThanOrEqual\(l_shipdate", plan)
+    m = re.search(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert m and "l_orderkey" not in m.group(1), "unneeded column read"
+
+
+def test_top_k_uses_take_ordered(spark, reg):
+    for name in ("top_pages", "segment_top_orders", "top_customers"):
+        plan = _formatted_plan(reg[name].spark_fn(spark, SF), spark)
+        assert "TakeOrderedAndProject" in plan, f"{name} lost top-k plan"
+
+
+def test_constant_dims_are_broadcast(spark, reg):
+    plan = _formatted_plan(
+        reg["regional_supplier_volume"].spark_fn(spark, SF), spark
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_join_planned_for_exists(spark, reg):
+    plan = _formatted_plan(
+        reg["order_priority_count"].spark_fn(spark, SF), spark
+    )
+    assert re.search(r"LeftSemi", plan), "EXISTS should plan a semi-join"
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = load_table(spark, SF, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    right = cust.withColumnRenamed("c_custkey", "o_custkey")
+    plain = (
+        orders.join(right, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s"))
+    )
+    salted = (
+        salted_join(orders, right, "o_custkey", salt=4)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s"))
+    )
+    p = {(r.c_mktsegment, r.n, r.s) for r in plain.collect()}
+    s = {(r.c_mktsegment, r.n, r.s) for r in salted.collect()}
+    assert p == s
