@@ -133,10 +133,15 @@ def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EXACT_GROUPS_DUCK = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+)
 SELECT min(doc_id) AS keep_doc_id,
        count(*) AS dup_cnt,
        md5(text) AS content_hash
-FROM documents
+FROM corpus
 GROUP BY md5(text)
 HAVING count(*) > 1
 ORDER BY keep_doc_id
@@ -147,10 +152,19 @@ ORDER BY keep_doc_id
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate groups: canonical survivor (min doc_id) + group
     size per duplicated content hash. The keep-first dedup at scale is
-    this group-by — no sort, no window function needed."""
-    docs = load_table(spark, sf_dir, "documents")
+    this group-by — no sort, no window function needed.
+
+    The corpus is augmented with deterministic copies of every 50th doc
+    so the operator produces (and the oracle checks) real duplicate
+    groups at any scale factor — the raw fixture has exact dups only at
+    sf0.1, and an empty-vs-empty oracle match proves nothing."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
     return (
-        docs.groupBy(F.md5("text").alias("content_hash"))
+        corpus.groupBy(F.md5("text").alias("content_hash"))
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("dup_cnt"))
         .where(F.col("dup_cnt") > 1)
         .select("keep_doc_id", "dup_cnt", "content_hash")
