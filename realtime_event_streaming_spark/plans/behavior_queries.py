@@ -1,0 +1,113 @@
+"""Behavioral analytics: per-group top-k and gap-based sessionization.
+
+Extensions a click-stream analyst expects beyond the reference corpus
+(SURVEY.md §2.5 explicitly notes per-group top-k as the natural
+window-function extension; the reference only simulates sessions on the
+producer side, produce.py:64-125 — the engine-side reconstruction is
+the missing analytical half)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import dialect as D
+from ..io import register_views
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# top event types per country (per-group top-k via window function)
+# ---------------------------------------------------------------------------
+
+_TOPK_BODY = f"""
+WITH by_ct AS (
+  SELECT {D.COUNTRY_SQL} AS country, event_type,
+         count(*) AS clicks, count(DISTINCT user_id) AS unique_users
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY country
+            ORDER BY clicks DESC, event_type) AS rnk
+  FROM by_ct
+)
+SELECT country, rnk, event_type, clicks, unique_users
+FROM ranked WHERE rnk <= 3
+ORDER BY country, rnk
+"""
+
+
+@register("top_types_per_country", _TOPK_BODY, tags=("behavior",))
+def top_types_per_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per country: the per-group top-k pattern
+    (window row_number over an aggregated frame — the aggregate
+    shrinks the data BEFORE the window sort, so the window never sees
+    raw events)."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_TOPK_BODY)
+
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization (30-minute inactivity gap)
+# ---------------------------------------------------------------------------
+
+_SESS_CTE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR {epoch_ts} - {epoch_prev} > 1800 THEN 1 ELSE 0 END
+           AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS events_in_session,
+         {span} AS session_seconds
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT count(*) AS n_sessions,
+       count(DISTINCT user_id) AS n_users,
+       round(avg(events_in_session), 4) AS avg_events_per_session,
+       round(avg(session_seconds), 4) AS avg_session_seconds,
+       max(events_in_session) AS max_events_in_session
+FROM per_session
+"""
+
+_SESS_SPARK = _SESS_CTE.format(
+    epoch_ts=D.EPOCH_S_SPARK.format(col="ts"),
+    epoch_prev=D.EPOCH_S_SPARK.format(col="prev_ts"),
+    span=(
+        D.EPOCH_S_SPARK.format(col="max(ts)")
+        + " - "
+        + D.EPOCH_S_SPARK.format(col="min(ts)")
+    ),
+)
+
+_SESS_DUCK = _SESS_CTE.format(
+    epoch_ts=D.EPOCH_S_DUCK.format(col="ts"),
+    epoch_prev=D.EPOCH_S_DUCK.format(col="prev_ts"),
+    span=(
+        D.EPOCH_S_DUCK.format(col="max(ts)")
+        + " - "
+        + D.EPOCH_S_DUCK.format(col="min(ts)")
+    ),
+)
+
+
+@register("user_sessions", _SESS_DUCK, tags=("behavior",))
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag per user ->
+    new-session flag -> running sum as session id -> per-session then
+    corpus-level stats. One shuffle by user_id serves both window
+    passes (same partitioning). The streaming analogue is Spark's
+    built-in session_window; this is the batch/backfill path."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_SESS_SPARK)

@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) for the engine's pure math.
+
+Parity tests pin implementations to oracles on fixed fixtures; these
+pin the *algorithms* on arbitrary inputs."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from realtime_event_streaming_spark.operators.anomaly import (
+    MIN_OBSERVATIONS,
+    WelfordState,
+)
+
+finite_floats = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@given(st.lists(finite_floats, min_size=2, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_welford_matches_two_pass(xs):
+    ws = WelfordState()
+    for x in xs:
+        ws.update(x)
+    assert ws.n == len(xs)
+    assert math.isclose(ws.mean, float(np.mean(xs)), rel_tol=1e-9, abs_tol=1e-6)
+    assert math.isclose(
+        ws.variance, float(np.var(xs, ddof=1)), rel_tol=1e-6, abs_tol=1e-6
+    )
+    assert ws.variance >= 0.0
+
+
+@given(st.lists(finite_floats, min_size=MIN_OBSERVATIONS, max_size=50), finite_floats)
+@settings(max_examples=200, deadline=None)
+def test_score_is_symmetric_and_gated(xs, probe):
+    ws = WelfordState()
+    for x in xs:
+        ws.update(x)
+    is_anom, z, reason = ws.score(probe)
+    if ws.stddev <= 0.0:
+        assert not is_anom and reason == "zero-variance"
+    else:
+        # z is the standard score; anomaly iff |z| > threshold
+        expect_z = (probe - ws.mean) / ws.stddev
+        assert math.isclose(z, expect_z, rel_tol=1e-9, abs_tol=1e-9)
+        assert is_anom == (abs(z) > 2.5)
+
+
+@given(st.lists(finite_floats, min_size=0, max_size=MIN_OBSERVATIONS - 1), finite_floats)
+@settings(max_examples=50, deadline=None)
+def test_never_flags_without_history(xs, probe):
+    ws = WelfordState()
+    for x in xs:
+        ws.update(x)
+    is_anom, _, reason = ws.score(probe)
+    assert not is_anom and reason == "insufficient-history"
+
+
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=1, max_size=60), min_size=1, max_size=20)
+)
+@settings(max_examples=50, deadline=None)
+def test_minhash_estimator_bounds(texts):
+    """Pure-python mirror of the engine's MinHash definition: estimates
+    must be in [0,1], exact duplicates estimate 1.0, disjoint shingle
+    sets estimate 0.0."""
+    import hashlib
+
+    def shingle_set(t):
+        toks = t.split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    def sig(ss):
+        return [
+            min(
+                (hashlib.md5(f"{seed}|{s}".encode()).hexdigest()[:16] for s in ss),
+                default=None,
+            )
+            for seed in range(16)
+        ]
+
+    sets = [shingle_set(t) for t in texts if shingle_set(t)]
+    for a in sets[:5]:
+        for b in sets[:5]:
+            sa, sb = sig(a), sig(b)
+            est = sum(x == y for x, y in zip(sa, sb)) / 16
+            assert 0.0 <= est <= 1.0
+            if a == b:
+                assert est == 1.0
+            if not (a & b) and a and b:
+                # disjoint sets agree on a hash only via md5 prefix
+                # collision — astronomically unlikely at this size
+                assert est == 0.0
