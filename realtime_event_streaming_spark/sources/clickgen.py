@@ -77,10 +77,15 @@ def generate_clicks(
     ``late_by_seconds`` into the past — fixture for watermark tests.
     """
     base_ms = F.unix_timestamp(F.lit(start_ts)) * 1000
-    step_ms = int(1000.0 / rate_per_sec)
+    # microsecond stepping so rates above 1000 ev/s don't collapse to a
+    # zero step (pmod-by-zero under ANSI)
+    step_us = max(int(1_000_000.0 / rate_per_sec), 1)
     df = spark.range(n_events)
-    jitter = F.pmod(F.hash(F.lit("jit"), F.col("id")), F.lit(step_ms)).cast("long")
-    ts_ms = base_ms + F.col("id") * step_ms + jitter
+    jitter_us = F.pmod(F.hash(F.lit("jit"), F.col("id")), F.lit(step_us)).cast(
+        "long"
+    )
+    ts_ms = base_ms + (F.col("id") * step_us + jitter_us) / F.lit(1000)
+    ts_ms = ts_ms.cast("long")
     if late_every:
         ts_ms = F.when(
             F.col("id") % late_every == late_every - 1,
