@@ -306,6 +306,65 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact n-gram Jaccard with rare-shingle blocking
 # ---------------------------------------------------------------------------
 
+_NGRAM_PAIRS_CTE = f"""
+{_DUCK_SHINGLES},
+rare AS (
+  SELECT s FROM sh GROUP BY s HAVING count(*) <= {SHINGLE_DF_CAP}
+),
+rs AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+cnt AS (SELECT doc_id, count(*) AS n FROM rs GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM rs a JOIN rs b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = doc_a
+  JOIN cnt cb ON cb.doc_id = doc_b
+  WHERE i / cast(ca.n + cb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
+)
+"""
+
+_SURVIVORS_DUCK = f"""
+WITH {_NGRAM_PAIRS_CTE}
+SELECT d.lang,
+       count(*) AS n_docs,
+       count(p.doc_b) AS n_removed,
+       count(*) - count(p.doc_b) AS n_kept
+FROM documents d
+LEFT JOIN (SELECT DISTINCT doc_b FROM pairs) p ON p.doc_b = d.doc_id
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
+@register("dedup_survivors", _SURVIVORS_DUCK, tags=("dedup",))
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endpoint: per-language census of docs kept vs removed
+    under lowest-id-survives near-dup elimination (remove every doc
+    that appears as the higher id of a >= {t} Jaccard pair). For chains
+    a~b~c this removes b and c — the standard cheap approximation of
+    connected-components dedup (a full CC pass is an iterative join;
+    at 100 TB one runs a few label-propagation rounds over the pair
+    list, which is tiny relative to the corpus)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    removed = (
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_b").distinct()
+    )
+    return (
+        docs.join(removed, docs.doc_id == removed.doc_b, "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("doc_b").alias("n_removed"),
+            (F.count("*") - F.count("doc_b")).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
 _NGRAM_JACCARD_DUCK = f"""
 WITH {_DUCK_SHINGLES},
 rare AS (

@@ -374,6 +374,70 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# int8 quantization (Arrow-batched pandas UDF; storage-shrink operator)
+# ---------------------------------------------------------------------------
+
+_QUANT_DUCK = """
+WITH q AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+           x -> greatest(least(floor(x * 127 + 0.5), 127), -127)) AS qv
+  FROM embeddings
+)
+SELECT vec_id,
+       cast(list_aggregate(qv, 'sum') AS BIGINT) AS q_checksum,
+       round(
+         list_dot_product(v, list_transform(qv, x -> x / 127.0))
+         / (sqrt(list_dot_product(v, v))
+            * sqrt(list_dot_product(list_transform(qv, x -> x / 127.0),
+                                    list_transform(qv, x -> x / 127.0)))),
+         4) AS recon_cosine
+FROM q
+ORDER BY vec_id
+"""
+
+
+@register("embedding_quantize_int8", _QUANT_DUCK, tags=("similarity",))
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric quantization of embeddings via an Arrow-batched
+    pandas UDF (numpy over whole batches — the storage-shrink /
+    pre-index step of a vector pipeline; 4x smaller than float32).
+    Emits a checksum of the quantized codes and the reconstruction
+    cosine so the oracle pins the exact code values AND the quality.
+    floor(x*127 + 0.5) on both engines — numpy's round() is
+    banker's rounding and would diverge from SQL round()."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    @pandas_udf("struct<q_checksum: bigint, recon_cosine: double>")
+    def quantize(vs):
+        import numpy as np
+
+        checksums, cosines = [], []
+        for v in vs:
+            x = np.asarray(v, dtype=np.float64)
+            q = np.clip(np.floor(x * 127 + 0.5), -127, 127)
+            dq = q / 127.0
+            checksums.append(int(q.sum()))
+            cos = float(
+                np.dot(x, dq)
+                / (np.sqrt(np.dot(x, x)) * np.sqrt(np.dot(dq, dq)))
+            )
+            cosines.append(round(cos, 4))
+        return pd.DataFrame({"q_checksum": checksums, "recon_cosine": cosines})
+
+    return (
+        emb.select("vec_id", quantize(F.col("embedding")).alias("r"))
+        .select("vec_id", "r.q_checksum", "r.recon_cosine")
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # per-label centroid (vector aggregate)
 # ---------------------------------------------------------------------------
 

@@ -204,25 +204,19 @@ def pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      (reference: sql/metrics_queries.sql:59-67; A7, A2)
 # ---------------------------------------------------------------------------
 
-_R5_SPARK = f"""
+_R5_BODY = f"""
 SELECT count(*) AS total_events,
        round(cast(count(*) AS DOUBLE) / 5, 4) AS events_per_minute,
        round(cast(count(*) AS DOUBLE) / 300, 4) AS events_per_second,
        count(DISTINCT user_id) AS unique_users,
-       count(DISTINCT event_type) AS unique_event_types
+       count(DISTINCT {D.PAGE_K_SQL}) AS unique_pages,
+       count(DISTINCT {D.COUNTRY_SQL}) AS unique_countries
 FROM events
 WHERE ts >= {MAXTS} - INTERVAL 5 MINUTE
 """
 
-_R5_DUCK = f"""
-SELECT count(*) AS total_events,
-       round(cast(count(*) AS DOUBLE) / 5, 4) AS events_per_minute,
-       round(cast(count(*) AS DOUBLE) / 300, 4) AS events_per_second,
-       count(DISTINCT user_id) AS unique_users,
-       count(DISTINCT event_type) AS unique_event_types
-FROM events
-WHERE ts >= {MAXTS} - INTERVAL 5 MINUTE
-"""
+_R5_SPARK = _R5_BODY
+_R5_DUCK = _R5_BODY
 
 
 @register("throughput_summary", _R5_DUCK, tags=("reference",))
@@ -230,6 +224,59 @@ def throughput_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute throughput summary with per-minute/per-second rates and
     multi-column distincts (metrics_queries.sql:59-67)."""
     return _sql(spark, sf_dir, _R5_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# R5b — rows-per-minute ingest growth (reference: metrics_queries.sql:24-31)
+# ---------------------------------------------------------------------------
+
+_R5B_SPARK = f"""
+SELECT {D.fmt_ts_spark("date_trunc('minute', ts)")} AS minute,
+       count(*) AS rows_inserted
+FROM events
+WHERE ts >= {MAXTS} - INTERVAL 10 MINUTE
+GROUP BY 1
+ORDER BY minute DESC
+"""
+
+_R5B_DUCK = f"""
+SELECT {D.fmt_ts_duck("date_trunc('minute', ts)")} AS minute,
+       count(*) AS rows_inserted
+FROM events
+WHERE ts >= {MAXTS} - INTERVAL 10 MINUTE
+GROUP BY 1
+ORDER BY minute DESC
+"""
+
+
+@register("rows_per_minute", _R5B_DUCK, tags=("reference",))
+def rows_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest growth: rows per minute over the last 10 minutes
+    (metrics_queries.sql:24-31)."""
+    return _sql(spark, sf_dir, _R5B_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# R5c — per-page activity, last 5 minutes (reference: superset/README.md:112-120)
+# ---------------------------------------------------------------------------
+
+_R5C_BODY = f"""
+SELECT {D.PAGE_K_SQL} AS page_k,
+       count(*) AS events,
+       count(DISTINCT user_id) AS unique_users
+FROM events
+WHERE ts >= {MAXTS} - INTERVAL 5 MINUTE
+  AND {D.PAGE_K_SQL} IS NOT NULL
+GROUP BY 1
+ORDER BY events DESC, page_k
+"""
+
+
+@register("page_activity_5min", _R5C_BODY, tags=("reference",))
+def page_activity_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page events + users over the last 5 minutes — the Superset
+    real-time metrics chart (superset/README.md:112-120)."""
+    return _sql(spark, sf_dir, _R5C_BODY)
 
 
 # ---------------------------------------------------------------------------
@@ -276,6 +323,7 @@ _R7_BODY = f"""
 SELECT {D.DEVICE_SQL} AS device,
        count(*) AS clicks,
        count(DISTINCT user_id) AS unique_users,
+       count(DISTINCT {D.PAGE_K_SQL}) AS pages_visited,
        round(count(*) / cast(sum(count(*)) OVER () AS DOUBLE), 4) AS share
 FROM events
 GROUP BY 1
