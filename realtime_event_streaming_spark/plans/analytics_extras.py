@@ -1,0 +1,186 @@
+"""Analytics staples beyond the reference corpus.
+
+Every warehouse user expects these shapes to work: TF-IDF term
+ranking, histogram binning, moving averages, a data-quality check
+suite, and pivot tables. All oracle-gated; all single-scan or
+bounded-shuffle plans."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import dialect as D
+from ..io import load_table, register_views
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per language
+# ---------------------------------------------------------------------------
+
+_TFIDF_DUCK = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT lang, tok, count(*) AS tf FROM toks GROUP BY lang, tok),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+ndocs AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.lang, tf.tok,
+         round(tf.tf * ln((SELECT n FROM ndocs) / cast(df.df AS DOUBLE)), 4)
+           AS tfidf
+  FROM tf JOIN df USING (tok)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY tfidf DESC, tok) AS rnk
+  FROM scored
+)
+SELECT lang, rnk, tok, tfidf FROM ranked WHERE rnk <= 5
+ORDER BY lang, rnk
+"""
+
+_TFIDF_SPARK = _TFIDF_DUCK.replace(
+    "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents",
+    "SELECT doc_id, lang, explode(split(text, ' ')) AS tok FROM documents",
+)
+
+
+@register("tfidf_top_terms", _TFIDF_DUCK, tags=("text",))
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language by TF-IDF (tf at the language grain,
+    idf over documents — on the fixture this surfaces the rare 'dup'
+    mutation token instead of the uniform shared vocabulary). Explode
+    -> two bounded group-bys -> per-group top-k over the aggregated
+    frame."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_TFIDF_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# histogram binning of the value measure
+# ---------------------------------------------------------------------------
+
+_HIST_BODY = """
+SELECT cast(least(floor(value / 10), 9) AS INT) AS bucket,
+       count(*) AS cnt,
+       round(min(value), 4) AS lo,
+       round(max(value), 4) AS hi
+FROM events
+WHERE value IS NOT NULL AND value >= 0
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+@register("value_histogram", _HIST_BODY, tags=("reference",))
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the value measure (10-unit bins,
+    top-capped): the binning shape behind every latency/size dashboard
+    panel. Single scan, 10-row shuffle."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_HIST_BODY)
+
+
+# ---------------------------------------------------------------------------
+# 7-day moving average of daily volume
+# ---------------------------------------------------------------------------
+
+_MAVG_SPARK = """
+WITH daily AS (
+  SELECT date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+         count(*) AS cnt
+  FROM events GROUP BY 1
+)
+SELECT day, cnt,
+       round(avg(cnt) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+FROM daily ORDER BY day
+"""
+
+_MAVG_DUCK = _MAVG_SPARK.replace(
+    "date_format(date_trunc('day', ts), 'yyyy-MM-dd')",
+    "strftime(date_trunc('day', ts), '%Y-%m-%d')",
+)
+
+
+@register("daily_moving_avg", _MAVG_DUCK, tags=("reference",))
+def daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average over daily volume (ROWS frame window
+    aggregate on the pre-aggregated daily series)."""
+    return _run_spark(spark, sf_dir, _MAVG_SPARK)
+
+
+def _run_spark(spark, sf_dir, sql):
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# data-quality check suite
+# ---------------------------------------------------------------------------
+
+_DQ_BODY = """
+SELECT 'events_null_ts' AS check_name,
+       cast(count(*) - count(ts) AS BIGINT) AS violations FROM events
+UNION ALL
+SELECT 'events_dup_event_id',
+       cast(count(*) - count(DISTINCT event_id) AS BIGINT) FROM events
+UNION ALL
+SELECT 'events_negative_value',
+       cast(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM events
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       cast(count(*) AS BIGINT)
+FROM orders WHERE NOT EXISTS
+  (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'lineitem_orphan_orderkey',
+       cast(count(*) AS BIGINT)
+FROM lineitem WHERE NOT EXISTS
+  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+"""
+
+
+@register("data_quality_checks", _DQ_BODY, tags=("quality",))
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline data-quality suite: null keys, duplicate ids, domain
+    violations, referential integrity (anti-join counts) — one labeled
+    UNION ALL summary, the shape of a dbt-style test run."""
+    register_views(
+        spark, sf_dir, tables=("events", "orders", "customer", "lineitem")
+    )
+    return spark.sql(_DQ_BODY)
+
+
+# ---------------------------------------------------------------------------
+# pivot: events by country x event_type
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_DUCK = f"""
+SELECT {D.COUNTRY_SQL} AS country,
+       {', '.join(
+           f"cast(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+           for t in _EVENT_TYPES
+       )}
+FROM events
+GROUP BY 1
+ORDER BY country
+"""
+
+
+@register("events_by_country_pivot", _PIVOT_DUCK, tags=("reference",))
+def events_by_country_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot table: country rows x event-type columns. Spark's
+    ``pivot`` with an explicit value list (no extra distinct pass);
+    the oracle states it as conditional aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.expr(D.COUNTRY_SQL).alias("country"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+        .orderBy("country")
+    )

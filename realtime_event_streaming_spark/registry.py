@@ -64,6 +64,7 @@ def load_all() -> dict[str, Query]:
     """Import every module that registers queries; return the registry."""
     from .plans import reference_queries  # noqa: F401
     from .plans import star_queries  # noqa: F401
+    from .plans import analytics_extras  # noqa: F401
     from .plans import behavior_queries  # noqa: F401
     from .plans import sql_surface  # noqa: F401
     from .plans import streaming_replay  # noqa: F401
