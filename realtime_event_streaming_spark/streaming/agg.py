@@ -116,6 +116,51 @@ def rollup_hourly_stream(events: DataFrame) -> DataFrame:
     return rollup_stream_approx(events, "1 hour", ("page", "country", "device"))
 
 
+def rollup_sliding_stream(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str = "1 minute",
+    dims: tuple[str, ...] = ("page",),
+) -> DataFrame:
+    """Sliding-window rollup (each event lands in window/slide
+    overlapping windows). Not in the reference (SURVEY.md §2.10 notes
+    only tumbling); provided because trend dashboards want it and it is
+    a one-argument change in Spark."""
+    w = F.window("ts", window, slide)
+    return (
+        events.groupBy(w.alias("win"), *dims)
+        .agg(
+            F.count("*").alias("cnt"),
+            F.approx_count_distinct("user_id").alias("unique_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *dims,
+            "cnt",
+            "unique_users",
+        )
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Event-time session windows per user (gap-based, engine-managed
+    merging state). The streaming counterpart of the batch
+    `user_sessions` query; the reference only *simulates* sessions on
+    the producer side (produce.py:64-125)."""
+    w = F.session_window("ts", gap)
+    return (
+        events.groupBy(w.alias("win"), "user_id")
+        .agg(F.count("*").alias("events_in_session"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "events_in_session",
+        )
+    )
+
+
 def minute_rollup_batch(events: DataFrame) -> DataFrame:
     """Batch ground truth: same grouping, countDistinct — used by the
     reconciliation test (the Spark analogue of the reference's

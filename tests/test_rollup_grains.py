@@ -14,6 +14,8 @@ from realtime_event_streaming_spark.sources.clickgen import (
 from realtime_event_streaming_spark.streaming.agg import (
     rollup_5min_stream,
     rollup_hourly_stream,
+    rollup_sliding_stream,
+    session_stream,
 )
 from realtime_event_streaming_spark.streaming.ingest import (
     parse_clicks,
@@ -72,3 +74,35 @@ def test_multi_grain_rollups(spark, tmp_path):
         "cnt",
         "unique_users",
     }
+
+
+def test_sliding_windows(spark, tmp_path):
+    clicks = generate_clicks(spark, n_events=2000, n_users=80, rate_per_sec=2)
+    write_stream_fixture(clicks, str(tmp_path / "in"), n_files=4)
+    stream = parse_clicks(read_json_file_stream(spark, str(tmp_path / "in")))
+    slid = _run(rollup_sliding_stream(stream), spark, "gslide")
+    assert slid.count() > 0
+    # every event lands in window/slide = 5 overlapping windows: summed
+    # sliding counts over fully-emitted regions are ~5x the tumbling sum
+    batch = parse_clicks(as_json_records(clicks))
+    truth = (
+        batch.groupBy(F.window("ts", "5 minutes", "1 minute").alias("win"), "page")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("win.start").alias("window_start"), "page", "cnt")
+    )
+    j = slid.alias("s").join(truth.alias("b"), ["window_start", "page"])
+    assert j.count() == slid.count(), "emitted sliding window missing from truth"
+    assert j.where(F.col("s.cnt") != F.col("b.cnt")).count() == 0
+
+
+def test_session_windows_stream(spark, tmp_path):
+    # per-user inter-arrival ~ n_users/rate = 100 s >> the 1-minute gap,
+    # so sessions close (and emit) continuously as the watermark moves
+    clicks = generate_clicks(spark, n_events=1500, n_users=20, rate_per_sec=0.2)
+    write_stream_fixture(clicks, str(tmp_path / "in"), n_files=4)
+    stream = parse_clicks(read_json_file_stream(spark, str(tmp_path / "in")))
+    sess = _run(session_stream(stream, gap="1 minute"), spark, "gsess")
+    assert sess.count() > 0
+    rows = sess.collect()
+    assert all(r.session_end >= r.session_start for r in rows)
+    assert all(r.events_in_session >= 1 for r in rows)
