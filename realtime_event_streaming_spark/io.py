@@ -111,6 +111,45 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    month: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Rewrite one month partition into size-targeted files.
+
+    Streaming sinks produce one small file per micro-batch; left alone,
+    a year of 10 s triggers is ~3 M files. This is the maintenance job
+    ClickHouse's background merges do implicitly: coalesce a partition
+    to ceil(bytes / target) sorted files. Partition-scoped (no full
+    table rewrite), idempotent, safe to run while readers use other
+    months. Returns the new file count.
+    """
+    import math
+    from pathlib import Path
+
+    part_dir = Path(path) / f"month={month}"
+    if not part_dir.exists():
+        return 0
+    size = sum(f.stat().st_size for f in part_dir.glob("*.parquet"))
+    n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(str(part_dir))
+    tmp = str(part_dir) + "._compact"
+    sort_col = "ts" if "ts" in df.columns else df.columns[0]
+    (
+        df.repartition(n_files)
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    import shutil
+
+    shutil.rmtree(part_dir)
+    Path(tmp).rename(part_dir)
+    return n_files
+
+
 def expire_old_partitions(
     spark: SparkSession, path: str, cutoff_month: str
 ) -> list[str]:

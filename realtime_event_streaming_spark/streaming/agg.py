@@ -183,6 +183,57 @@ def minute_rollup_batch(events: DataFrame) -> DataFrame:
     )
 
 
+def write_rollup_update_log(
+    agg: DataFrame, path: str, checkpoint: str, trigger=None
+):
+    """Update-mode rollup -> append-only refinement log.
+
+    The reference's MV model (clickhouse_tables.sql:75-85 +
+    SummingMergeTree :33): every insert block writes partial aggregate
+    rows immediately; reads re-aggregate. Spark form: the aggregation
+    runs in UPDATE mode — each micro-batch emits the current value of
+    every (window, dims) key it touched — and foreachBatch appends
+    those rows stamped with the batch id. Windows are visible at
+    micro-batch latency (10 s parity with the reference) instead of
+    waiting for the watermark to finalize them; ``read_rollup_log``
+    provides the read-side merge.
+    """
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    writer = (
+        agg.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def read_rollup_log(spark, path: str) -> DataFrame:
+    """Read-side merge of the update log: latest refinement per key
+    (update mode emits cumulative values, so last-writer-wins — the
+    analogue of ClickHouse's merge-on-read, with max(batch_id) instead
+    of SummingMergeTree's row addition)."""
+    from pyspark.sql import Window
+
+    log = spark.read.parquet(path)
+    w = Window.partitionBy("window_start", "page", "country").orderBy(
+        F.desc("batch_id")
+    )
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "batch_id")
+    )
+
+
 def write_rollup(agg: DataFrame, path: str, checkpoint: str, trigger=None):
     """Append the finalized windows to the partitioned agg table
     (reference sink batching 5 s -> processingTime trigger,
