@@ -32,6 +32,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Stateful STREAMING shuffles are not AQE-coalesced and pin their
+    # partition count into the state layout; 200 (the global default)
+    # is pathological on a single node. 32 suits the test/driver
+    # environment; cluster deployments set their own value after
+    # prepare() (or via spark-submit, re-applying post-prepare).
+    "spark.sql.shuffle.partitions": "32",
 }
 
 
