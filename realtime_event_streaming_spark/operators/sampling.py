@@ -1,0 +1,146 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+Hash-based assignment (md5 of a stable key) rather than ``rand()``:
+reproducible across runs, engines and cluster sizes, and stable under
+data re-partitioning — the property a training-data split must have so
+val/test never leak into train across pipeline re-runs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table, register_views
+from ..registry import register
+
+#: fraction of the 16-bit hash space per split: 80 / 10 / 10.
+_SPLIT_SQL = (
+    "CASE WHEN h < 52429 THEN 'train' WHEN h < 58982 THEN 'val' "
+    "ELSE 'test' END"
+)
+#: first 4 md5 hex chars -> uniform 16-bit integer, portable via instr
+#: (no cross-engine hex-parse differences).
+_H16 = (
+    "((instr('0123456789abcdef', substr(md5(cast(doc_id AS {t})), 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr(md5(cast(doc_id AS {t})), 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5(cast(doc_id AS {t})), 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(cast(doc_id AS {t})), 4, 1)) - 1))"
+)
+
+_SPLIT_DUCK = f"""
+WITH h16 AS (
+  SELECT doc_id, lang, {_H16.format(t='VARCHAR')} AS h FROM documents
+)
+SELECT lang, {_SPLIT_SQL} AS split,
+       count(*) AS n_docs
+FROM h16
+GROUP BY lang, 2
+ORDER BY lang, split
+"""
+
+_SPLIT_SPARK = f"""
+WITH h16 AS (
+  SELECT doc_id, lang, {_H16.format(t='STRING')} AS h FROM documents
+)
+SELECT lang, {_SPLIT_SQL} AS split,
+       count(*) AS n_docs
+FROM h16
+GROUP BY lang, 2
+ORDER BY lang, split
+"""
+
+
+@register("corpus_split_counts", _SPLIT_DUCK, tags=("sampling",))
+def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by hashed doc id, counted per
+    language. Pure projection + bounded group-by; the assignment is a
+    deterministic function of the row key, so any re-run or re-shard
+    reproduces the exact same split."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_SPLIT_SPARK)
+
+
+_STRAT_DUCK = """
+SELECT lang, count(*) AS sampled_docs,
+       cast(sum(n_chars) AS BIGINT) AS sampled_chars
+FROM documents
+WHERE (instr('0123456789abcdef', substr(md5('s1|' || cast(doc_id AS VARCHAR)), 1, 1)) - 1) < 4
+GROUP BY lang
+ORDER BY lang
+"""
+
+_STRAT_SPARK = """
+SELECT lang, count(*) AS sampled_docs,
+       cast(sum(n_chars) AS BIGINT) AS sampled_chars
+FROM documents
+WHERE (instr('0123456789abcdef', substr(md5('s1|' || cast(doc_id AS STRING)), 1, 1)) - 1) < 4
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("stratified_sample_counts", _STRAT_DUCK, tags=("sampling",))
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~25% deterministic sample (first md5 nibble < 4) summarized per
+    language. Seeded by the salt in the hash input — different salts
+    give independent samples; same salt is reproducible anywhere."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_STRAT_SPARK)
+
+
+_PIPELINE_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS tk, n_chars FROM documents
+),
+quality AS (
+  SELECT doc_id, lang, n_chars,
+         len(list_distinct(tk)) / cast(len(tk) AS DOUBLE) AS ttr,
+         len(tk) AS n_tokens
+  FROM toks
+),
+kept AS (
+  SELECT doc_id, lang, n_chars FROM quality
+  WHERE n_tokens >= 20 AND ttr >= 0.3
+),
+h16 AS (
+  SELECT kept.*, {_H16.format(t='VARCHAR')} AS h FROM kept
+)
+SELECT lang, {_SPLIT_SQL} AS split,
+       count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars
+FROM h16 GROUP BY lang, 2 ORDER BY lang, split
+"""
+
+_PIPELINE_SPARK = f"""
+WITH toks AS (
+  SELECT doc_id, lang, split(text, ' ') AS tk, n_chars FROM documents
+),
+quality AS (
+  SELECT doc_id, lang, n_chars,
+         size(array_distinct(tk)) / cast(size(tk) AS DOUBLE) AS ttr,
+         size(tk) AS n_tokens
+  FROM toks
+),
+kept AS (
+  SELECT doc_id, lang, n_chars FROM quality
+  WHERE n_tokens >= 20 AND ttr >= 0.3
+),
+h16 AS (
+  SELECT kept.*, {_H16.format(t='STRING')} AS h FROM kept
+)
+SELECT lang, {_SPLIT_SQL} AS split,
+       count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars
+FROM h16 GROUP BY lang, 2 ORDER BY lang, split
+"""
+
+
+@register("training_corpus_pipeline", _PIPELINE_DUCK, tags=("sampling", "text"))
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-preparation pipeline: quality filter (length +
+    lexical diversity) -> deterministic split -> per-(lang, split)
+    census. One scan, no UDF — the skeleton of a pretraining data
+    pipeline, every stage oracle-checked end-to-end."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_PIPELINE_SPARK)

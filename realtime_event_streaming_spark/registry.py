@@ -72,6 +72,7 @@ def load_all() -> dict[str, Query]:
     from .operators import similarity  # noqa: F401
     from .operators import textstats  # noqa: F401
     from .operators import multimodal  # noqa: F401
+    from .operators import sampling  # noqa: F401
     from .operators import anomaly  # noqa: F401
 
     return REGISTRY
