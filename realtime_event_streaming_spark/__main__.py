@@ -112,7 +112,18 @@ def cmd_pipeline(args) -> int:
     )
     q1.awaitTermination(600)
     q2.awaitTermination(600)
-    agg = spark.read.parquet(f"{out}/page_minute_agg")
+    try:
+        agg = spark.read.parquet(f"{out}/page_minute_agg")
+    except Exception:
+        # Short event spans never finalize a window under the 70 s
+        # exact watermark — report instead of crashing on an empty sink.
+        n_raw = spark.read.parquet(f"{out}/clicks_raw").count()
+        print(
+            f"raw events: {n_raw}  rollup windows: 0 "
+            "(event span too short for the exact watermark to close any "
+            "window; try --events/--rate giving a span over ~3 minutes)"
+        )
+        return 0
     rollup_stream = spark.readStream.schema(agg.schema).parquet(
         f"{out}/page_minute_agg"
     )

@@ -135,18 +135,27 @@ def compact_partition(
     size = sum(f.stat().st_size for f in part_dir.glob("*.parquet"))
     n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(str(part_dir))
-    tmp = str(part_dir) + "._compact"
+    # Dot-prefixed siblings are invisible to Spark's file index, so
+    # readers scanning the table never see the in-flight copy; the
+    # original stays in place until a single atomic rename swaps it
+    # aside (crash at any point leaves either the original live or
+    # both copies on disk — never a missing month).
+    tmp = Path(path) / f".compact_tmp_month={month}"
+    old = Path(path) / f".compact_old_month={month}"
     sort_col = "ts" if "ts" in df.columns else df.columns[0]
     (
         df.repartition(n_files)
         .sortWithinPartitions(sort_col)
         .write.mode("overwrite")
-        .parquet(tmp)
+        .parquet(str(tmp))
     )
     import shutil
 
-    shutil.rmtree(part_dir)
-    Path(tmp).rename(part_dir)
+    if old.exists():
+        shutil.rmtree(old)
+    part_dir.rename(old)
+    tmp.rename(part_dir)
+    shutil.rmtree(old)
     return n_files
 
 

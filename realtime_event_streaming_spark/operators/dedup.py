@@ -136,7 +136,8 @@ _EXACT_GROUPS_DUCK = """
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+  FROM documents WHERE doc_id % 50 = 0
 )
 SELECT min(doc_id) AS keep_doc_id,
        count(*) AS dup_cnt,
@@ -157,10 +158,14 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus is augmented with deterministic copies of every 50th doc
     so the operator produces (and the oracle checks) real duplicate
     groups at any scale factor — the raw fixture has exact dups only at
-    sf0.1, and an empty-vs-empty oracle match proves nothing."""
+    sf0.1, and an empty-vs-empty oracle match proves nothing. Planted
+    ids live above max(doc_id), disjoint from real ids at any scale."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    offset = F.lit(
+        docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    )
     planted = docs.where(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        (F.col("doc_id") + offset).alias("doc_id"), "text"
     )
     corpus = docs.unionByName(planted)
     return (

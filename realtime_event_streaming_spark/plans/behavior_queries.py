@@ -51,12 +51,12 @@ def top_types_per_country(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESS_CTE = """
 WITH ordered AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 ),
 flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN prev_ts IS NULL
                    OR {epoch_ts} - {epoch_prev} > 1800 THEN 1 ELSE 0 END
            AS new_session
@@ -64,7 +64,7 @@ flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 ),

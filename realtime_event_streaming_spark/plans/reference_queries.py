@@ -361,7 +361,7 @@ def top_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     StreamJob.java:219,234). Spark plans TakeOrderedAndProject — no full
     sort at scale. Deterministic tiebreak on page_k."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.regexp_extract("props", '"k": ([0-9]+)', 1).try_cast("int")
+    k = F.expr(D.PAGE_K_SQL)  # shared snippet == the oracle's expression
     return (
         ev.select(k.alias("page_k"), "user_id")
         .where(F.col("page_k").isNotNull())

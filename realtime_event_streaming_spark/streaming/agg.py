@@ -78,13 +78,15 @@ def rollup_stream_approx(
     events: DataFrame,
     window: str = _WINDOW,
     dims: tuple[str, ...] = ("page", "country"),
+    slide: str | None = None,
 ) -> DataFrame:
     """Approximate multi-grain variant: single stateful operator, 10 s
     watermark parity with the reference, HLL distinct — the scale
     default. Grains per the reference's rollup tables
     (clickhouse_tables.sql): 1 min x (page, country) :23-37;
-    5 min x page :40-54; 1 hour x (page, country, device) :57-72."""
-    w = F.window("ts", window)
+    5 min x page :40-54; 1 hour x (page, country, device) :57-72.
+    ``slide`` < ``window`` gives overlapping (sliding) windows."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.groupBy(w.alias("win"), *dims)
         .agg(
@@ -126,21 +128,7 @@ def rollup_sliding_stream(
     overlapping windows). Not in the reference (SURVEY.md §2.10 notes
     only tumbling); provided because trend dashboards want it and it is
     a one-argument change in Spark."""
-    w = F.window("ts", window, slide)
-    return (
-        events.groupBy(w.alias("win"), *dims)
-        .agg(
-            F.count("*").alias("cnt"),
-            F.approx_count_distinct("user_id").alias("unique_users"),
-        )
-        .select(
-            F.col("win.start").alias("window_start"),
-            F.col("win.end").alias("window_end"),
-            *dims,
-            "cnt",
-            "unique_users",
-        )
-    )
+    return rollup_stream_approx(events, window, dims, slide=slide)
 
 
 def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
@@ -216,17 +204,20 @@ def write_rollup_update_log(
     return writer.start()
 
 
-def read_rollup_log(spark, path: str) -> DataFrame:
+def read_rollup_log(
+    spark,
+    path: str,
+    key_cols: tuple[str, ...] = ("window_start", "page", "country"),
+) -> DataFrame:
     """Read-side merge of the update log: latest refinement per key
     (update mode emits cumulative values, so last-writer-wins — the
     analogue of ClickHouse's merge-on-read, with max(batch_id) instead
-    of SummingMergeTree's row addition)."""
+    of SummingMergeTree's row addition). ``key_cols`` must match the
+    grain the log was written at."""
     from pyspark.sql import Window
 
     log = spark.read.parquet(path)
-    w = Window.partitionBy("window_start", "page", "country").orderBy(
-        F.desc("batch_id")
-    )
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("batch_id"))
     return (
         log.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

@@ -78,9 +78,13 @@ def _score_key(
     else:
         ws = WelfordState()
     out: dict[str, list] = {f.name: [] for f in OUTPUT_SCHEMA.fields}
-    for pdf in pdfs:
-        pdf = pdf.sort_values("window_start")
-        for row in pdf.itertuples(index=False):
+    # Arrow delivers a group as CHUNKS (split at maxRecordsPerBatch) in
+    # shuffle order; sorting per-chunk would corrupt the running state
+    # whenever one key exceeds a chunk. Concatenate, then sort once.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        whole = pd.concat(chunks, ignore_index=True).sort_values("window_start")
+        for row in whole.itertuples(index=False):
             x = float(row.cnt)
             prior_n = ws.n
             is_anom, z, reason = ws.score(x)

@@ -155,6 +155,47 @@ def test_anomaly_stream_flags_spike_after_history(spark, tmp_path):
     assert all("ANOMALY DETECTED" in r.alert for r in alert_rows)
 
 
+def test_anomaly_state_survives_chunked_out_of_order_delivery(spark, tmp_path):
+    # Arrow splits one group's rows into chunks (maxRecordsPerBatch) in
+    # shuffle order; the operator must sort the WHOLE group, not each
+    # chunk. Write 500 rollup rows in REVERSE window order with tiny
+    # chunks: per-chunk sorting would score the spike (arriving in the
+    # first chunk) against empty history and miss it.
+    rows = []
+    for m in range(500):
+        cnt = 100 + (m % 5)
+        if m == 499:
+            cnt = 10000  # spike at the LAST window
+        rows.append((f"2024-01-01 {m // 60:02d}:{m % 60:02d}:00", "/", "US", cnt, cnt))
+    rollup = spark.createDataFrame(
+        rows,
+        "window_start string, page string, country string,"
+        " cnt long, unique_users long",
+    ).selectExpr(
+        "window_start", "window_start AS window_end", "page", "country",
+        "cnt", "unique_users",
+    )
+    fixture = str(tmp_path / "rollup_rev")
+    rollup.orderBy(F.desc("window_start")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(fixture)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        stream = spark.readStream.schema(
+            spark.read.parquet(fixture).schema
+        ).parquet(fixture)
+        scored = _run_to_memory(score_rollup_stream(stream), spark, "chunked")
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    assert scored.count() == 500
+    anom = scored.where(F.col("is_anomaly") == "true").collect()
+    assert len(anom) == 1 and anom[0].cnt == 10000
+    assert anom[0].n_observations == 499, "spike must see full prior history"
+
+
 def test_parse_drops_malformed(spark):
     raw = spark.createDataFrame(
         [
