@@ -66,6 +66,7 @@ def load_all() -> dict[str, Query]:
     from .plans import star_queries  # noqa: F401
     from .plans import analytics_extras  # noqa: F401
     from .plans import behavior_queries  # noqa: F401
+    from .plans import funnel_queries  # noqa: F401
     from .plans import sql_surface  # noqa: F401
     from .plans import streaming_replay  # noqa: F401
     from .operators import dedup  # noqa: F401
