@@ -105,6 +105,52 @@ def parse_clicks(
     )
 
 
+def parse_clicks_with_dlq(
+    raw: DataFrame, value_col: str = "value", watermark: str = WATERMARK
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE ingestion: returns (events, dead_letters).
+
+    Production alternative to DROPMALFORMED: malformed records are not
+    silently discarded but routed to a dead-letter frame carrying the
+    raw payload and a reason — replayable after a parser fix. Both
+    frames derive from one ``from_json`` pass (no double parse).
+
+    ``from_json`` yields an all-NULL struct (not a null) for unparseable
+    input, so malformed-vs-missing-field is distinguished via the
+    corrupt-record column."""
+    schema_with_corrupt = CLICK_WIRE_SCHEMA.add("_corrupt", "string")
+    parsed = raw.select(
+        F.col(value_col).cast("string").alias("raw"),
+        F.from_json(
+            F.col(value_col).cast("string"),
+            schema_with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("e"),
+    )
+    bad = F.col("e._corrupt").isNotNull() | F.col("e.ts").isNull()
+    ok = (
+        parsed.where(~bad)
+        .select(
+            F.col("e.event_id").alias("event_id"),
+            F.col("e.user_id").alias("user_id"),
+            F.timestamp_millis(F.col("e.ts")).alias("ts"),
+            F.col("e.page").alias("page"),
+            F.col("e.referrer").alias("referrer"),
+            F.col("e.country").alias("country"),
+            F.col("e.device").alias("device"),
+        )
+        .withWatermark("ts", watermark)
+    )
+    dlq = parsed.where(bad).select(
+        "raw",
+        F.when(F.col("e._corrupt").isNotNull(), "malformed-json")
+        .otherwise("missing-ts")
+        .alias("reason"),
+        F.current_timestamp().alias("rejected_at"),
+    )
+    return ok, dlq
+
+
 def write_raw_events(events: DataFrame, path: str, checkpoint: str, trigger=None):
     """Raw append sink with ingest timestamp (reference clicks_raw:
     created_at DEFAULT now(), clickhouse_tables.sql:14; 10 s batching

@@ -213,6 +213,27 @@ def test_parse_drops_malformed(spark):
     assert all(r.ts is not None for r in parsed)
 
 
+def test_parse_with_dlq_routes_bad_records(spark):
+    from realtime_event_streaming_spark.streaming.ingest import (
+        parse_clicks_with_dlq,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            ('{"event_id":"e1","user_id":"u1","ts":1704067200000,"page":"/",'
+             '"referrer":"/","country":"US","device":"mobile"}',),
+            ("garbage",),
+            ('{"event_id":"e2","user_id":"u2"}',),
+        ],
+        "value string",
+    )
+    ok, dlq = parse_clicks_with_dlq(raw)
+    assert [r.event_id for r in ok.collect()] == ["e1"]
+    bad = {r.reason: r.raw for r in dlq.collect()}
+    assert bad["malformed-json"] == "garbage"
+    assert bad["missing-ts"].startswith('{"event_id":"e2"')
+
+
 def test_clickgen_deterministic_and_weighted(spark):
     a = generate_clicks(spark, n_events=5000, n_users=200).orderBy("_seq").collect()
     b = generate_clicks(spark, n_events=5000, n_users=200).orderBy("_seq").collect()
