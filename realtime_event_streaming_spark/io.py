@@ -111,6 +111,63 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def backfill_minute_rollup(
+    spark: SparkSession,
+    raw_path: str,
+    agg_path: str,
+    month: str,
+) -> int:
+    """Recompute one month of the minute rollup from the raw table.
+
+    The batch escape hatch every streaming MV needs: after a logic fix
+    or late bulk correction, rebuild affected partitions from
+    ``clicks_raw`` instead of replaying the stream. Batch countDistinct
+    gives exact uniques; the write replaces only the target month
+    partition. Returns rows written.
+
+    OFFLINE operation: stop the rollup stream first. A streaming sink
+    owns a ``_spark_metadata`` transaction log that pins the exact file
+    list; a manual rewrite invalidates it, so this job retires the log
+    (reads then list files directly) — restart the stream with a fresh
+    checkpoint/sink afterwards.
+    """
+    import shutil
+    from pathlib import Path
+
+    import pyspark.sql.functions as F
+
+    meta = Path(agg_path) / "_spark_metadata"
+    if meta.exists():
+        shutil.rmtree(meta)
+
+    raw = spark.read.parquet(raw_path).where(F.col("month") == month)
+    w = F.window("ts", "1 minute")
+    agg = (
+        raw.groupBy(w.alias("win"), "page", "country")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "page",
+            "country",
+            "cnt",
+            "unique_users",
+            F.date_format(F.col("win.start"), "yyyyMM").alias("month"),
+        )
+    )
+    n = agg.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        agg.write.mode("overwrite").partitionBy("month").parquet(agg_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n
+
+
 def compact_partition(
     spark: SparkSession,
     path: str,

@@ -1,0 +1,100 @@
+"""Deployment wiring and observability for the streaming pipeline.
+
+``start_pipeline`` assembles the reference's full dataflow (SURVEY.md
+§3 entry 1) as managed queries: wire source -> parse -> raw sink +
+exact rollup sink; the anomaly stage chains off the rollup table. The
+CLI's ``pipeline`` command and tests drive the same wiring.
+
+``query_metrics`` / ``ProgressRecorder`` replace the reference's
+Prometheus/Grafana surface (MONITORING_SETUP.md): per-query input
+rate, process rate, batch duration and watermark, as plain dicts /
+JSONL — scrapeable by anything.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from .agg import EXACT_WATERMARK, minute_rollup_stream_exact, write_rollup
+from .ingest import parse_clicks, read_json_file_stream, write_raw_events
+
+
+@dataclass
+class Pipeline:
+    raw_query: StreamingQuery
+    rollup_query: StreamingQuery
+
+    def await_all(self, timeout: int = 600) -> None:
+        self.raw_query.awaitTermination(timeout)
+        self.rollup_query.awaitTermination(timeout)
+
+    def stop(self) -> None:
+        for q in (self.raw_query, self.rollup_query):
+            if q.isActive:
+                q.stop()
+
+
+def start_pipeline(
+    spark: SparkSession,
+    wire_path: str,
+    out_dir: str,
+    trigger: dict | None = None,
+) -> Pipeline:
+    """Start the ingestion + rollup queries over a wire-format JSON
+    directory (swap ``read_json_file_stream`` for ``read_kafka_stream``
+    in a Kafka deployment — everything downstream is identical)."""
+    trigger = trigger or {"availableNow": True}
+    stream = parse_clicks(
+        read_json_file_stream(spark, wire_path), watermark=EXACT_WATERMARK
+    )
+    q1 = write_raw_events(
+        stream, f"{out_dir}/clicks_raw", f"{out_dir}/_ck_raw", trigger=trigger
+    )
+    q2 = write_rollup(
+        minute_rollup_stream_exact(stream),
+        f"{out_dir}/page_minute_agg",
+        f"{out_dir}/_ck_agg",
+        trigger=trigger,
+    )
+    return Pipeline(raw_query=q1, rollup_query=q2)
+
+
+def query_metrics(query: StreamingQuery) -> list[dict]:
+    """Per-batch metrics from a query's recent progress: the numbers
+    the reference's Grafana dashboard charts (records-in/out rates,
+    flink-dashboard.json:57-64), plus watermark position."""
+    out = []
+    for p in query.recentProgress:
+        out.append(
+            {
+                "batch_id": p.get("batchId"),
+                "input_rows": p.get("numInputRows"),
+                "input_rows_per_sec": p.get("inputRowsPerSecond"),
+                "processed_rows_per_sec": p.get("processedRowsPerSecond"),
+                "batch_duration_ms": p.get("batchDuration"),
+                "watermark": (p.get("eventTime") or {}).get("watermark"),
+                "state_rows": sum(
+                    op.get("numRowsTotal", 0)
+                    for op in p.get("stateOperators", [])
+                ),
+            }
+        )
+    return out
+
+
+class ProgressRecorder:
+    """Stream metrics to a JSONL file (the scrape target)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def record(self, query: StreamingQuery) -> int:
+        rows = query_metrics(query)
+        with open(self.path, "a") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        return len(rows)
