@@ -102,6 +102,59 @@ _SESS_DUCK = _SESS_CTE.format(
 )
 
 
+_COHORT_CTE = """
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week FROM events
+  GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         {week_diff} AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT {fmt_cohort} AS cohort_week,
+       week_offset,
+       count(*) AS active_users
+FROM activity
+WHERE week_offset <= 4
+GROUP BY 1, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+_WD_SPARK = (
+    "cast(("
+    + D.EPOCH_S_SPARK.format(col="date_trunc('week', e.ts)")
+    + " - "
+    + D.EPOCH_S_SPARK.format(col="f.cohort_week")
+    + ") / 604800 AS INT)"
+)
+_WD_DUCK = (
+    "cast(("
+    + D.EPOCH_S_DUCK.format(col="date_trunc('week', e.ts)")
+    + " - "
+    + D.EPOCH_S_DUCK.format(col="f.cohort_week")
+    + ") / 604800 AS INT)"
+)
+
+_COHORT_SPARK = _COHORT_CTE.format(
+    week_diff=_WD_SPARK, fmt_cohort=D.fmt_ts_spark("cohort_week")
+)
+_COHORT_DUCK = _COHORT_CTE.format(
+    week_diff=_WD_DUCK, fmt_cohort=D.fmt_ts_duck("cohort_week")
+)
+
+
+@register("weekly_retention_cohorts", _COHORT_DUCK, tags=("behavior",))
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users grouped by first-seen week
+    (cohort), counted per subsequent active week offset. First-touch
+    reduction + self-join back to activity — the standard cohort shape;
+    the join is co-partitioned on user_id with the group-by that
+    precedes it."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_COHORT_SPARK)
+
+
 @register("user_sessions", _SESS_DUCK, tags=("behavior",))
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag per user ->
