@@ -560,6 +560,53 @@ def reagg_from_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# R13b — rollup cascade: coarser grains from the finer pre-aggregate
+# ---------------------------------------------------------------------------
+
+_b5m = "make_timestamp((epoch_us(m) // 300000000) * 300000000)"
+_b5m_spark = (
+    "timestamp_micros((unix_micros(cast(m as timestamp)) div 300000000)"
+    " * 300000000)"
+)
+
+_CASCADE_SPARK = f"""
+WITH minute_agg AS (
+  SELECT date_trunc('minute', ts) AS m, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT {D.fmt_ts_spark(_b5m_spark)} AS window_start,
+       event_type,
+       cast(sum(cnt) AS BIGINT) AS cnt
+FROM minute_agg
+GROUP BY {_b5m_spark}, event_type
+"""
+
+_CASCADE_DUCK = f"""
+WITH minute_agg AS (
+  SELECT date_trunc('minute', ts) AS m, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT {D.fmt_ts_duck(_b5m)} AS window_start,
+       event_type,
+       cast(sum(cnt) AS BIGINT) AS cnt
+FROM minute_agg
+GROUP BY {_b5m}, event_type
+"""
+
+
+@register("rollup_cascade_5min", _CASCADE_DUCK, tags=("reference",))
+def rollup_cascade_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute counts derived from the 1-minute pre-aggregate instead
+    of raw events — the rollup-cascade pattern that makes coarser
+    grains nearly free at scale (input is the minute table, ~1000x
+    smaller than the facts). Counts are additive so the cascade is
+    exact; distinct users are NOT additive and must come from raw or a
+    sketch-merge (documented limit of SummingMergeTree-style cascades,
+    SURVEY.md §2.4/A6)."""
+    return _sql(spark, sf_dir, _CASCADE_SPARK)
+
+
+# ---------------------------------------------------------------------------
 # R14 — daily growth with running total (reference:
 #       MONITORING_SETUP.md:113-121 shape, cumulative sum as extension)
 # ---------------------------------------------------------------------------

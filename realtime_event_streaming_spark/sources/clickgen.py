@@ -70,11 +70,18 @@ def generate_clicks(
     start_ts: str = "2024-01-01 00:00:00",
     late_every: int | None = None,
     late_by_seconds: int = 60,
+    churn_weeks: int | None = None,
 ) -> DataFrame:
     """Deterministic batch of click events in wire shape (ts = epoch ms).
 
     ``late_every``: if set, every k-th event's timestamp is pushed
     ``late_by_seconds`` into the past — fixture for watermark tests.
+
+    ``churn_weeks``: if set, users join and leave over time — user u is
+    active only from week (hash(u) % churn_weeks) for a hashed lifetime
+    of 1..churn_weeks weeks, giving real cohort/retention structure
+    (events whose user is outside their active window are re-assigned
+    to a stable fallback user so volume is unchanged).
     """
     base_ms = F.unix_timestamp(F.lit(start_ts)) * 1000
     # microsecond stepping so rates above 1000 ev/s don't collapse to a
@@ -92,6 +99,17 @@ def generate_clicks(
             ts_ms - late_by_seconds * 1000,
         ).otherwise(ts_ms)
     user_n = F.pmod(F.hash(F.lit("usr"), F.col("id")), F.lit(n_users))
+    if churn_weeks:
+        week = ((ts_ms / 1000 - F.unix_timestamp(F.lit(start_ts))) / 604800).cast(
+            "int"
+        )
+        join_week = F.pmod(F.hash(F.lit("join"), user_n), F.lit(churn_weeks))
+        life = F.pmod(F.hash(F.lit("life"), user_n), F.lit(churn_weeks)) + 1
+        active = (week >= join_week) & (week < join_week + life)
+        # fallback: a small always-active cohort keeps volume constant
+        user_n = F.when(active, user_n).otherwise(
+            F.pmod(F.hash(F.lit("fb"), F.col("id")), F.lit(max(n_users // 20, 1)))
+        )
     df = df.select(
         F.col("id"),
         F.md5(F.concat(F.lit("evt"), F.col("id").cast("string"))).alias("event_id"),
