@@ -78,17 +78,8 @@ def cmd_pipeline(args) -> int:
     import pyspark.sql.functions as F
 
     from .sources.clickgen import generate_clicks, write_stream_fixture
-    from .streaming.agg import (
-        EXACT_WATERMARK,
-        minute_rollup_stream_exact,
-        write_rollup,
-    )
     from .streaming.anomaly_stream import alerts, score_rollup_stream
-    from .streaming.ingest import (
-        parse_clicks,
-        read_json_file_stream,
-        write_raw_events,
-    )
+    from .streaming.deploy import start_pipeline
 
     spark = _spark()
     out = args.out or tempfile.mkdtemp(prefix="rtes_pipeline_")
@@ -98,20 +89,8 @@ def cmd_pipeline(args) -> int:
         rate_per_sec=args.rate,
     )
     write_stream_fixture(clicks, f"{out}/wire", n_files=8)
-    stream = parse_clicks(
-        read_json_file_stream(spark, f"{out}/wire"), watermark=EXACT_WATERMARK
-    )
-    q1 = write_raw_events(
-        stream, f"{out}/clicks_raw", f"{out}/ck1", trigger={"availableNow": True}
-    )
-    q2 = write_rollup(
-        minute_rollup_stream_exact(stream),
-        f"{out}/page_minute_agg",
-        f"{out}/ck2",
-        trigger={"availableNow": True},
-    )
-    q1.awaitTermination(600)
-    q2.awaitTermination(600)
+    pipe = start_pipeline(spark, f"{out}/wire", out)
+    pipe.await_all()
     try:
         agg = spark.read.parquet(f"{out}/page_minute_agg")
     except Exception:

@@ -27,6 +27,7 @@ class Engine:
         self.spark = prepare(spark)
         self.sf_dir = sf_dir
         self._registry = load_all()
+        self._views_registered = False
 
     @classmethod
     def local(cls, sf_dir: str = DEFAULT_SF_DIR) -> "Engine":
@@ -48,9 +49,13 @@ class Engine:
     def sql(self, statement: str) -> DataFrame:
         """Ad-hoc SQL over all tables of this Engine's sf_dir
         (registered as temp views on first use)."""
-        register_views(self.spark, self.sf_dir)
+        if not self._views_registered:
+            register_views(self.spark, self.sf_dir)
+            self._views_registered = True
         return self.spark.sql(statement)
 
     def oracle(self, name: str) -> str | None:
         """The DuckDB oracle SQL for a query (None = rows-only op)."""
+        if name not in self._registry:
+            raise KeyError(f"unknown query {name!r}; see names()")
         return self._registry[name].oracle

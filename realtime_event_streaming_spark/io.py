@@ -116,8 +116,12 @@ def backfill_minute_rollup(
     raw_path: str,
     agg_path: str,
     month: str,
+    window: str = "1 minute",
+    dims: tuple[str, ...] = ("page", "country"),
 ) -> int:
-    """Recompute one month of the minute rollup from the raw table.
+    """Recompute one month of a rollup table from the raw table, at any
+    grain (defaults to the minute rollup; pass window/dims for the
+    5-minute or hourly tables).
 
     The batch escape hatch every streaming MV needs: after a logic fix
     or late bulk correction, rebuild affected partitions from
@@ -141,9 +145,9 @@ def backfill_minute_rollup(
         shutil.rmtree(meta)
 
     raw = spark.read.parquet(raw_path).where(F.col("month") == month)
-    w = F.window("ts", "1 minute")
+    w = F.window("ts", window)
     agg = (
-        raw.groupBy(w.alias("win"), "page", "country")
+        raw.groupBy(w.alias("win"), *dims)
         .agg(
             F.count("*").alias("cnt"),
             F.countDistinct("user_id").alias("unique_users"),
@@ -151,8 +155,7 @@ def backfill_minute_rollup(
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
-            "page",
-            "country",
+            *dims,
             "cnt",
             "unique_users",
             F.date_format(F.col("win.start"), "yyyyMM").alias("month"),

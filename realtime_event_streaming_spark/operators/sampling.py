@@ -8,10 +8,9 @@ val/test never leak into train across pipeline re-runs.
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..io import load_table, register_views
+from ..io import register_views
 from ..registry import register
 
 #: fraction of the 16-bit hash space per split: 80 / 10 / 10.

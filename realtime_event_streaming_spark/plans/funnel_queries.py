@@ -11,6 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions import dialect as D
 from ..io import register_views
 from ..registry import register
+from ..streaming.enrich import CONVERSION_WINDOW
+
+# '10 minutes' -> 'INTERVAL 10 MINUTE' (valid in both dialects); one
+# constant ties the batch funnel to its streaming twin.
+_WINDOW_INTERVAL = "INTERVAL " + CONVERSION_WINDOW.rstrip("s").upper()
 
 _CONV_CTE = """
 WITH views AS (
@@ -24,7 +29,7 @@ conv AS (
   FROM views v JOIN purchases p
     ON p.user_id = v.user_id
    AND p.p_ts > v.v_ts
-   AND p.p_ts <= v.v_ts + INTERVAL 10 MINUTE
+   AND p.p_ts <= v.v_ts + {interval}
   GROUP BY v.user_id, v.v_ts
 )
 SELECT count(*) AS conversions,
@@ -34,6 +39,7 @@ FROM conv
 """
 
 _CONV_SPARK = _CONV_CTE.format(
+    interval=_WINDOW_INTERVAL,
     gap=(
         D.EPOCH_S_SPARK.format(col="first_purchase_ts")
         + " - "
@@ -41,6 +47,7 @@ _CONV_SPARK = _CONV_CTE.format(
     )
 )
 _CONV_DUCK = _CONV_CTE.format(
+    interval=_WINDOW_INTERVAL,
     gap=(
         D.EPOCH_S_DUCK.format(col="first_purchase_ts")
         + " - "

@@ -87,14 +87,25 @@ def query_metrics(query: StreamingQuery) -> list[dict]:
 
 
 class ProgressRecorder:
-    """Stream metrics to a JSONL file (the scrape target)."""
+    """Stream metrics to a JSONL file (the scrape target).
+
+    Periodic ``record`` calls append only batches not yet written
+    (recentProgress retains ~100 entries; without the high-water mark a
+    scraper would duplicate them every call)."""
 
     def __init__(self, path: str):
         self.path = path
+        self._last_batch: dict[str, int] = {}
 
     def record(self, query: StreamingQuery) -> int:
-        rows = query_metrics(query)
-        with open(self.path, "a") as fh:
-            for r in rows:
-                fh.write(json.dumps(r) + "\n")
+        mark = self._last_batch.get(query.id, -1)
+        rows = [
+            r for r in query_metrics(query)
+            if r["batch_id"] is not None and r["batch_id"] > mark
+        ]
+        if rows:
+            self._last_batch[query.id] = max(r["batch_id"] for r in rows)
+            with open(self.path, "a") as fh:
+                for r in rows:
+                    fh.write(json.dumps(r) + "\n")
         return len(rows)
