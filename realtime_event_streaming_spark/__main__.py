@@ -78,8 +78,8 @@ def cmd_pipeline(args) -> int:
     import pyspark.sql.functions as F
 
     from .sources.clickgen import generate_clicks, write_stream_fixture
-    from .streaming.anomaly_stream import alerts, score_rollup_stream
-    from .streaming.deploy import start_pipeline
+    from .streaming.anomaly_stream import alerts
+    from .streaming.deploy import start_anomaly_stage, start_pipeline
 
     spark = _spark()
     out = args.out or tempfile.mkdtemp(prefix="rtes_pipeline_")
@@ -103,17 +103,7 @@ def cmd_pipeline(args) -> int:
             "window; try --events/--rate giving a span over ~3 minutes)"
         )
         return 0
-    rollup_stream = spark.readStream.schema(agg.schema).parquet(
-        f"{out}/page_minute_agg"
-    )
-    q3 = (
-        score_rollup_stream(rollup_stream.drop("month"))
-        .writeStream.format("memory")
-        .queryName("cli_scored")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    q3 = start_anomaly_stage(spark, out, sink_name="cli_scored")
     q3.awaitTermination(600)
     scored = spark.table("cli_scored")
     n_raw = spark.read.parquet(f"{out}/clicks_raw").count()

@@ -63,6 +63,32 @@ def start_pipeline(
     return Pipeline(raw_query=q1, rollup_query=q2)
 
 
+def start_anomaly_stage(
+    spark: SparkSession,
+    out_dir: str,
+    sink_name: str = "anomaly_scored",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Stage 2 of the deployment: stream the rollup table through the
+    Welford scorer into a memory sink (swap for a Kafka/console sink in
+    production). Decoupled from the rollup query via storage — each
+    stage restarts and backfills independently (SURVEY.md §3)."""
+    from .anomaly_stream import score_rollup_stream
+
+    trigger = trigger or {"availableNow": True}
+    agg_path = f"{out_dir}/page_minute_agg"
+    schema = spark.read.parquet(agg_path).schema
+    rollup = spark.readStream.schema(schema).parquet(agg_path)
+    return (
+        score_rollup_stream(rollup.drop("month"))
+        .writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .trigger(**trigger)
+        .start()
+    )
+
+
 def query_metrics(query: StreamingQuery) -> list[dict]:
     """Per-batch metrics from a query's recent progress: the numbers
     the reference's Grafana dashboard charts (records-in/out rates,
