@@ -54,6 +54,37 @@ class Engine:
             self._views_registered = True
         return self.spark.sql(statement)
 
+    def register_sql_functions(self) -> list[str]:
+        """Register the engine's derived-dimension helpers as SQL
+        functions (Spark 4 SQL scalar UDFs) for ad-hoc queries:
+
+            eng.register_sql_functions()
+            eng.sql("SELECT derive_country(user_id), count(*) FROM events GROUP BY 1")
+        """
+        from .functions import dialect as D
+
+        defs = {
+            "derive_country": (
+                "CREATE OR REPLACE TEMPORARY FUNCTION derive_country(user_id BIGINT) "
+                f"RETURNS STRING RETURN {D.COUNTRY_SQL}"
+            ),
+            "derive_device": (
+                "CREATE OR REPLACE TEMPORARY FUNCTION derive_device(user_id BIGINT) "
+                f"RETURNS STRING RETURN {D.DEVICE_SQL}"
+            ),
+            "page_k": (
+                "CREATE OR REPLACE TEMPORARY FUNCTION page_k(props STRING) "
+                "RETURNS INT RETURN try_cast(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS INT)"
+            ),
+            "md5_64": (
+                "CREATE OR REPLACE TEMPORARY FUNCTION md5_64(x STRING) "
+                "RETURNS STRING RETURN substr(md5(x), 1, 16)"
+            ),
+        }
+        for ddl in defs.values():
+            self.spark.sql(ddl)
+        return sorted(defs)
+
     def oracle(self, name: str) -> str | None:
         """The DuckDB oracle SQL for a query (None = rows-only op)."""
         if name not in self._registry:

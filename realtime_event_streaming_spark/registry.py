@@ -47,6 +47,11 @@ def register(
     """Decorator registering a (spark_fn, oracle) pair under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(
+                f"query {name!r} registered twice "
+                f"(existing: {REGISTRY[name].spark_fn.__module__})"
+            )
         REGISTRY[name] = Query(
             name=name,
             spark_fn=fn,

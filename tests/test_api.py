@@ -34,6 +34,29 @@ def test_unknown_names_raise(eng):
         eng.query("nope")
 
 
+def test_sql_functions(eng):
+    fns = eng.register_sql_functions()
+    assert "derive_country" in fns
+    rows = eng.sql(
+        "SELECT derive_country(user_id) AS c, count(*) AS n "
+        "FROM events GROUP BY 1 ORDER BY n DESC"
+    ).collect()
+    assert len(rows) == 8 and rows[0].c in {
+        "US", "IN", "DE", "FR", "JP", "GB", "CA", "AU",
+    }
+    assert eng.sql("SELECT page_k('{\"k\": 42}') AS k").collect()[0].k == 42
+
+
+def test_duplicate_registration_rejected():
+    import pytest as _pytest
+
+    from realtime_event_streaming_spark.registry import REGISTRY, register
+
+    name = next(iter(REGISTRY))
+    with _pytest.raises(ValueError, match="registered twice"):
+        register(name, None)(lambda spark, sf: None)
+
+
 def test_oracle_lookup(eng):
     assert "SELECT" in eng.oracle("latency_stats")
     assert eng.oracle("streaming_rollup_replay") is None
