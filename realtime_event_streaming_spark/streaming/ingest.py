@@ -62,14 +62,21 @@ def write_kafka_sink(
     )
 
 
-def read_json_file_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream of JSON-lines (one micro-batch per file) —
-    the test-harness stand-in for the Kafka source."""
-    return (
-        spark.readStream.format("text")
-        .option("maxFilesPerTrigger", 1)
-        .load(path)
-    )
+def read_json_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """File-source stream of JSON-lines — the test-harness stand-in for
+    the Kafka source.
+
+    ``max_files_per_trigger=1`` (default) gives deterministic
+    one-file-per-batch replay for tests; pass ``None`` for live tailing
+    (each trigger drains ALL newly arrived files — capping it on a live
+    source builds an ever-growing backlog and inflates latency).
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
 
 
 def parse_clicks(
