@@ -111,6 +111,20 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def _retire_stream_metadata(path: str) -> None:
+    """Remove a streaming sink's ``_spark_metadata`` transaction log
+    before any batch rewrite of the directory: the log pins the exact
+    file list, so rewritten/deleted files would break every subsequent
+    read of the table root. Offline maintenance only — restart the
+    writing stream with a fresh checkpoint/sink afterwards."""
+    import shutil
+    from pathlib import Path
+
+    meta = Path(path) / "_spark_metadata"
+    if meta.exists():
+        shutil.rmtree(meta)
+
+
 def backfill_minute_rollup(
     spark: SparkSession,
     raw_path: str,
@@ -135,14 +149,9 @@ def backfill_minute_rollup(
     (reads then list files directly) — restart the stream with a fresh
     checkpoint/sink afterwards.
     """
-    import shutil
-    from pathlib import Path
-
     import pyspark.sql.functions as F
 
-    meta = Path(agg_path) / "_spark_metadata"
-    if meta.exists():
-        shutil.rmtree(meta)
+    _retire_stream_metadata(agg_path)
 
     raw = spark.read.parquet(raw_path).where(F.col("month") == month)
     w = F.window("ts", window)
@@ -161,14 +170,18 @@ def backfill_minute_rollup(
             F.date_format(F.col("win.start"), "yyyyMM").alias("month"),
         )
     )
-    n = agg.count()
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         agg.write.mode("overwrite").partitionBy("month").parquet(agg_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return n
+    # row count from the written partition: no second run of the agg
+    return (
+        spark.read.parquet(agg_path)
+        .where(F.col("month") == int(month))
+        .count()
+    )
 
 
 def compact_partition(
@@ -189,19 +202,26 @@ def compact_partition(
     import math
     from pathlib import Path
 
+    import shutil
+
     part_dir = Path(path) / f"month={month}"
+    tmp = Path(path) / f".compact_tmp_month={month}"
+    old = Path(path) / f".compact_old_month={month}"
+    # Crash recovery from a previous interrupted swap: if the live dir
+    # is gone but the set-aside copy exists, restore it first.
+    if not part_dir.exists() and old.exists():
+        old.rename(part_dir)
     if not part_dir.exists():
         return 0
+    _retire_stream_metadata(path)
     size = sum(f.stat().st_size for f in part_dir.glob("*.parquet"))
     n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(str(part_dir))
     # Dot-prefixed siblings are invisible to Spark's file index, so
-    # readers scanning the table never see the in-flight copy; the
-    # original stays in place until a single atomic rename swaps it
-    # aside (crash at any point leaves either the original live or
-    # both copies on disk — never a missing month).
-    tmp = Path(path) / f".compact_tmp_month={month}"
-    old = Path(path) / f".compact_old_month={month}"
+    # readers scanning the table never see the in-flight copy. The swap
+    # is two renames (a dir cannot be renamed onto a non-empty target):
+    # a crash between them leaves the month set aside under
+    # .compact_old_* and the recovery above restores it on the next run.
     sort_col = "ts" if "ts" in df.columns else df.columns[0]
     (
         df.repartition(n_files)
@@ -209,8 +229,6 @@ def compact_partition(
         .write.mode("overwrite")
         .parquet(str(tmp))
     )
-    import shutil
-
     if old.exists():
         shutil.rmtree(old)
     part_dir.rename(old)
@@ -236,6 +254,7 @@ def expire_old_partitions(
     root = Path(path)
     if not root.exists():
         return dropped
+    _retire_stream_metadata(path)
     for p in sorted(root.glob("month=*")):
         month = p.name.split("=", 1)[1]
         if month < cutoff_month:

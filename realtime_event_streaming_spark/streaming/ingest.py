@@ -125,7 +125,13 @@ def parse_clicks_with_dlq(
     ``from_json`` yields an all-NULL struct (not a null) for unparseable
     input, so malformed-vs-missing-field is distinguished via the
     corrupt-record column."""
-    schema_with_corrupt = CLICK_WIRE_SCHEMA.add("_corrupt", "string")
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # NOTE: StructType.add MUTATES in place — build a fresh schema so
+    # the shared CLICK_WIRE_SCHEMA is never modified.
+    schema_with_corrupt = StructType(
+        list(CLICK_WIRE_SCHEMA.fields) + [StructField("_corrupt", StringType())]
+    )
     parsed = raw.select(
         F.col(value_col).cast("string").alias("raw"),
         F.from_json(

@@ -43,6 +43,25 @@ def test_compaction_preserves_data(spark, tmp_path):
     assert after.agg(F.sum(F.hash("event_id"))).collect()[0][0] == before_sum
 
 
+def test_compaction_recovers_from_interrupted_swap(spark, tmp_path):
+    clicks = generate_clicks(spark, n_events=10000, n_users=200, rate_per_sec=50)
+    ev = clicks.withColumn("ts", F.timestamp_millis("ts"))
+    path = str(tmp_path / "t")
+    (
+        ev.withColumn("month", F.date_format("ts", "yyyyMM"))
+        .repartition(10)
+        .write.partitionBy("month")
+        .parquet(path)
+    )
+    n_before = spark.read.parquet(path).count()
+    # simulate the crash window: month set aside, tmp never renamed in
+    os.rename(f"{path}/month=202401", f"{path}/.compact_old_month=202401")
+    n_files = compact_partition(spark, path, "202401")
+    assert n_files >= 1
+    assert spark.read.parquet(path).count() == n_before
+    assert not [p for p in os.listdir(path) if p.startswith(".compact")]
+
+
 def test_ttl_drops_only_old_partitions(spark, tmp_path):
     # ~3 months of data -> several month partitions
     clicks = generate_clicks(spark, n_events=50000, n_users=500, rate_per_sec=0.01)

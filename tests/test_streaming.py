@@ -234,6 +234,23 @@ def test_parse_with_dlq_routes_bad_records(spark):
     assert bad["missing-ts"].startswith('{"event_id":"e2"')
 
 
+def test_dlq_does_not_mutate_shared_schema(spark):
+    # StructType.add mutates in place; repeated DLQ construction must
+    # never grow the shared wire schema.
+    from realtime_event_streaming_spark.schemas import CLICK_WIRE_SCHEMA
+    from realtime_event_streaming_spark.streaming.ingest import (
+        parse_clicks_with_dlq,
+    )
+
+    raw = spark.createDataFrame([("garbage",)], "value string")
+    before = len(CLICK_WIRE_SCHEMA.fields)
+    parse_clicks_with_dlq(raw)
+    parse_clicks_with_dlq(raw)
+    assert len(CLICK_WIRE_SCHEMA.fields) == before == 7
+    ok, dlq = parse_clicks_with_dlq(raw)
+    assert dlq.count() == 1 and ok.count() == 0
+
+
 def test_clickgen_deterministic_and_weighted(spark):
     a = generate_clicks(spark, n_events=5000, n_users=200).orderBy("_seq").collect()
     b = generate_clicks(spark, n_events=5000, n_users=200).orderBy("_seq").collect()
