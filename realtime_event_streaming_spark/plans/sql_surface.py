@@ -79,6 +79,34 @@ def inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# set operations: EXCEPT / INTERSECT (completing the family beyond the
+# reference's UNION ALL — SURVEY.md §2.7 notes these as absent there)
+# ---------------------------------------------------------------------------
+
+_SETOPS_BODY = """
+WITH viewers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT 'viewers_only' AS segment, count(*) AS users FROM
+  (SELECT user_id FROM viewers EXCEPT SELECT user_id FROM buyers)
+UNION ALL
+SELECT 'viewer_buyers', count(*) FROM
+  (SELECT user_id FROM viewers INTERSECT SELECT user_id FROM buyers)
+UNION ALL
+SELECT 'buyers_only', count(*) FROM
+  (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM viewers)
+"""
+
+
+@register("audience_set_ops", _SETOPS_BODY, tags=("sql",))
+def audience_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience segmentation via EXCEPT / INTERSECT (planned as left
+    anti / left semi joins) — completes the set-operation surface next
+    to pipeline_health's UNION ALL."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_SETOPS_BODY)
+
+
+# ---------------------------------------------------------------------------
 # Correlated scalar subquery: parts priced above their type's average
 # ---------------------------------------------------------------------------
 
