@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from realtime_event_streaming_spark.registry import load_all  # noqa: E402
+from realtime_event_streaming_spark.registry import (  # noqa: E402
+    driver_registry,
+    load_all,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -29,12 +32,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.spark_fn for name, q in load_all().items()}
+    """The curated 50-entry driver list (registry.DRIVER_QUERIES order;
+    the full registry is larger and stays locally oracle-gated)."""
+    return {name: q.spark_fn for name, q in driver_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query."""
+    """DuckDB-equivalent SQL for every SQL-expressible driver query."""
     return {
-        name: q.oracle for name, q in load_all().items() if q.oracle is not None
+        name: q.oracle
+        for name, q in driver_registry().items()
+        if q.oracle is not None
     }

@@ -45,10 +45,22 @@ TABLES = (
 )
 
 
+#: Inferred schema per parquet path: schema inference runs a 1-task
+#: Spark job per read; caching it makes every query construction after
+#: the first touch of a table run ZERO jobs (fully lazy plans).
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table; normalize ``events.ts`` to TIMESTAMP_NTZ."""
     prepare(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts",

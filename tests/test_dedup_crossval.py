@@ -48,6 +48,25 @@ def test_minhash_agrees_with_exact_jaccard(pairs):
     assert inter / max(len(mh), 1) >= 0.8
 
 
+def test_cc_merges_planted_chain(spark):
+    """The planted a~b~c chain (no direct a~c edge) must collapse to ONE
+    component keeping exactly the min id; the 5-chain proves label
+    propagation iterates past round 1."""
+    from realtime_event_streaming_spark.operators.dedup import (
+        CC_PLANTED_BASE as B,
+        dedup_survivors_cc,
+    )
+
+    comps = {
+        r.component_id: (r.csize, r.n_removed)
+        for r in dedup_survivors_cc(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert comps[B + 1] == (3, 2)
+    assert comps[B + 11] == (2, 1)
+    assert comps[B + 21] == (5, 4)
+    assert B + 2 not in comps and B + 22 not in comps
+
+
 def test_simhash_recalls_exact_jaccard_pairs(pairs):
     _, ex, sh = pairs
     # Direction that is guaranteed: true high-Jaccard pairs differ in
