@@ -8,7 +8,6 @@ Flat primitive-only schemas — one StructType each (SURVEY.md §1.3).
 from __future__ import annotations
 
 from pyspark.sql.types import (
-    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -57,13 +56,23 @@ PAGE_MINUTE_AGG_SCHEMA = StructType(
     ]
 )
 
-#: Anomaly output (reference Tuple5 StreamJob.java:130 + reason :189).
+#: Anomaly scorer output — THE schema the engine actually emits
+#: (streaming/anomaly_stream uses this as its Arrow output type).
+#: Reference shape: Tuple5 StreamJob.java:130 + reason :189. Documented
+#: deviations from a literal Tuple5 mapping: ``window_start`` and
+#: ``is_anomaly`` are strings ('true'/'false') for stable cross-format
+#: sink output, and ``n_observations`` (the Welford count the score was
+#: based on) is added for observability.
 ANOMALY_SCHEMA = StructType(
-    list(PAGE_MINUTE_AGG_SCHEMA.fields)
-    + [
-        StructField("is_anomaly", BooleanType()),
+    [
+        StructField("page", StringType()),
+        StructField("country", StringType()),
+        StructField("window_start", StringType()),
+        StructField("cnt", LongType()),
+        StructField("is_anomaly", StringType()),
         StructField("z_score", DoubleType()),
         StructField("running_mean", DoubleType()),
+        StructField("n_observations", LongType()),
         StructField("reason", StringType()),
     ]
 )

@@ -15,9 +15,12 @@ Design notes (100 TB posture):
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
+
+log = logging.getLogger(__name__)
 
 #: Runtime-settable confs applied to ANY session we are handed (including
 #: the driver's own session in ``__spark_entry__``). Only confs that are
@@ -32,13 +35,17 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Stateful STREAMING shuffles are not AQE-coalesced and pin their
-    # partition count into the state layout; 200 (the global default)
-    # is pathological on a single node. 32 suits the test/driver
-    # environment; cluster deployments set their own value after
-    # prepare() (or via spark-submit, re-applying post-prepare).
-    "spark.sql.shuffle.partitions": "32",
 }
+
+#: Stateful STREAMING shuffles are not AQE-coalesced and pin their
+#: partition count into the state layout; 200 (the global default) is
+#: pathological on a single node. Applied by ``prepare`` ONLY while the
+#: session still carries Spark's default, so a user/cluster override —
+#: whether set before or after prepare() — survives re-preparation
+#: (load_table re-invokes prepare on every query build).
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+_SHUFFLE_KEY = "spark.sql.shuffle.partitions"
+_SPARK_GLOBAL_DEFAULT = "200"
 
 
 def prepare(spark: SparkSession) -> SparkSession:
@@ -46,10 +53,16 @@ def prepare(spark: SparkSession) -> SparkSession:
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            # Conf not runtime-settable in this build — keep going; every
-            # conf above is documented runtime-settable in Spark 4.
-            pass
+        except Exception as exc:
+            # Conf not runtime-settable in this build — every conf above
+            # is documented runtime-settable in Spark 4, so a failure
+            # means a misconfigured session: say so, don't mask it.
+            log.warning("prepare(): could not set %s=%s: %s", k, v, exc)
+    try:
+        if spark.conf.get(_SHUFFLE_KEY, None) in (None, _SPARK_GLOBAL_DEFAULT):
+            spark.conf.set(_SHUFFLE_KEY, DEFAULT_SHUFFLE_PARTITIONS)
+    except Exception as exc:
+        log.warning("prepare(): could not adjust %s: %s", _SHUFFLE_KEY, exc)
     return spark
 
 

@@ -51,9 +51,16 @@ def minute_rollup_stream_exact(events: DataFrame) -> DataFrame:
     # Dedup key uses a *string* minute bucket: a window() column would
     # carry event-time metadata and collide with the agg's event-time
     # column (Spark allows one per stream).
+    # dropDuplicatesWithinWatermark (not plain dropDuplicates): dedup
+    # state is evicted once the watermark passes an entry's event time
+    # + delay, so state stays O(active windows) in a long-running
+    # deployment. Plain dropDuplicates on non-event-time keys would
+    # retain one state row per (minute, page, country, user) FOREVER.
+    # Correctness is unchanged: duplicates of a same-minute key are
+    # < 60 s apart, well inside the 70 s delay.
     uniq = (
         events.withColumn("mkey", F.date_format("ts", "yyyyMMddHHmm"))
-        .dropDuplicates(["mkey", "page", "country", "user_id"])
+        .dropDuplicatesWithinWatermark(["mkey", "page", "country", "user_id"])
         .select("ts", "page", "country", "user_id", F.lit("uniq").alias("kind"))
     )
     agg = (

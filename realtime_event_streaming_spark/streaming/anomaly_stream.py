@@ -36,12 +36,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
 
 from ..operators.anomaly import WelfordState
+from ..schemas import ANOMALY_SCHEMA
 
 STATE_SCHEMA = StructType(
     [
@@ -51,19 +51,9 @@ STATE_SCHEMA = StructType(
     ]
 )
 
-OUTPUT_SCHEMA = StructType(
-    [
-        StructField("page", StringType()),
-        StructField("country", StringType()),
-        StructField("window_start", StringType()),
-        StructField("cnt", LongType()),
-        StructField("is_anomaly", StringType()),  # 'true'/'false' (stable)
-        StructField("z_score", DoubleType()),
-        StructField("running_mean", DoubleType()),
-        StructField("n_observations", LongType()),
-        StructField("reason", StringType()),
-    ]
-)
+#: The canonical anomaly schema lives in ``schemas.ANOMALY_SCHEMA``;
+#: this alias is the scorer's Arrow output type.
+OUTPUT_SCHEMA = ANOMALY_SCHEMA
 
 
 def _score_key(

@@ -89,12 +89,37 @@ def start_anomaly_stage(
     )
 
 
+def _iso_to_epoch(s: str | None) -> float | None:
+    if not s:
+        return None
+    from datetime import datetime, timezone
+
+    try:
+        dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.timestamp()
+    except ValueError:
+        return None
+
+
 def query_metrics(query: StreamingQuery) -> list[dict]:
     """Per-batch metrics from a query's recent progress: the numbers
     the reference's Grafana dashboard charts (records-in/out rates,
-    flink-dashboard.json:57-64), plus watermark position."""
+    flink-dashboard.json:57-64), plus watermark position and the batch's
+    event-time lag (batch wall time minus newest event processed — the
+    live-path analogue of the reference's ``data_lag_seconds``,
+    sql/metrics_queries.sql:33-40; wall clock is legitimate in the live
+    path, unlike the deterministic oracle queries)."""
     out = []
     for p in query.recentProgress:
+        batch_ts = _iso_to_epoch(p.get("timestamp"))
+        ev_max = _iso_to_epoch((p.get("eventTime") or {}).get("max"))
+        lag = (
+            round(batch_ts - ev_max, 3)
+            if batch_ts is not None and ev_max is not None
+            else None
+        )
         out.append(
             {
                 "batch_id": p.get("batchId"),
@@ -103,6 +128,7 @@ def query_metrics(query: StreamingQuery) -> list[dict]:
                 "processed_rows_per_sec": p.get("processedRowsPerSecond"),
                 "batch_duration_ms": p.get("batchDuration"),
                 "watermark": (p.get("eventTime") or {}).get("watermark"),
+                "data_lag_seconds": lag,
                 "state_rows": sum(
                     op.get("numRowsTotal", 0)
                     for op in p.get("stateOperators", [])
@@ -110,6 +136,24 @@ def query_metrics(query: StreamingQuery) -> list[dict]:
             }
         )
     return out
+
+
+def data_lag_seconds(spark: SparkSession, raw_path: str) -> float | None:
+    """The reference's at-rest freshness metric, formula-exact:
+    ``now() - max(created_at)`` over the raw fact table
+    (sql/metrics_queries.sql:33-40). Returns None on an empty table."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    row = (
+        spark.read.parquet(raw_path)
+        .agg(F.max("created_at").alias("m"))
+        .collect()[0]
+    )
+    if row.m is None:
+        return None
+    return round(time.time() - row.m.timestamp(), 3)
 
 
 class ProgressRecorder:

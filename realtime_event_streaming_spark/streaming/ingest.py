@@ -36,7 +36,9 @@ def read_kafka_stream(
 
     Requires the spark-sql-kafka package on the classpath; every
     transformation downstream is source-agnostic, so tests use
-    ``read_json_file_stream`` instead of a broker.
+    ``read_json_file_stream`` instead of a broker. The wire contract
+    itself (key=user_id, 7-field flat JSON value) is pinned without a
+    broker by tests/test_streaming.py::test_kafka_wire_contract_round_trip.
     """
     return (
         spark.readStream.format("kafka")
@@ -52,7 +54,9 @@ def write_kafka_sink(
 ):
     """Kafka producer parity (produce.py:148-174: key=user_id,
     value=JSON): expects (key, value) columns, e.g. from
-    ``sources.clickgen.as_json_records``."""
+    ``sources.clickgen.as_json_records`` (whose exact wire shape is
+    round-trip tested against ``parse_clicks`` — see
+    test_kafka_wire_contract_round_trip)."""
     return (
         df.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)

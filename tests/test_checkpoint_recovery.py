@@ -12,6 +12,7 @@ import os
 import shutil
 
 import pyspark.sql.functions as F
+import pytest
 
 from realtime_event_streaming_spark.sources.clickgen import (
     as_json_records,
@@ -30,7 +31,27 @@ from realtime_event_streaming_spark.streaming.ingest import (
 )
 
 
-def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
+_PROVIDERS = [
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+]
+
+
+@pytest.mark.parametrize("provider", _PROVIDERS, ids=["hdfs", "rocksdb"])
+def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path, provider):
+    """Both state-store providers (the in-memory default and RocksDB —
+    the 100 TB deployment choice for large keyed state) recover
+    exactly-once from the same mid-stream restart. The provider class is
+    pinned into the checkpoint at first run; each param uses its own
+    tmp_path so the two never mix."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try:
+        _run_recovery_scenario(spark, tmp_path)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def _run_recovery_scenario(spark, tmp_path):
     d = str(tmp_path)
     clicks = generate_clicks(spark, n_events=3000, n_users=100, rate_per_sec=5)
     write_stream_fixture(clicks, d + "/all", n_files=6)

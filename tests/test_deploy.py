@@ -14,6 +14,7 @@ from realtime_event_streaming_spark.sources.clickgen import (
 )
 from realtime_event_streaming_spark.streaming.deploy import (
     ProgressRecorder,
+    data_lag_seconds,
     query_metrics,
     start_pipeline,
 )
@@ -39,6 +40,15 @@ def test_pipeline_wiring_and_metrics(spark, tmp_path):
     roll = query_metrics(pipe.rollup_query)
     assert any(m["state_rows"] > 0 for m in roll)
     assert any(m["watermark"] and m["watermark"].startswith("2024-") for m in roll)
+    # per-batch event-time lag: fixture events are dated 2024-01-01, so
+    # lag is large and positive whenever eventTime.max is reported
+    lags = [m["data_lag_seconds"] for m in roll if m["data_lag_seconds"] is not None]
+    assert lags and all(lag > 0 for lag in lags)
+
+    # reference formula-exact at-rest lag: now() - max(created_at); the
+    # raw sink stamped created_at moments ago, so the lag is tiny
+    lag = data_lag_seconds(spark, str(tmp_path / "out" / "clicks_raw"))
+    assert lag is not None and 0 <= lag < 600
 
     rec = ProgressRecorder(str(tmp_path / "metrics.jsonl"))
     n = rec.record(pipe.raw_query)

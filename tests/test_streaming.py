@@ -196,6 +196,50 @@ def test_anomaly_state_survives_chunked_out_of_order_delivery(spark, tmp_path):
     assert anom[0].n_observations == 499, "spike must see full prior history"
 
 
+def test_kafka_wire_contract_round_trip(spark):
+    """Pins the Kafka wire contract WITHOUT a broker (none exists in
+    this sandbox): ``as_json_records`` produces the exact (key, value)
+    frame ``ingest.write_kafka_sink`` ships and ``read_kafka_stream``
+    yields, so producer->consumer parity reduces to this round-trip.
+    Reference semantics (producer/produce.py:148-174): key = user_id,
+    value = flat JSON with exactly the 7 wire fields."""
+    clicks = generate_clicks(spark, n_events=500, n_users=50, rate_per_sec=50)
+    wire = as_json_records(clicks)
+    assert wire.columns == ["key", "value"]
+
+    # Partitioning key is the user id (produce.py:166-168).
+    bad_keys = wire.where(
+        F.col("key") != F.get_json_object("value", "$.user_id")
+    ).count()
+    assert bad_keys == 0
+
+    # Value is a flat JSON object with exactly the wire fields.
+    from realtime_event_streaming_spark.sources.clickgen import WIRE_COLUMNS
+
+    keysets = (
+        wire.select(
+            F.json_object_keys("value").cast("array<string>").alias("ks")
+        )
+        .distinct()
+        .collect()
+    )
+    assert len(keysets) == 1 and tuple(keysets[0].ks) == WIRE_COLUMNS
+
+    # Byte round-trip: consumer-side parse recovers every typed field.
+    parsed = parse_clicks(wire)
+    src = clicks.select(
+        "event_id",
+        "user_id",
+        F.timestamp_millis("ts").alias("ts"),
+        "page",
+        "referrer",
+        "country",
+        "device",
+    )
+    assert parsed.exceptAll(src).count() == 0
+    assert src.exceptAll(parsed).count() == 0
+
+
 def test_parse_drops_malformed(spark):
     raw = spark.createDataFrame(
         [
