@@ -56,6 +56,25 @@ def test_semi_join_planned_for_exists(spark, reg):
     assert re.search(r"LeftSemi", plan), "EXISTS should plan a semi-join"
 
 
+def test_range_join_is_equi_join_not_nested_loop(spark, reg):
+    """The bucketed range join must plan a hash/sort-merge equi-join on
+    the bucket id; a BroadcastNestedLoopJoin means the rewrite silently
+    regressed to the quadratic theta-join."""
+    plan = _formatted_plan(reg["range_join_windows"].spark_fn(spark, SF), spark)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+
+
+def test_asof_join_has_no_join_node(spark, reg):
+    """The as-of enrichment lowers to union + window forward-fill: the
+    plan must contain a Window and no equi-join doing the enrichment.
+    (The one allowed join is the snapshot FIXTURE's tiny broadcast
+    cross-join of event_types x snapshot ids.)"""
+    plan = _formatted_plan(reg["asof_tier_rollup"].spark_fn(spark, SF), spark)
+    assert "Window" in plan
+    assert not re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
 def _total_jobs(spark) -> int:
     return spark.sparkContext._jsc.sc().dagScheduler().numTotalJobs()
 
