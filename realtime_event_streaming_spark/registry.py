@@ -165,5 +165,6 @@ def load_all() -> dict[str, Query]:
     from .operators import sampling  # noqa: F401
     from .operators import anomaly  # noqa: F401
     from .operators import temporal_joins  # noqa: F401
+    from .operators import curation  # noqa: F401
 
     return REGISTRY

@@ -196,6 +196,52 @@ def test_anomaly_state_survives_chunked_out_of_order_delivery(spark, tmp_path):
     assert anom[0].n_observations == 499, "spike must see full prior history"
 
 
+def test_dedup_state_is_evicted_as_watermark_advances(spark, tmp_path):
+    """Round-1 advisory: plain dropDuplicates on non-event-time keys
+    retains one state row per key FOREVER in a long-running deployment.
+    With dropDuplicatesWithinWatermark the dedup operator must (a)
+    actually remove rows as the watermark advances and (b) finish with
+    far fewer state rows than the run's total distinct dedup keys."""
+    clicks = generate_clicks(spark, n_events=3000, n_users=100, rate_per_sec=1.5)
+    write_stream_fixture(clicks, str(tmp_path / "in"), n_files=10)
+    stream = parse_clicks(
+        read_json_file_stream(spark, str(tmp_path / "in")),
+        watermark=EXACT_WATERMARK,
+    )
+    q = (
+        minute_rollup_stream_exact(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_state_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+    dedup_ops = [
+        op
+        for p in progresses
+        for op in p["stateOperators"]
+        if op.get("operatorName") == "dedupeWithinWatermark"
+    ]
+    assert dedup_ops, "dedup operator missing from progress"
+    assert sum(op.get("numRowsRemoved", 0) for op in dedup_ops) > 0, (
+        "watermark advance never evicted dedup state"
+    )
+
+    total_keys = (
+        parse_clicks(as_json_records(clicks))
+        .select(
+            F.date_format("ts", "yyyyMMddHHmm"), "page", "country", "user_id"
+        )
+        .distinct()
+        .count()
+    )
+    final_rows = dedup_ops[-1]["numRowsTotal"]
+    assert final_rows < total_keys / 2, (final_rows, total_keys)
+
+
 def test_kafka_wire_contract_round_trip(spark):
     """Pins the Kafka wire contract WITHOUT a broker (none exists in
     this sandbox): ``as_json_records`` produces the exact (key, value)
