@@ -140,6 +140,140 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic PII planting: every 13th doc gets one synthetic email
+#: + one synthetic IPv4 appended (the raw fixture text is a digit-free
+#: word salad — organic PII count is ZERO, so without planting the scan
+#: would be the empty-vs-empty trap). Patterns are RE2-and-Java-regex
+#: compatible (no lookaround, no backrefs).
+PII_MOD = 13
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_IPV4_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+_PII_DUCK = f"""
+WITH corpus AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % {PII_MOD} = 0
+              THEN text || ' contact user' || doc_id
+                   || '@example.com from 10.0.' || (doc_id % 256) || '.7'
+              ELSE text END AS text
+  FROM documents
+),
+scan AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(text, '{_IPV4_RE}')) AS n_ips
+  FROM corpus
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN n_emails + n_ips > 0 THEN 1 ELSE 0 END) AS docs_with_pii,
+       sum(n_emails) AS total_emails,
+       sum(n_ips) AS total_ips
+FROM scan GROUP BY source ORDER BY source
+"""
+
+
+@register("pii_scan", _PII_DUCK, tags=("curation",))
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure census per source: regex scan for emails and IPv4
+    addresses (the pre-training scrub pass). One projection over the
+    corpus — `regexp_count` stays in whole-stage codegen; at 100 TB
+    this is a pure map, no shuffle beyond the tiny per-source agg.
+    Deterministic PII is planted on every {PII_MOD}th doc because the
+    fixture text contains none organically."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    planted = F.when(
+        F.col("doc_id") % PII_MOD == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com from 10.0."),
+            F.col("doc_id") % 256,
+            F.lit(".7"),
+        ),
+    ).otherwise(F.col("text"))
+    scan = docs.select(
+        "source",
+        F.regexp_count(planted, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(planted, F.lit(_IPV4_RE)).alias("n_ips"),
+    )
+    return (
+        scan.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_emails") + F.col("n_ips") > 0, 1).otherwise(0)
+            ).alias("docs_with_pii"),
+            F.sum("n_emails").alias("total_emails"),
+            F.sum("n_ips").alias("total_ips"),
+        )
+        .orderBy("source")
+    )
+
+
+_REPETITION_DUCK = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+g3 AS (
+  SELECT doc_id, source,
+         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS g(i)
+),
+per_doc AS (
+  SELECT doc_id, source,
+         1.0 - cast(count(DISTINCT s) AS DOUBLE) / count(*) AS rep_frac
+  FROM g3 GROUP BY doc_id, source
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(rep_frac), 4) AS avg_rep_3gram,
+       round(max(rep_frac), 4) AS max_rep_3gram
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+@register("doc_repetition_stats", _REPETITION_DUCK, tags=("curation",))
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document 3-gram repetition per source — the Gopher-style
+    repetition quality rule (a high duplicate-n-gram fraction marks
+    boilerplate/spam). All-occurrence (non-distinct) n-grams grouped
+    per doc, then a per-source rollup; single scan, bounded shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    g3 = (
+        docs.select("doc_id", "source", F.split("text", " ").alias("tk"))
+        .where(F.size("tk") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                "explode(transform(sequence(1, size(tk) - 2), "
+                "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), "
+                "element_at(tk, i + 2))))"
+            ).alias("s"),
+        )
+    )
+    per_doc = g3.groupBy("doc_id", "source").agg(
+        (
+            F.lit(1.0)
+            - F.countDistinct("s").cast("double") / F.count("*")
+        ).alias("rep_frac")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("rep_frac"), 4).alias("avg_rep_3gram"),
+            F.round(F.max("rep_frac"), 4).alias("max_rep_3gram"),
+        )
+        .orderBy("source")
+    )
+
+
 _MIX_DUCK = """
 WITH tot AS (
   SELECT cast(count(*) AS DOUBLE) AS n,
