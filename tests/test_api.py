@@ -57,6 +57,22 @@ def test_duplicate_registration_rejected():
         register(name, None)(lambda spark, sf: None)
 
 
+def test_driver_registry_contract():
+    """The driver-facing list must stay at exactly 50 entries (the
+    CORRECTNESS gate's row cap), every name registered, no duplicates,
+    and every entry SQL-oracled (no rows-only checks in the driver
+    window — the streaming replay deliberately lives outside it)."""
+    from realtime_event_streaming_spark.registry import (
+        DRIVER_QUERIES,
+        driver_registry,
+    )
+
+    reg = driver_registry()
+    assert len(reg) == 50
+    assert list(reg) == list(DRIVER_QUERIES)
+    assert all(q.oracle is not None for q in reg.values())
+
+
 def test_oracle_lookup(eng):
     assert "SELECT" in eng.oracle("latency_stats")
     assert eng.oracle("streaming_rollup_replay") is None
