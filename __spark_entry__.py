@@ -32,8 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The curated 50-entry driver list (registry.DRIVER_QUERIES order;
-    the full registry is larger and stays locally oracle-gated)."""
+    """The full registry, registry.DRIVER_QUERIES first (the driver
+    records CORRECTNESS rows for the first 50; the rest run under the
+    same contract and stay locally oracle-gated)."""
     return {name: q.spark_fn for name, q in driver_registry().items()}
 
 

@@ -582,3 +582,66 @@ def dedup_survivors_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("csize"), (F.count("*") - 1).alias("n_removed"))
         .orderBy("component_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+#: plant every 13th corpus doc as an incoming duplicate so the
+#: vs-corpus path is provably non-empty (empty-vs-empty trap).
+_INC_PLANT_MOD = 13
+#: new-batch boundary: top 10% of doc ids play the "incoming snapshot".
+_INC_CUT_FRAC = 0.9
+
+_INCREMENTAL_SQL = f"""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+cut AS (SELECT cast(floor({_INC_CUT_FRAC} * m) AS BIGINT) AS c, m FROM mx),
+corpus_hashes AS (
+  SELECT DISTINCT md5(d.text) AS h FROM documents d, cut WHERE d.doc_id < cut.c
+),
+batch AS (
+  SELECT d.doc_id, md5(d.text) AS h
+  FROM documents d, cut WHERE d.doc_id >= cut.c
+  UNION ALL
+  SELECT d.doc_id + cut.m + 1 AS doc_id, md5(d.text) AS h
+  FROM documents d, cut
+  WHERE d.doc_id < cut.c AND d.doc_id % {_INC_PLANT_MOD} = 0
+),
+flagged AS (
+  SELECT b.doc_id,
+         CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END AS in_corpus,
+         row_number() OVER (PARTITION BY b.h ORDER BY b.doc_id) AS rn
+  FROM batch b LEFT JOIN corpus_hashes c ON b.h = c.h
+)
+SELECT cast(count(*) AS BIGINT) AS batch_docs,
+       cast(sum(in_corpus) AS BIGINT) AS dup_vs_corpus,
+       cast(sum(CASE WHEN in_corpus = 0 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_within_batch,
+       cast(sum(CASE WHEN in_corpus = 0 AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS accepted_docs
+FROM flagged
+"""
+
+
+@register("dedup_incremental", _INCREMENTAL_SQL, tags=("dedup",))
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: an incoming snapshot (top 10% of doc
+    ids + planted re-sends of every {mod}th corpus doc) is admitted
+    against the existing corpus's content-hash index. A doc is rejected
+    if its hash exists in the corpus (dup_vs_corpus), collapsed to the
+    first occurrence if repeated within the batch (dup_within_batch),
+    else accepted. This is the nightly-crawl admission path: O(batch)
+    probe rows against the hash index — a hash anti-join on md5(text),
+    never a rescan of the corpus text.
+
+    Scale notes (100 TB): the corpus side is only the DISTINCT hash
+    column (32 bytes/doc — a fraction of corpus bytes); the join
+    shuffles on h, and AQE broadcast-converts it whenever the daily
+    batch is small. The within-batch window partitions by h (bounded
+    groups). Same SQL on both engines (md5 / %% / window portable).
+    """
+    from ..io import register_views
+
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_INCREMENTAL_SQL)

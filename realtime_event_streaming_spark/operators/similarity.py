@@ -474,3 +474,146 @@ def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "n", "centroid_norm")
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) training iterations — the IVF index training step
+# ---------------------------------------------------------------------------
+
+K_CENTROIDS = 8
+KMEANS_ITERS = 2
+_DIM = 64
+
+#: squared L2 distance as the same left-to-right fold on both engines:
+#: sum over i of (v[i]-cv[i])^2 — Spark folds zip_with pairs, DuckDB
+#: dot-products the explicit diff list; identical op sequence.
+_D2_SPARK = (
+    "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), "
+    "cast(0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+_D2_DUCK = (
+    f"list_dot_product("
+    f"list_transform(generate_series(1, {_DIM}), i -> vv[i] - cv[i]), "
+    f"list_transform(generate_series(1, {_DIM}), i -> vv[i] - cv[i]))"
+)
+
+
+def _duck_kmeans_round(n: int, prev_c: str) -> str:
+    """One Lloyd round (assign + rounded means) as DuckDB CTEs."""
+    return f"""
+dist{n} AS (
+  SELECT vec_id, cid, round({_D2_DUCK.replace("vv", "q.v")}, 4) AS dd
+  FROM vecs q, {prev_c}
+),
+a{n} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+    FROM dist{n}
+  ) WHERE rn = 1
+),
+m{n} AS (
+  SELECT a{n}.cid, i, round(avg(vecs.v[i]), 4) AS m
+  FROM a{n} JOIN vecs USING (vec_id),
+       UNNEST(generate_series(1, {_DIM})) AS g(i)
+  GROUP BY a{n}.cid, i
+),
+c{n} AS (SELECT cid, list(m ORDER BY i) AS cv FROM m{n} GROUP BY cid)
+"""
+
+
+_KMEANS_DUCK = f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < {K_CENTROIDS}),
+{_duck_kmeans_round(1, "c0")},
+{_duck_kmeans_round(2, "c1")},
+counts AS (SELECT cid, cast(count(*) AS BIGINT) AS n_vecs FROM a2 GROUP BY cid),
+norms AS (
+  SELECT cid, round(sqrt(sum(m * m)), 4) AS centroid_norm FROM m2 GROUP BY cid
+)
+SELECT cid, n_vecs, centroid_norm
+FROM counts JOIN norms USING (cid)
+ORDER BY cid
+"""
+
+
+def _kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the K-row centroid table,
+    rank by (rounded squared distance, cid) for cross-engine-stable
+    ties."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", F.round(F.expr(_D2_SPARK), 4).alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def _kmeans_means(vecs: DataFrame, assign: DataFrame) -> DataFrame:
+    """Per-centroid elementwise mean, rounded to ROUND-digits so the
+    next iteration's inputs are bit-identical across engines."""
+    pos = vecs.join(assign, "vec_id").select(
+        "cid", F.posexplode("v").alias("i0", "x")
+    )
+    m = pos.groupBy("cid", "i0").agg(F.round(F.avg("x"), 4).alias("m"))
+    return m.groupBy("cid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i0, m))), e -> e.m)"
+        ).alias("cv")
+    )
+
+
+@register("kmeans_centroids", _KMEANS_DUCK, tags=("similarity",))
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K_CENTROIDS}-means, {KMEANS_ITERS} Lloyd iterations with
+    deterministic init (centroids = the first K vectors by id) — the
+    training step that produces `ann_ivf_topk`'s centroid table,
+    expressed relationally: assignment is a broadcast cross-join +
+    per-vector top-1 window; the update is a positional explode +
+    two-level mean (same shape as `label_centroid_norms`). Means are
+    rounded each round so both engines iterate from identical inputs.
+
+    Scale notes (100 TB): per iteration the corpus is scanned once;
+    the only shuffles are the bounded (cid x dim) mean group-by and the
+    per-vector window (which AQE plans as a partial top-1). K rows of
+    centroids are always broadcast — no skew, no all-pairs anywhere.
+    The iteration count is a fixed unrolled pipeline (no driver-side
+    convergence loop, so the whole thing stays one lazy plan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v")
+    )
+    cents = vecs.where(F.col("vec_id") < K_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(KMEANS_ITERS):
+        assign = _kmeans_assign(vecs, cents)
+        means = _kmeans_means(vecs, assign)
+        cents = means
+    counts = assign.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_vecs")
+    )
+    norms = (
+        cents.select(
+            "cid",
+            F.round(
+                F.sqrt(
+                    F.expr(
+                        "aggregate(transform(cv, x -> x * x), "
+                        "cast(0 AS DOUBLE), (acc, x) -> acc + x)"
+                    )
+                ),
+                4,
+            ).alias("centroid_norm"),
+        )
+    )
+    return (
+        counts.join(norms, "cid")
+        .select("cid", "n_vecs", "centroid_norm")
+        .orderBy("cid")
+    )

@@ -58,19 +58,23 @@ def test_duplicate_registration_rejected():
 
 
 def test_driver_registry_contract():
-    """The driver-facing list must stay at exactly 50 entries (the
+    """The priority list must stay at exactly 50 entries (the
     CORRECTNESS gate's row cap), every name registered, no duplicates,
-    and every entry SQL-oracled (no rows-only checks in the driver
-    window — the streaming replay deliberately lives outside it)."""
+    and every priority entry SQL-oracled (no rows-only checks inside
+    the row window — the streaming replay deliberately lives outside
+    it). The driver-facing registry exposes the FULL registry with the
+    priority names first."""
     from realtime_event_streaming_spark.registry import (
         DRIVER_QUERIES,
         driver_registry,
+        load_all,
     )
 
     reg = driver_registry()
-    assert len(reg) == 50
-    assert list(reg) == list(DRIVER_QUERIES)
-    assert all(q.oracle is not None for q in reg.values())
+    assert len(DRIVER_QUERIES) == 50
+    assert list(reg)[:50] == list(DRIVER_QUERIES)
+    assert len(reg) == len(load_all())
+    assert all(reg[n].oracle is not None for n in DRIVER_QUERIES)
 
 
 def test_oracle_lookup(eng):
