@@ -1,0 +1,208 @@
+"""Corpus-preparation utilities: normalization, vocabulary, sharding,
+per-source sampling.
+
+Extension surface for training-data pipelines (nothing comparable in
+the reference). All built-in expressions; the only dialect differences
+are function names (``split``/``string_split``) and DuckDB's explicit
+``'g'`` flag on ``regexp_replace`` (Spark replaces all matches by
+default).
+
+The fixture text is already canonical (lowercase, single-spaced), so
+``text_normalize_roundtrip`` *corrupts deterministically first* and
+then proves the normalizer repairs every corruption — a self-checking
+design rather than an empty-vs-empty no-op (see
+driver-contract conventions: audit threshold queries for the
+empty-vs-empty trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import register_views
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# text normalization (corrupt -> normalize -> verify round trip)
+# ---------------------------------------------------------------------------
+
+
+def _normalize_sql(regex_flags: str) -> str:
+    # corruption classes: %3 -> upper-cased, %4 -> doubled spaces,
+    # %5 -> trailing whitespace (classes overlap on purpose).
+    return f"""
+WITH corrupted AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS case_hit,
+         CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS ws_hit,
+         concat(
+           CASE WHEN doc_id % 4 = 0
+                THEN replace(
+                       CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END,
+                       ' ', '  ')
+                ELSE CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END
+           END,
+           CASE WHEN doc_id % 5 = 0 THEN '   ' ELSE '' END
+         ) AS dirty
+  FROM documents
+),
+normalized AS (
+  SELECT doc_id, text, case_hit, ws_hit,
+         trim(lower(regexp_replace(dirty, ' +', ' '{regex_flags}))) AS clean
+  FROM corrupted
+)
+SELECT cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(case_hit) AS BIGINT) AS n_case_corrupted,
+       cast(sum(ws_hit) AS BIGINT) AS n_ws_corrupted,
+       cast(sum(CASE WHEN clean = text THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_restored
+FROM normalized
+"""
+
+
+@register("text_normalize_roundtrip", _normalize_sql(", 'g'"), tags=("text",))
+def text_normalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/case normalization proven by round trip: corrupt
+    deterministically (upper-case, doubled spaces, trailing blanks),
+    normalize (lower + collapse runs + trim), assert the canonical
+    text comes back — n_restored must equal n_docs. Map-only single
+    scan; the normalizer is the exact cleanup pass a crawl-ingest
+    pipeline runs before hashing/dedup."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_normalize_sql(""))
+
+
+# ---------------------------------------------------------------------------
+# vocabulary: top bigrams by corpus frequency
+# ---------------------------------------------------------------------------
+
+VOCAB_TOPK = 20
+
+
+def _vocab_sql(split_fn: str, len_fn: str, xform: str, first_idx: int) -> str:
+    i0, i1 = ("i", "i+1") if first_idx == 1 else ("i", "i+1")
+    lo = first_idx
+    hi = f"{len_fn}(tk) - {2 - first_idx}"
+    return f"""
+WITH toks AS (
+  SELECT {split_fn}(text, ' ') AS tk FROM documents
+  WHERE {len_fn}({split_fn}(text, ' ')) >= 2
+),
+grams AS (
+  SELECT unnest_bg AS bigram FROM (
+    SELECT {xform}(generate_series({lo}, {hi}),
+                   i -> tk[{i0}] || ' ' || tk[{i1}]) AS bgs
+    FROM toks
+  ), UNNEST(bgs) AS u(unnest_bg)
+)
+SELECT bigram, cast(count(*) AS BIGINT) AS n
+FROM grams GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT {VOCAB_TOPK}
+"""
+
+
+_VOCAB_DUCK = _vocab_sql("string_split", "len", "list_transform", 1)
+
+_VOCAB_SPARK = f"""
+WITH toks AS (
+  SELECT split(text, ' ') AS tk FROM documents
+  WHERE size(split(text, ' ')) >= 2
+),
+grams AS (
+  SELECT explode(transform(sequence(0, size(tk) - 2),
+                 i -> concat(tk[i], ' ', tk[i + 1]))) AS bigram
+  FROM toks
+)
+SELECT bigram, cast(count(*) AS BIGINT) AS n
+FROM grams GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT {VOCAB_TOPK}
+"""
+
+
+@register("vocab_top_bigrams", _VOCAB_DUCK, tags=("text",))
+def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram vocabulary: top-{k} adjacent-token pairs by raw
+    frequency (the counting pass of tokenizer/vocab induction).
+    Explode + hash group-by + TakeOrderedAndProject — partial counts
+    map-side, only (bigram, count) pairs shuffle; ties broken on the
+    bigram text for cross-engine determinism."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_VOCAB_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# shard manifest: deterministic hash-resharding census
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+
+#: first 4 md5 hex chars -> uniform 16-bit int (same portable pattern
+#: as operators/sampling._H16).
+_H16 = (
+    "((instr('0123456789abcdef', substr(md5(cast(doc_id AS {t})), 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr(md5(cast(doc_id AS {t})), 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5(cast(doc_id AS {t})), 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(cast(doc_id AS {t})), 4, 1)) - 1))"
+)
+
+
+def _shard_sql(t: str) -> str:
+    return f"""
+WITH sharded AS (
+  SELECT doc_id, n_chars, {_H16.format(t=t)} % {N_SHARDS} AS shard
+  FROM documents
+)
+SELECT cast(shard AS BIGINT) AS shard,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM sharded GROUP BY shard
+ORDER BY shard
+"""
+
+
+@register("shard_manifest", _shard_sql("VARCHAR"), tags=("sampling",))
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: every doc is assigned to one of
+    {n} shards by hashed id (stable under re-runs and re-partitioning,
+    like the train/val/test split), and the manifest reports each
+    shard's census. At 100 TB this group-by IS the shard writer's
+    plan — `df.repartition(N, hash).write` — with the same key."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_shard_sql("STRING"))
+
+
+# ---------------------------------------------------------------------------
+# per-source exact-k deterministic sample
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 3
+
+
+def _per_source_sql(t: str) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('smp|' || cast(doc_id AS {t})), doc_id
+         ) AS rank
+  FROM documents
+)
+SELECT source, cast(rank AS BIGINT) AS rank, doc_id
+FROM ranked WHERE rank <= {SAMPLE_K}
+ORDER BY source, rank
+"""
+
+
+@register("per_source_sample", _per_source_sql("VARCHAR"), tags=("sampling",))
+def per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly {k} docs per source, chosen by ranking on a salted hash
+    — the deterministic replacement for `ORDER BY random() LIMIT k`
+    per group (inspection samples, eval slices). One window per
+    source partition; at scale Spark plans a partial top-k per
+    partition before the final per-group selection."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_per_source_sql("STRING"))

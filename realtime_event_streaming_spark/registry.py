@@ -178,5 +178,6 @@ def load_all() -> dict[str, Query]:
     from .operators import temporal_joins  # noqa: F401
     from .operators import curation  # noqa: F401
     from .operators import chunking  # noqa: F401
+    from .operators import corpusprep  # noqa: F401
 
     return REGISTRY
