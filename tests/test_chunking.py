@@ -1,0 +1,117 @@
+"""Structural invariants for the chunking / packing / corpus-prep
+operators — properties the DuckDB parity check cannot state (it proves
+engine agreement, not that the chunk geometry itself is right)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from realtime_event_streaming_spark.io import register_views
+from realtime_event_streaming_spark.operators.chunking import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    doc_chunks,
+    sequence_pack,
+)
+from realtime_event_streaming_spark.operators.corpusprep import (
+    SAMPLE_K,
+    per_source_sample,
+    text_normalize_roundtrip,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _doc_tokens(spark):
+    register_views(spark, SF, tables=("documents",))
+    return spark.sql(
+        "SELECT doc_id, source, size(split(text, ' ')) AS n_tok FROM documents"
+    )
+
+
+def test_chunks_tile_every_document(spark):
+    """Chunks start every CHUNK_STRIDE tokens, all but the last are
+    full CHUNK_TOKENS wide, and the last chunk's end lands exactly on
+    the document's final token — so the windows cover the whole doc."""
+    chunks = doc_chunks(spark, SF)
+    toks = _doc_tokens(spark)
+    j = chunks.join(toks, "doc_id")
+
+    # every chunk lies inside the doc and is non-empty
+    bad_width = j.where(
+        (F.col("chunk_tokens") < 1) | (F.col("chunk_tokens") > CHUNK_TOKENS)
+    ).count()
+    assert bad_width == 0
+
+    # non-last chunks are full width
+    last = j.groupBy("doc_id").agg(F.max("chunk_idx").alias("last_idx"))
+    with_last = j.join(last, "doc_id")
+    partial_inner = with_last.where(
+        (F.col("chunk_idx") < F.col("last_idx"))
+        & (F.col("chunk_tokens") != CHUNK_TOKENS)
+    ).count()
+    assert partial_inner == 0
+
+    # the last chunk ends exactly at the last token
+    open_tail = with_last.where(
+        (F.col("chunk_idx") == F.col("last_idx"))
+        & (
+            F.col("chunk_idx") * CHUNK_STRIDE + F.col("chunk_tokens")
+            != F.col("n_tok")
+        )
+    ).count()
+    assert open_tail == 0
+
+
+def test_chunk_index_dense_from_zero(spark):
+    chunks = doc_chunks(spark, SF)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.min("chunk_idx").alias("lo"),
+        F.max("chunk_idx").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    holes = per_doc.where(
+        (F.col("lo") != 0) | (F.col("n") != F.col("hi") + 1)
+    ).count()
+    assert holes == 0
+
+
+def test_packing_conserves_tokens_and_docs(spark):
+    """Packing must not create or drop tokens/docs: per-source sums of
+    the packed sequences equal the raw per-source totals, and sequence
+    indices are dense from 0."""
+    packed = sequence_pack(spark, SF)
+    toks = _doc_tokens(spark)
+    raw = toks.groupBy("source").agg(
+        F.count("*").alias("raw_docs"), F.sum("n_tok").alias("raw_tokens")
+    )
+    got = packed.groupBy("source").agg(
+        F.sum("n_docs").alias("packed_docs"),
+        F.sum("n_tokens").alias("packed_tokens"),
+        F.min("seq_idx").alias("lo"),
+        F.max("seq_idx").alias("hi"),
+        F.count("*").alias("n_seqs"),
+    )
+    j = raw.join(got, "source")
+    bad = j.where(
+        (F.col("raw_docs") != F.col("packed_docs"))
+        | (F.col("raw_tokens") != F.col("packed_tokens"))
+        | (F.col("lo") != 0)
+        | (F.col("n_seqs") != F.col("hi") + 1)
+    ).count()
+    assert bad == 0
+
+
+def test_normalize_restores_all_docs(spark):
+    row = text_normalize_roundtrip(spark, SF).collect()[0]
+    assert row.n_docs == 500
+    assert row.n_case_corrupted > 0 and row.n_ws_corrupted > 0
+    assert row.n_restored == row.n_docs
+
+
+def test_per_source_sample_exact_k_distinct(spark):
+    s = per_source_sample(spark, SF)
+    per = s.groupBy("source").agg(
+        F.count("*").alias("n"), F.countDistinct("doc_id").alias("nd")
+    )
+    assert per.where((F.col("n") != SAMPLE_K) | (F.col("nd") != SAMPLE_K)).count() == 0
