@@ -206,3 +206,51 @@ def per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition before the final per-group selection."""
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_per_source_sql("STRING"))
+
+
+# ---------------------------------------------------------------------------
+# unigram LM score (perplexity proxy) — the CCNet-style quality filter
+# ---------------------------------------------------------------------------
+
+
+def _lm_sql(explode_expr: str) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {explode_expr} AS tok FROM documents
+),
+freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT cast(sum(n) AS DOUBLE) AS nt FROM freq),
+scored AS (
+  SELECT t.doc_id, cast(count(*) AS BIGINT) AS n_tok,
+         round(avg(-ln(f.n / tot.nt)), 4) AS avg_nll
+  FROM toks t JOIN freq f ON t.tok = f.tok, tot
+  GROUP BY t.doc_id
+),
+mu AS (SELECT round(avg(avg_nll), 4) AS mu FROM scored)
+SELECT s.doc_id, s.n_tok, s.avg_nll,
+       CASE WHEN s.avg_nll <= mu.mu THEN 1 ELSE 0 END AS below_corpus_mean
+FROM scored s, mu
+ORDER BY s.doc_id
+"""
+
+
+_LM_DUCK = _lm_sql("unnest(string_split(text, ' '))")
+_LM_SPARK = _lm_sql("explode(split(text, ' '))")
+
+
+@register("lm_score_filter", _LM_DUCK, tags=("text", "curation"))
+def lm_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model score per document: average negative
+    log-likelihood of each token under the corpus's own unigram
+    distribution — the perplexity-proxy quality signal (CCNet-style
+    filtering uses a KenLM score the same way; the unigram variant is
+    the SQL-expressible core). Emits the per-doc score and whether it
+    beats the corpus mean (rounded on both engines before comparison,
+    so the knife-edge is deterministic).
+
+    Scale notes (100 TB): the token->frequency table is vocabulary-
+    sized (millions of rows, not corpus-sized) and broadcast-joins back
+    to the token stream; everything else is one scan + one bounded
+    group-by per doc."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_LM_SPARK)

@@ -617,3 +617,97 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", "n_vecs", "centroid_norm")
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-probe LSH top-k (probe Hamming-1 neighbor buckets)
+# ---------------------------------------------------------------------------
+
+_PROBES_DUCK = f"""
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm, probe
+  FROM (
+    SELECT vec_id, v, norm,
+           unnest(list_concat([bucket],
+             list_transform(generate_series(1, {LSH_BITS}),
+               i -> substr(bucket, 1, i - 1)
+                    || CASE WHEN substr(bucket, i, 1) = '1'
+                            THEN '0' ELSE '1' END
+                    || substr(bucket, i + 1)))) AS probe
+    FROM vecs WHERE vec_id < {N_QUERIES}
+  )
+)
+"""
+
+_MULTIPROBE_DUCK = f"""
+WITH {_DUCK_VECTORS},
+{_PROBES_DUCK},
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(p.qv, c.v) / (p.qnorm * c.norm), 4) AS cosine
+  FROM probes p JOIN vecs c
+    ON p.probe = c.bucket AND c.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_lsh_multiprobe", _MULTIPROBE_DUCK, tags=("similarity",))
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH top-{k}: each query probes its own bucket
+    plus all {bits} Hamming-1 neighbor buckets (bit-flip expansion of
+    the bucket string), recovering most of the recall single-probe LSH
+    loses while still bounding candidates to ~(probes/2^bits) of the
+    corpus. The probe expansion multiplies only the tiny query side
+    (x{bits}+1 rows); the corpus side still shuffles once by bucket —
+    the standard trade in production multi-probe LSH (query fan-out is
+    cheap, re-hashing the corpus is not). Probe buckets are distinct
+    per query, so no candidate dedup step is needed."""
+    vecs = _vectors(spark, sf_dir)
+    probes = (
+        vecs.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.explode(
+                F.expr(
+                    f"concat(array(bucket), transform(sequence(1, {LSH_BITS}), "
+                    "i -> concat(substring(bucket, 1, i - 1), "
+                    "CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END, "
+                    "substring(bucket, i + 1))))"
+                )
+            ).alias("probe"),
+        )
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        F.col("bucket").alias("cbucket"),
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qnorm") * F.col("cnorm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        probes.join(
+            c,
+            (F.col("probe") == F.col("cbucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
