@@ -184,3 +184,65 @@ def events_by_country_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, list(_EVENT_TYPES))
         .orderBy("country")
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal anomaly: hour-of-day baseline z-scores
+# ---------------------------------------------------------------------------
+
+
+def _seasonal_sql(day_expr: str) -> str:
+    # stddev computed by explicit formula (not stddev_samp) so the
+    # single-day and zero-variance edges are exact 0.0 on both engines
+    # (Spark's stddev_samp yields NaN where DuckDB yields NULL).
+    return f"""
+WITH hourly AS (
+  SELECT {day_expr} AS day, hour(ts) AS hr, cast(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT hr, count(*) AS n_days,
+         avg(n) AS mu,
+         sum(n * n) AS sum_sq, cast(sum(n) AS BIGINT) AS sum_n
+  FROM hourly GROUP BY hr
+),
+sd AS (
+  SELECT hr, n_days, mu,
+         CASE WHEN n_days >= 2 THEN
+           sqrt(greatest(
+             (sum_sq - n_days * mu * mu) / (n_days - 1),
+             cast(0 AS DOUBLE)))
+         ELSE cast(0 AS DOUBLE) END AS sd
+  FROM stats
+)
+SELECT h.day, cast(h.hr AS BIGINT) AS hr, h.n,
+       CASE WHEN sd.sd > 0 THEN round((h.n - sd.mu) / sd.sd, 4)
+            ELSE cast(0 AS DOUBLE) END AS z,
+       CASE WHEN sd.sd > 0 AND abs(h.n - sd.mu) >= 2 * sd.sd
+            THEN 1 ELSE 0 END AS is_spike
+FROM hourly h JOIN sd ON h.hr = sd.hr
+ORDER BY day, hr
+"""
+
+
+_SEASONAL_DUCK = _seasonal_sql("strftime(ts, '%Y-%m-%d')")
+_SEASONAL_SPARK = _seasonal_sql("date_format(ts, 'yyyy-MM-dd')")
+
+
+@register("seasonal_anomaly_hourly", _SEASONAL_DUCK, tags=("anomaly",))
+def seasonal_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly scores: each (day, hour) traffic count
+    is z-scored against the distribution of the SAME hour-of-day across
+    all days — the baseline that flat z-scoring (anomaly_zscore_batch)
+    lacks, so a quiet 3am hour is judged against other 3am hours, not
+    the daily mean. Variance is computed by the explicit two-moment
+    formula with integer-exact sums, making both engines bit-agree at
+    the rounding; spike = |n - mu| >= 2*sd stated multiplicatively (no
+    division) so the zero-variance edge is exact.
+
+    Scale notes: two bounded group-bys (day x hour, then hour) and a
+    broadcast-sized (24-row) stats join — a single scan of events at
+    any SF. Absent (day, hour) cells are absent on both engines
+    (sparse baseline), documented behavior."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_SEASONAL_SPARK)
