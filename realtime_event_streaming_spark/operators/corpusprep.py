@@ -254,3 +254,40 @@ def lm_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-by per doc."""
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_LM_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# cluster x source mix: documents joined to their embedding labels
+# ---------------------------------------------------------------------------
+
+_CLUSTER_MIX_SQL = """
+WITH joined AS (
+  SELECT e.label, d.source
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+counts AS (
+  SELECT label, source, cast(count(*) AS BIGINT) AS n
+  FROM joined GROUP BY label, source
+),
+tot AS (SELECT label, cast(sum(n) AS BIGINT) AS t FROM counts GROUP BY label)
+SELECT c.label, c.source, c.n,
+       round(c.n / cast(t.t AS DOUBLE), 4) AS label_share
+FROM counts c JOIN tot t ON c.label = t.label
+ORDER BY c.label, c.source
+"""
+
+
+@register("cluster_source_mix", _CLUSTER_MIX_SQL, tags=("similarity", "curation"))
+def cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources feed each semantic cluster: documents joined to
+    their embedding rows (doc_id = vec_id) and counted per
+    (cluster label, source), with each count's share of its cluster.
+    The curation signal behind cluster-balanced corpus mixing — a
+    cluster dominated by one source is a diversity red flag.
+
+    Scale notes: equi-join on the id key (both sides co-partitionable /
+    bucketable on it), then a bounded (labels x sources) aggregate; the
+    per-label totals join back broadcast-sized. Same SQL both engines.
+    """
+    register_views(spark, sf_dir, tables=("documents", "embeddings"))
+    return spark.sql(_CLUSTER_MIX_SQL)
