@@ -107,3 +107,44 @@ def test_salted_join_equals_plain_join(spark):
     p = {(r.c_mktsegment, r.n, r.s) for r in plain.collect()}
     s = {(r.c_mktsegment, r.n, r.s) for r in salted.collect()}
     assert p == s
+
+
+def test_doc_chunks_is_map_only_before_output_sort(spark, reg):
+    """Chunking must be a pure Scan -> Generate pipeline: the ONLY
+    exchange allowed is the one feeding the deterministic output
+    ORDER BY (driver-contract requirement). A second exchange means
+    the explode stopped being map-local."""
+    plan = _formatted_plan(reg["doc_chunks"].spark_fn(spark, SF), spark)
+    assert len(re.findall(r"^\s*\(\d+\) Exchange", plan, re.M)) <= 1
+    assert "Generate" in plan
+    assert not re.search(r"(SortMergeJoin|BroadcastHashJoin|HashAggregate)", plan)
+
+
+def test_sequence_pack_shuffles_once_per_stage(spark, reg):
+    """Packing = one shuffle on the shard key for the window, one for
+    the bounded group-by, one output sort — never a join, never a
+    global (unpartitioned) window."""
+    plan = _formatted_plan(reg["sequence_pack"].spark_fn(spark, SF), spark)
+    assert "Window" in plan
+    assert not re.search(r"Join", plan)
+    assert len(re.findall(r"^\s*\(\d+\) Exchange", plan, re.M)) <= 3
+
+
+def test_multiprobe_lsh_plans_equi_join(spark, reg):
+    """Multi-probe candidate generation must stay a (probe = bucket)
+    equi-join; a nested-loop means the probe expansion leaked into the
+    join condition."""
+    plan = _formatted_plan(reg["ann_lsh_multiprobe"].spark_fn(spark, SF), spark)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+
+
+def test_incremental_dedup_joins_on_hash_only(spark, reg):
+    """Snapshot admission probes the corpus hash index with an equi-join
+    on the digest; the only nested-loop joins allowed are the 1-row
+    broadcast of the scalar cutoff."""
+    plan = _formatted_plan(reg["dedup_incremental"].spark_fn(spark, SF), spark)
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+    # the scalar-cutoff cross joins are 1-row broadcasts; a nested loop
+    # over the corpus would also drop the equi-join asserted above
+    assert "CartesianProduct" not in plan
