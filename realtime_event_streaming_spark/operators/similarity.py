@@ -522,13 +522,17 @@ c{n} AS (SELECT cid, list(m ORDER BY i) AS cv FROM m{n} GROUP BY cid)
 """
 
 
-_KMEANS_DUCK = f"""
-WITH vecs AS (
+#: shared CTE prefix: deterministic init + the two unrolled Lloyd
+#: rounds (vecs, c0, dist1/a1/m1/c1, dist2/a2/m2/c2).
+_KMEANS_CTES = f"""vecs AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
 c0 AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < {K_CENTROIDS}),
 {_duck_kmeans_round(1, "c0")},
-{_duck_kmeans_round(2, "c1")},
+{_duck_kmeans_round(2, "c1")}"""
+
+_KMEANS_DUCK = f"""
+WITH {_KMEANS_CTES},
 counts AS (SELECT cid, cast(count(*) AS BIGINT) AS n_vecs FROM a2 GROUP BY cid),
 norms AS (
   SELECT cid, round(sqrt(sum(m * m)), 4) AS centroid_norm FROM m2 GROUP BY cid
@@ -537,6 +541,21 @@ SELECT cid, n_vecs, centroid_norm
 FROM counts JOIN norms USING (cid)
 ORDER BY cid
 """
+
+
+def _train_kmeans(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Run the unrolled Lloyd iterations; return (final centroids,
+    the last round's assignment) — the pair every consumer needs
+    (census reports the assignment that produced the means; IVF
+    re-assigns against the final centroids)."""
+    cents = vecs.where(F.col("vec_id") < K_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        assign = _kmeans_assign(vecs, cents)
+        cents = _kmeans_means(vecs, assign)
+    return cents, assign
 
 
 def _kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
@@ -588,13 +607,7 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select(
         "vec_id", F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v")
     )
-    cents = vecs.where(F.col("vec_id") < K_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    for _ in range(KMEANS_ITERS):
-        assign = _kmeans_assign(vecs, cents)
-        means = _kmeans_means(vecs, assign)
-        cents = means
+    cents, assign = _train_kmeans(vecs)
     counts = assign.groupBy("cid").agg(
         F.count("*").cast("bigint").alias("n_vecs")
     )
@@ -705,6 +718,105 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("probe") == F.col("cbucket"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF search on the k-means-trained index (training -> search composed)
+# ---------------------------------------------------------------------------
+
+IVF_NPROBE = 2
+
+
+def _kmeans_rank(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid, rn): centroids ranked by (rounded squared
+    distance, cid) per vector — rn=1 is the cell assignment, rn<=p is
+    the query's probe list."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", F.round(F.expr(_D2_SPARK), 4).alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return scored.withColumn("rn", F.row_number().over(w))
+
+
+_IVF_KMEANS_DUCK = f"""
+WITH {_KMEANS_CTES},
+{_duck_kmeans_round(3, "c2")},
+vn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM vecs),
+qprobe AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+    FROM dist3 WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a3.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 4) AS cosine
+  FROM qprobe p
+  JOIN vn q ON q.vec_id = p.query_id
+  JOIN a3 ON a3.cid = p.cid
+  JOIN vn c ON c.vec_id = a3.vec_id
+  WHERE a3.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_ivf_kmeans_topk", _IVF_KMEANS_DUCK, tags=("similarity",))
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search composed with its own training: the coarse quantizer
+    is the k-means index from `kmeans_centroids` (same unrolled Lloyd
+    pipeline), every vector is assigned to its nearest trained cell,
+    and each query probes its {nprobe} nearest cells — the production
+    IVF shape end-to-end (train -> assign -> probe -> rank) in one lazy
+    plan, exactly reproduced by the oracle's unrolled CTEs.
+
+    Scale notes (100 TB): training cost is the two corpus scans; the
+    cell table is K rows (always broadcast). Search cost per query is
+    the probed cells' postings only. In a warehouse deployment the
+    assignment becomes a materialized (cell -> vec) index table and
+    probing is a bucket-pruned join against it — identical plan shape,
+    amortized training."""
+    vecs = _vectors(spark, sf_dir).select("vec_id", "v", "norm")
+    vv = vecs.select("vec_id", "v")
+    cents, _ = _train_kmeans(vv)
+    ranked_cells = _kmeans_rank(vv, cents)
+    cells = ranked_cells.where(F.col("rn") == 1).select("vec_id", "cid")
+    qprobe = ranked_cells.where(
+        (F.col("rn") <= IVF_NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    q = vecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cand = vecs.join(cells, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        "cid",
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qnorm") * F.col("cnorm")), 4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        qprobe.join(q, "query_id")
+        .join(cand, "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOPK)
