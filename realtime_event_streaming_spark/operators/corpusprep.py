@@ -79,30 +79,23 @@ def text_normalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 VOCAB_TOPK = 20
 
 
-def _vocab_sql(split_fn: str, len_fn: str, xform: str, first_idx: int) -> str:
-    i0, i1 = ("i", "i+1") if first_idx == 1 else ("i", "i+1")
-    lo = first_idx
-    hi = f"{len_fn}(tk) - {2 - first_idx}"
-    return f"""
+# (DuckDB lists are 1-based, Spark arrays 0-based — the two dialects
+# index adjacent-token pairs differently, so each gets its own text.)
+_VOCAB_DUCK = f"""
 WITH toks AS (
-  SELECT {split_fn}(text, ' ') AS tk FROM documents
-  WHERE {len_fn}({split_fn}(text, ' ')) >= 2
+  SELECT string_split(text, ' ') AS tk FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
 ),
 grams AS (
-  SELECT unnest_bg AS bigram FROM (
-    SELECT {xform}(generate_series({lo}, {hi}),
-                   i -> tk[{i0}] || ' ' || tk[{i1}]) AS bgs
-    FROM toks
-  ), UNNEST(bgs) AS u(unnest_bg)
+  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM toks
 )
 SELECT bigram, cast(count(*) AS BIGINT) AS n
 FROM grams GROUP BY bigram
 ORDER BY n DESC, bigram
 LIMIT {VOCAB_TOPK}
 """
-
-
-_VOCAB_DUCK = _vocab_sql("string_split", "len", "list_transform", 1)
 
 _VOCAB_SPARK = f"""
 WITH toks AS (
@@ -138,14 +131,9 @@ def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_SHARDS = 16
 
-#: first 4 md5 hex chars -> uniform 16-bit int (same portable pattern
-#: as operators/sampling._H16).
-_H16 = (
-    "((instr('0123456789abcdef', substr(md5(cast(doc_id AS {t})), 1, 1)) - 1) * 4096"
-    " + (instr('0123456789abcdef', substr(md5(cast(doc_id AS {t})), 2, 1)) - 1) * 256"
-    " + (instr('0123456789abcdef', substr(md5(cast(doc_id AS {t})), 3, 1)) - 1) * 16"
-    " + (instr('0123456789abcdef', substr(md5(cast(doc_id AS {t})), 4, 1)) - 1))"
-)
+# first 4 md5 hex chars -> uniform 16-bit int, shared with the
+# train/val/test splitter so shard and split hashes stay consistent
+from .sampling import _H16  # noqa: E402
 
 
 def _shard_sql(t: str) -> str:
