@@ -288,13 +288,15 @@ ORDER BY doc_a, doc_b
 """
 
 
-def minhash_signature_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per doc: ``sig`` = 16-element array ordered by seed.
-
-    One row per doc with array math downstream (banding, agreement) —
-    at 100 TB the candidate join then shuffles 1 row/doc instead of
-    N_HASHES."""
-    sh = shingles(spark, sf_dir)
+def signature_arrays_of(docs: DataFrame) -> DataFrame:
+    """MinHash signature arrays for an arbitrary (doc_id, text) frame
+    — the reusable core of ``minhash_signature_arrays``, also used by
+    the incremental admission path over a corpus+batch union."""
+    sh = (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .where(F.size("tk") >= 3)
+        .select("doc_id", F.expr(_SHINGLE_EXPR).alias("s"))
+    )
     mins = [
         F.min(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("s")))).alias(
             f"h{seed}"
@@ -307,6 +309,33 @@ def minhash_signature_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*mins)
         .select("doc_id", F.expr(f"array({cols})").alias("sig"))
     )
+
+
+def minhash_signature_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc: ``sig`` = 16-element array ordered by seed.
+
+    One row per doc with array math downstream (banding, agreement) —
+    at 100 TB the candidate join then shuffles 1 row/doc instead of
+    N_HASHES."""
+    return signature_arrays_of(load_table(spark, sf_dir, "documents"))
+
+
+_BAND_HASH_EXPR = (
+    "md5(concat_ws('|', least(element_at(sig, band_idx * 2 + 1), "
+    "element_at(sig, band_idx * 2 + 2)), "
+    "greatest(element_at(sig, band_idx * 2 + 1), "
+    "element_at(sig, band_idx * 2 + 2))))"
+)
+
+
+def band_table_of(sig_arr: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) LSH band table from signature
+    arrays — the shape a warehouse materializes as the dedup index."""
+    return sig_arr.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {N_BANDS - 1})")).alias("band_idx"),
+        "sig",
+    ).select("doc_id", "band_idx", F.expr(_BAND_HASH_EXPR).alias("band_hash"))
 
 
 @register("dedup_minhash_lsh", _MINHASH_PAIRS_DUCK, headline=True, tags=("dedup",))
@@ -326,21 +355,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle explosion. At warehouse scale this materialization is an
     # explicit signatures table; in-query, a local checkpoint.
     sig_arr = minhash_signature_arrays(spark, sf_dir).localCheckpoint(eager=False)
-    bands = sig_arr.select(
-        "doc_id",
-        F.explode(F.expr(f"sequence(0, {N_BANDS - 1})")).alias("band_idx"),
-        "sig",
-    ).select(
-        "doc_id",
-        "band_idx",
-        # band key over (sorted) pair of rows: deterministic set hash
-        F.expr(
-            "md5(concat_ws('|', least(element_at(sig, band_idx * 2 + 1), "
-            "element_at(sig, band_idx * 2 + 2)), "
-            "greatest(element_at(sig, band_idx * 2 + 1), "
-            "element_at(sig, band_idx * 2 + 2))))"
-        ).alias("band_hash"),
-    )
+    # band key over (sorted) pair of rows: deterministic set hash
+    bands = band_table_of(sig_arr)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -645,3 +661,119 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_INCREMENTAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# incremental NEAR-dup admission: batch signatures vs corpus band index
+# ---------------------------------------------------------------------------
+
+#: every 17th corpus doc is re-sent with two appended tokens — an exact
+#: hash would miss it; the MinHash bands must still catch it (planted
+#: near-dups keep the vs-corpus path provably non-empty).
+_INC_MH_PLANT_MOD = 17
+_INC_MH_SUFFIX = " qq zz"
+
+_INC_MINHASH_DUCK = f"""
+WITH mx AS (
+  SELECT max(doc_id) AS m,
+         cast(floor({_INC_CUT_FRAC} * max(doc_id)) AS BIGINT) AS c
+  FROM documents
+),
+docs_u AS (
+  SELECT d.doc_id, d.text FROM documents d, mx WHERE d.doc_id < mx.c
+  UNION ALL
+  SELECT d.doc_id, d.text FROM documents d, mx WHERE d.doc_id >= mx.c
+  UNION ALL
+  SELECT d.doc_id + mx.m + 1 AS doc_id, d.text || '{_INC_MH_SUFFIX}' AS text
+  FROM documents d, mx
+  WHERE d.doc_id < mx.c AND d.doc_id % {_INC_MH_PLANT_MOD} = 0
+),
+{_DUCK_SHINGLES.replace("FROM documents", "FROM docs_u")},
+{_DUCK_SIG},
+bands AS (
+  SELECT doc_id, seed // 2 AS band_idx,
+         md5(min(h) || '|' || max(h)) AS band_hash
+  FROM sig GROUP BY doc_id, seed // 2
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_doc, cb.doc_id AS corpus_doc
+  FROM bands b
+  JOIN bands cb ON b.band_idx = cb.band_idx AND b.band_hash = cb.band_hash, mx
+  WHERE b.doc_id >= mx.c AND cb.doc_id < mx.c
+),
+tot AS (
+  SELECT cast(count(*) AS BIGINT) AS batch_docs FROM docs_u, mx
+  WHERE doc_id >= mx.c
+)
+SELECT tot.batch_docs,
+       cast(count(DISTINCT cand.batch_doc) AS BIGINT) AS flagged_docs,
+       cast(count(DISTINCT CASE WHEN cand.batch_doc > mx.m
+                                THEN cand.batch_doc END) AS BIGINT)
+         AS flagged_planted,
+       cast(count(*) AS BIGINT) AS candidate_pairs
+FROM cand, mx, tot
+GROUP BY tot.batch_docs
+"""
+
+
+@register("dedup_incremental_minhash", _INC_MINHASH_DUCK, tags=("dedup",))
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission: the incoming snapshot (top 10%
+    of doc ids + planted modified re-sends of every {mod}th corpus doc
+    — two tokens appended, so exact hashing misses them) is probed
+    against the corpus's MinHash band index. A batch doc is flagged
+    when any of its 8 band keys collides with a corpus band key — the
+    fuzzy admission check a crawl pipeline runs nightly next to the
+    exact one (`dedup_incremental`).
+
+    Scale notes (100 TB): in production the corpus side is the
+    materialized (band_idx, band_hash -> doc) index table
+    (`band_table_of` is exactly that shape) — it is NOT recomputed per
+    batch; the probe side is O(batch x 8) rows and the collision check
+    is a bucket equi-join. Here both sides derive from one signature
+    pass over the corpus+batch union so the oracle can state the whole
+    computation."""
+    docs = load_table(spark, sf_dir, "documents")
+    mx = F.broadcast(
+        docs.agg(
+            F.max("doc_id").alias("m"),
+            F.floor(_INC_CUT_FRAC * F.max("doc_id")).cast("long").alias("c"),
+        )
+    )
+    with_cut = docs.crossJoin(mx)
+    corpus = with_cut.where("doc_id < c").select("doc_id", "text")
+    organic = with_cut.where("doc_id >= c").select("doc_id", "text")
+    planted = (
+        with_cut.where(f"doc_id < c AND doc_id % {_INC_MH_PLANT_MOD} = 0")
+        .select(
+            (F.col("doc_id") + F.col("m") + 1).alias("doc_id"),
+            F.concat("text", F.lit(_INC_MH_SUFFIX)).alias("text"),
+        )
+    )
+    batch = organic.unionByName(planted)
+    sig = signature_arrays_of(corpus.unionByName(batch)).localCheckpoint(
+        eager=False
+    )
+    bands = band_table_of(sig).crossJoin(mx)
+    corpus_bands = bands.where("doc_id < c").select(
+        F.col("doc_id").alias("corpus_doc"), "band_idx", "band_hash"
+    )
+    batch_bands = bands.where("doc_id >= c").select(
+        F.col("doc_id").alias("batch_doc"), "band_idx", "band_hash"
+    )
+    cand = (
+        batch_bands.join(corpus_bands, ["band_idx", "band_hash"])
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    stats = cand.crossJoin(mx).agg(
+        F.countDistinct("batch_doc").alias("flagged_docs"),
+        F.countDistinct(
+            F.when(F.col("batch_doc") > F.col("m"), F.col("batch_doc"))
+        ).alias("flagged_planted"),
+        F.count("*").cast("bigint").alias("candidate_pairs"),
+    )
+    total = batch.agg(F.count("*").cast("bigint").alias("batch_docs"))
+    return F.broadcast(total).crossJoin(stats).select(
+        "batch_docs", "flagged_docs", "flagged_planted", "candidate_pairs"
+    )
