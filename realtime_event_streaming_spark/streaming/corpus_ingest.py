@@ -1,0 +1,128 @@
+"""Streaming corpus ingestion: the training-data admission pipeline as
+a stream.
+
+Marries the batch corpus-curation surface (quality filter + exact
+dedup, `operators/sampling.training_corpus_pipeline` /
+`operators/dedup.dedup_incremental`) to Structured Streaming: documents
+arrive continuously (crawl output), and each micro-batch admits only
+quality-passing, first-seen documents — the nightly-batch admission
+check (`dedup_incremental`) collapsed to per-micro-batch latency.
+
+Stages (all built-in expressions, one stateful op):
+
+1. parse: JSON lines -> typed columns, DROPMALFORMED, ingest event
+   time + watermark (same discipline as the click path);
+2. quality gate: token count + type-token ratio — the SAME thresholds
+   as the batch `training_corpus_pipeline`, so batch and stream admit
+   identical documents;
+3. dedup: ``dropDuplicatesWithinWatermark`` on the content digest —
+   exactly-once admission per distinct text within the watermark
+   horizon, state evicted as the watermark advances (the same
+   bounded-state discipline as the exact rollup);
+4. the admitted stream is the curated corpus table (append sink), and
+   a windowed per-source rollup reports admission rates.
+
+Scale notes: state is one digest per distinct text within the horizon
+— bounded by arrival rate x horizon, not corpus size; the horizon
+guards against crawler re-sends (near-in-time dups), while full-corpus
+history dedup stays the nightly `dedup_incremental` batch job against
+the materialized hash index. Everything shuffles by digest/source only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: wire schema for one crawled document (JSON lines)
+DOC_WIRE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("ingest_ts", LongType()),  # epoch milliseconds
+    ]
+)
+
+#: quality thresholds — MUST match operators/sampling.training_corpus_pipeline
+MIN_TOKENS = 20
+MIN_TTR = 0.3
+
+DOC_WATERMARK = "30 seconds"
+
+
+def read_doc_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """File-source stream of JSON-lines documents (the test-harness
+    stand-in for the crawler's queue, like the click path's)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def parse_docs(raw: DataFrame, watermark: str = DOC_WATERMARK) -> DataFrame:
+    """JSON -> typed doc rows, malformed dropped, watermarked."""
+    parsed = (
+        raw.select(
+            F.from_json(F.col("value").cast("string"), DOC_WIRE_SCHEMA).alias("d")
+        )
+        .where(F.col("d").isNotNull() & F.col("d.ingest_ts").isNotNull())
+        .select(
+            "d.doc_id",
+            "d.text",
+            "d.lang",
+            "d.source",
+            F.timestamp_millis(F.col("d.ingest_ts")).alias("ingest_ts"),
+        )
+    )
+    return parsed.withWatermark("ingest_ts", watermark)
+
+
+def admit_docs(docs: DataFrame) -> DataFrame:
+    """Quality gate + first-seen content dedup; emits the admitted
+    document stream (the curated corpus)."""
+    toks = docs.withColumn("tk", F.split("text", " "))
+    quality = toks.where(
+        (F.size("tk") >= MIN_TOKENS)
+        & (
+            F.size(F.array_distinct("tk"))
+            / F.size("tk").cast("double")
+            >= MIN_TTR
+        )
+    )
+    hashed = quality.select(
+        "doc_id",
+        "lang",
+        "source",
+        "ingest_ts",
+        F.md5("text").alias("content_hash"),
+        F.size("tk").cast("long").alias("n_tokens"),
+    )
+    return hashed.dropDuplicatesWithinWatermark(["content_hash"])
+
+
+def admission_rollup(admitted: DataFrame) -> DataFrame:
+    """Per-source 1-minute admission rollup (append mode) — the
+    monitoring twin of the click path's minute rollup."""
+    return (
+        admitted.groupBy(F.window("ingest_ts", "1 minute"), "source")
+        .agg(
+            F.count("*").alias("docs_admitted"),
+            F.sum("n_tokens").alias("tokens_admitted"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "source",
+            "docs_admitted",
+            "tokens_admitted",
+        )
+    )

@@ -1,0 +1,113 @@
+"""Streaming corpus admission: quality gate + cross-batch content
+dedup + windowed admission rollup, replayed deterministically."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyspark.sql.functions as F
+
+from realtime_event_streaming_spark.streaming.corpus_ingest import (
+    admission_rollup,
+    admit_docs,
+    parse_docs,
+    read_doc_stream,
+)
+
+BASE_MS = 1704067200000  # 2024-01-01T00:00:00Z
+
+GOOD_1 = " ".join(f"alpha{i}" for i in range(30))
+GOOD_2 = " ".join(f"beta{i}" for i in range(25))
+GOOD_3 = " ".join(f"gamma{i}" for i in range(40))
+DUP_TEXT = " ".join(f"delta{i}" for i in range(22))
+JUNK_SHORT = "a a a"  # fails MIN_TOKENS
+JUNK_TTR = " ".join(["rep"] * 25)  # fails type-token ratio
+
+
+def _doc(doc_id, text, source, off_s):
+    return json.dumps(
+        {
+            "doc_id": doc_id,
+            "text": text,
+            "lang": "en",
+            "source": source,
+            "ingest_ts": BASE_MS + off_s * 1000,
+        }
+    )
+
+
+def _write_batches(path, batches):
+    os.makedirs(path, exist_ok=True)
+    t0 = time.time()
+    for i, lines in enumerate(batches):
+        f = os.path.join(path, f"b{i}.json")
+        with open(f, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        os.utime(f, (t0 + i, t0 + i))
+
+
+def _run(df, spark, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def test_streaming_admission_quality_dedup_and_rollup(spark, tmp_path):
+    batches = [
+        [
+            _doc(1, GOOD_1, "sA", 0),
+            _doc(2, GOOD_2, "sA", 5),
+            _doc(3, JUNK_SHORT, "sB", 6),
+            _doc(4, DUP_TEXT, "sB", 10),
+            "not json at all",
+        ],
+        [
+            _doc(5, DUP_TEXT, "sB", 20),  # exact re-send, other batch
+            _doc(6, JUNK_TTR, "sA", 21),
+            _doc(7, GOOD_3, "sA", 25),
+        ],
+        # sentinels must PASS the quality gate: Catalyst pushes the
+        # gate's filter below the EventTimeWatermark node, so rejected
+        # rows never advance the watermark. Two are needed — the wm
+        # computed from batch N only takes effect in batch N+1, so the
+        # second sentinel's batch is what closes the [00:00, 01:00)
+        # window for the rollup.
+        [_doc(99, " ".join(f"sent{i}" for i in range(21)), "sZ", 120)],
+        [_doc(100, " ".join(f"sent2x{i}" for i in range(21)), "sZ", 180)],
+    ]
+    src = str(tmp_path / "docs")
+    _write_batches(src, batches)
+
+    admitted = _run(
+        admit_docs(parse_docs(read_doc_stream(spark, src))),
+        spark,
+        "corpus_admitted",
+    )
+    rows = {r.doc_id: r for r in admitted.collect()}
+    # quality rejects the short/repetitive docs, the cross-batch
+    # re-send collapses to its first-seen id; 99/100 are the
+    # watermark-advancing sentinels
+    assert set(rows) == {1, 2, 4, 7, 99, 100}
+    assert rows[4].content_hash == rows[4].content_hash
+    assert all(r.n_tokens >= 20 for r in rows.values())
+
+    rollup = _run(
+        admission_rollup(admit_docs(parse_docs(read_doc_stream(spark, src)))),
+        spark,
+        "corpus_rollup",
+    )
+    got = {
+        (r.source, r.docs_admitted, r.tokens_admitted)
+        for r in rollup.where(
+            F.col("window_start") == "2024-01-01 00:00:00"
+        ).collect()
+    }
+    assert got == {("sA", 3, 95), ("sB", 1, 22)}
