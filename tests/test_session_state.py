@@ -91,10 +91,27 @@ def _assert_gap_and_timer_sessions(rows):
     assert (b.n_events, b.n_pages, b.duration_s) == (2, 2, 20.0)
 
 
-def test_sessions_close_by_gap_and_by_timer(spark, tmp_path):
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_sessions_close_by_gap_and_by_timer(spark, tmp_path, provider):
     src = str(tmp_path / "clicks")
     _write_batches(src, GAP_AND_TIMER_BATCHES)
-    rows = _run_sessions(spark, src, sessionize_clicks, "sessions_gst")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, "")
+    if provider == "rocksdb":
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        rows = _run_sessions(
+            spark, src, sessionize_clicks, f"sessions_gst_{provider}"
+        )
+    finally:
+        if old:
+            spark.conf.set(key, old)
+        elif provider == "rocksdb":
+            spark.conf.unset(key)
     _assert_gap_and_timer_sessions(rows)
 
 
