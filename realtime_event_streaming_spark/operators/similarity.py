@@ -101,7 +101,12 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-{k} per query vector (queries = vec_id < 10),
     brute force over all candidates. The query side is broadcast; ties
     broken on (rounded cosine, neighbor_id) for cross-engine
-    determinism."""
+    determinism.
+
+    O(queries x corpus) BY DESIGN: this is the labeled correctness
+    baseline the approximate variants are measured against, and must
+    NEVER be the production search path at scale — use
+    `ann_ivf_kmeans_topk` (recall@5 0.86 here) or the LSH variants."""
     vecs = _vectors(spark, sf_dir)
     q = vecs.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
