@@ -115,3 +115,34 @@ def test_per_source_sample_exact_k_distinct(spark):
         F.count("*").alias("n"), F.countDistinct("doc_id").alias("nd")
     )
     assert per.where((F.col("n") != SAMPLE_K) | (F.col("nd") != SAMPLE_K)).count() == 0
+
+
+def test_chunk_count_formula_edges(spark):
+    """Boundary token counts: 1 token (degenerate doc), exactly one
+    stride, stride+1 (first straddle), exactly CHUNK_TOKENS, and
+    CHUNK_TOKENS+1 (first two-chunk doc). Checked against the closed
+    form n_chunks = ceil(max(n - overlap, 1) / stride)."""
+    import math
+
+    from realtime_event_streaming_spark.operators.chunking import (
+        _CHUNKS_SPARK,
+    )
+
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
+    cases = [1, 2, CHUNK_STRIDE, CHUNK_STRIDE + 1, CHUNK_TOKENS,
+             CHUNK_TOKENS + 1, 2 * CHUNK_TOKENS, 100]
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(n)))
+         for i, n in enumerate(cases)],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("documents")
+    got = {
+        r.doc_id: r.n
+        for r in spark.sql(
+            f"SELECT doc_id, count(*) AS n FROM ({_CHUNKS_SPARK}) GROUP BY doc_id"
+        ).collect()
+    }
+    for i, n in enumerate(cases):
+        expect = math.ceil(max(n - overlap, 1) / CHUNK_STRIDE)
+        assert got[i] == expect, (n, got[i], expect)
