@@ -20,13 +20,18 @@ Stages (all built-in expressions, one stateful op):
    horizon, state evicted as the watermark advances (the same
    bounded-state discipline as the exact rollup);
 4. the admitted stream is the curated corpus table (append sink), and
-   a windowed per-source rollup reports admission rates.
+   a windowed per-source rollup reports admission rates;
+5. `start_corpus_admission` composes the stream with the MATERIALIZED
+   content-hash index (`operators/dedup.write_dedup_index`): each
+   micro-batch anti-joins the index (rejecting re-sends older than any
+   watermark horizon) and appends the admitted hashes back — the full
+   production loop.
 
 Scale notes: state is one digest per distinct text within the horizon
 — bounded by arrival rate x horizon, not corpus size; the horizon
-guards against crawler re-sends (near-in-time dups), while full-corpus
-history dedup stays the nightly `dedup_incremental` batch job against
-the materialized hash index. Everything shuffles by digest/source only.
+absorbs near-in-time crawler re-sends cheaply, the index probe covers
+all history at O(batch) join cost. Everything shuffles by
+digest/source only.
 """
 
 from __future__ import annotations
@@ -126,3 +131,55 @@ def admission_rollup(admitted: DataFrame) -> DataFrame:
             "tokens_admitted",
         )
     )
+
+
+def start_corpus_admission(
+    spark: SparkSession,
+    src_path: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = 1,
+    available_now: bool = True,
+):
+    """The full production admission loop: stream -> quality gate ->
+    within-horizon dedup (`admit_docs`) -> per-micro-batch probe of
+    the MATERIALIZED content-hash index (rejecting re-sends of
+    anything ever admitted, however old — the case the watermark
+    horizon cannot cover) -> append admitted docs to the corpus table
+    AND their hashes to the index, so the next batch sees them.
+
+    foreachBatch is the documented Spark pattern for multi-sink +
+    read-your-writes maintenance; on recovery a batch may re-run, so
+    the index tolerates duplicate hash rows (probes always read it
+    DISTINCT) — admission stays effectively exactly-once because
+    re-run batches re-probe the index their first run already updated.
+
+    Scale notes: the probe is a left-anti equi-join from the small
+    batch side into the hash index (O(batch) work when AQE broadcasts
+    the batch); the index append is 32 B per admitted doc."""
+    candidates = admit_docs(parse_docs(read_doc_stream(
+        spark, src_path, max_files_per_trigger=max_files_per_trigger
+    )))
+
+    def _admit(batch_df, batch_id):
+        known = (
+            batch_df.sparkSession.read.parquet(f"{index_path}/content_hash")
+            .select("h")
+            .distinct()
+        )
+        fresh = batch_df.join(
+            known, batch_df.content_hash == known.h, "left_anti"
+        ).localCheckpoint()  # two sinks below; compute the probe once
+        fresh.write.mode("append").parquet(out_path)
+        fresh.select("doc_id", F.col("content_hash").alias("h")).write.mode(
+            "append"
+        ).parquet(f"{index_path}/content_hash")
+
+    writer = (
+        candidates.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -111,3 +111,54 @@ def test_streaming_admission_quality_dedup_and_rollup(spark, tmp_path):
         ).collect()
     }
     assert got == {("sA", 3, 95), ("sB", 1, 22)}
+
+
+def test_admission_against_materialized_index_rejects_history(spark, tmp_path):
+    """The composed loop: a re-send of a CORPUS doc (older than any
+    watermark horizon) is rejected by the index probe, and a doc
+    admitted in batch 1 rejects its own re-send in batch 2 because the
+    index was updated in between."""
+    from realtime_event_streaming_spark.io import load_table
+    from realtime_event_streaming_spark.operators.dedup import (
+        write_dedup_index,
+    )
+    from realtime_event_streaming_spark.streaming.corpus_ingest import (
+        start_corpus_admission,
+    )
+
+    index = str(tmp_path / "index")
+    write_dedup_index(spark, "/root/testdata/sf0.001", index)
+    corpus_text = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .where("doc_id = 10")
+        .collect()[0]
+        .text
+    )
+
+    batches = [
+        [
+            _doc(1, corpus_text, "sA", 0),  # historic dup -> index reject
+            _doc(2, GOOD_1, "sA", 1),  # fresh -> admitted
+        ],
+        [
+            _doc(3, GOOD_1, "sB", 100),  # re-send of batch-1 admit -> reject
+            _doc(4, GOOD_2, "sB", 101),  # fresh -> admitted
+        ],
+    ]
+    src = str(tmp_path / "docs")
+    _write_batches(src, batches)
+
+    q = start_corpus_admission(
+        spark,
+        src,
+        index,
+        str(tmp_path / "corpus_out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    admitted = spark.read.parquet(str(tmp_path / "corpus_out"))
+    assert {r.doc_id for r in admitted.collect()} == {2, 4}
+    # the index grew by exactly the admitted hashes
+    grown = spark.read.parquet(f"{index}/content_hash")
+    assert grown.count() == 500 + 2
