@@ -164,3 +164,77 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in session_window; this is the batch/backfill path."""
     register_views(spark, sf_dir, tables=("events",))
     return spark.sql(_SESS_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# concurrent-session peaks (sweep line over session intervals)
+# ---------------------------------------------------------------------------
+
+_CONC_CTE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR {epoch_ts} - {epoch_prev} > 1800 THEN 1 ELSE 0 END
+           AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+spans AS (
+  SELECT user_id, session_id,
+         min({epoch_ts}) AS s, max({epoch_ts}) + 1 AS e
+  FROM sessions GROUP BY user_id, session_id
+),
+edges AS (
+  SELECT s AS t, 1 AS d FROM spans
+  UNION ALL
+  SELECT e AS t, -1 AS d FROM spans
+),
+net AS (SELECT t, cast(sum(d) AS BIGINT) AS nd FROM edges GROUP BY t),
+timeline AS (
+  SELECT t, sum(nd) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concurrency
+  FROM net
+)
+SELECT cast(t AS BIGINT) AS epoch_s, cast(concurrency AS BIGINT) AS concurrency
+FROM timeline
+ORDER BY concurrency DESC, epoch_s
+LIMIT 20
+"""
+
+_CONC_SPARK = _CONC_CTE.format(
+    epoch_ts=D.EPOCH_S_SPARK.format(col="ts"),
+    epoch_prev=D.EPOCH_S_SPARK.format(col="prev_ts"),
+)
+_CONC_DUCK = _CONC_CTE.format(
+    epoch_ts=D.EPOCH_S_DUCK.format(col="ts"),
+    epoch_prev=D.EPOCH_S_DUCK.format(col="prev_ts"),
+)
+
+
+@register("concurrent_session_peaks", _CONC_DUCK, tags=("behavior", "temporal"))
+def concurrent_session_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions: sessionize (same 30-min gap rule as
+    `user_sessions`), convert each session to +1/-1 edges at its
+    half-open [start, end+1s) bounds, and sweep — a running sum over
+    net edge weights per distinct second. Concurrency is exact at
+    every change point with 2 rows per session, never a time-grid x
+    interval explode. Equal-timestamp edges net out BEFORE the sweep
+    (group-by t), so the cumulative sum needs no tiebreak.
+
+    Scale notes: the sweep's global ordered window runs over ~2 rows
+    per session — fine to millions of sessions on one partition; at
+    warehouse scale, partition the sweep by day after carrying in each
+    day's opening concurrency (a two-pass prefix-sum, same plan shape
+    per partition)."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_CONC_SPARK)
