@@ -279,3 +279,70 @@ def cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, tables=("documents", "embeddings"))
     return spark.sql(_CLUSTER_MIX_SQL)
+
+
+# ---------------------------------------------------------------------------
+# corpus diagnostics: dedup rate by source, embedding norm health
+# ---------------------------------------------------------------------------
+
+_DUP_RATE_SQL = """
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       round(1.0 - count(DISTINCT md5(text)) / cast(count(*) AS DOUBLE), 4)
+         AS dup_rate
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("dedup_rate_by_source", _DUP_RATE_SQL, tags=("dedup", "curation"))
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per crawl source — the per-source census
+    behind source-level mixing decisions (a source that is mostly
+    duplicates of itself earns a lower mixing weight). Single scan,
+    partial-distinct aggregate per source."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_DUP_RATE_SQL)
+
+
+_NORM_STATS_DUCK = """
+WITH norms AS (
+  SELECT label,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings
+)
+SELECT label, cast(count(*) AS BIGINT) AS n,
+       round(avg(nrm), 4) AS mean_norm,
+       round(min(nrm), 4) AS min_norm,
+       round(max(nrm), 4) AS max_norm
+FROM norms GROUP BY label ORDER BY label
+"""
+
+_NORM_STATS_SPARK = """
+WITH norms AS (
+  SELECT label,
+         sqrt(aggregate(transform(embedding, x -> cast(x AS DOUBLE) *
+                                               cast(x AS DOUBLE)),
+              cast(0 AS DOUBLE), (acc, x) -> acc + x)) AS nrm
+  FROM embeddings
+)
+SELECT label, cast(count(*) AS BIGINT) AS n,
+       round(avg(nrm), 4) AS mean_norm,
+       round(min(nrm), 4) AS min_norm,
+       round(max(nrm), 4) AS max_norm
+FROM norms GROUP BY label ORDER BY label
+"""
+
+
+@register("embedding_norm_stats", _NORM_STATS_DUCK, tags=("similarity",))
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm health check per label: collapsed or exploding
+    norms are the first symptom of a broken embedding pipeline, and a
+    norm far from its label's range flags an outlier batch. Min/max
+    are order-independent and avg rounds identically on both engines
+    (the norm itself is the proven left-to-right dot-product fold)."""
+    register_views(spark, sf_dir, tables=("embeddings",))
+    return spark.sql(_NORM_STATS_SPARK)

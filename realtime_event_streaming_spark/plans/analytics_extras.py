@@ -246,3 +246,37 @@ def seasonal_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sparse baseline), documented behavior."""
     register_views(spark, sf_dir, tables=("events",))
     return spark.sql(_SEASONAL_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# props JSON extraction stats (F8 surface on the events table)
+# ---------------------------------------------------------------------------
+
+_PROPS_DUCK = """
+SELECT event_type,
+       cast(count(*) AS BIGINT) AS n_events,
+       cast(sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS with_k,
+       round(avg(cast(json_extract_string(props, '$.k') AS DOUBLE)), 4)
+         AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+_PROPS_SPARK = """
+SELECT event_type,
+       cast(count(*) AS BIGINT) AS n_events,
+       cast(sum(CASE WHEN get_json_object(props, '$.k') IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS with_k,
+       round(avg(cast(get_json_object(props, '$.k') AS DOUBLE)), 4) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("props_field_stats", _PROPS_DUCK, tags=("reference", "json"))
+def props_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured field extraction over the events `props` JSON
+    column (the F8 surface on the fact table itself): per event type,
+    how many rows carry the `k` property and its mean. JSON parse
+    stays inside codegen (`get_json_object`); no UDF."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_PROPS_SPARK)
