@@ -144,3 +144,70 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(_frame_batches, FRAMES_SCHEMA).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# audio segmentation (sliding byte windows, the ASR-prep shape)
+# ---------------------------------------------------------------------------
+
+SEG_BYTES = 48
+SEG_HOP = 32
+
+SEGMENTS_SCHEMA = (
+    "doc_id bigint, seg_idx int, seg_fp string, voiced_ratio double"
+)
+
+
+def _segment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Sliding-window 'audio' segmentation: SEG_BYTES windows advancing
+    by SEG_HOP (overlapping, like ASR feature windows). The stubbed
+    'voice activity' per segment is the non-space byte fraction — a
+    deterministic stand-in for RMS energy a real VAD computes; swap
+    the lambda for librosa/torchaudio and nothing else changes."""
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "seg_idx": [], "seg_fp": [], "voiced_ratio": []
+        }
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            n = len(content)
+            if n < SEG_BYTES:
+                continue
+            for i in range((n - SEG_BYTES) // SEG_HOP + 1):
+                seg = bytes(content[i * SEG_HOP : i * SEG_HOP + SEG_BYTES])
+                voiced = sum(1 for b in seg if b != 0x20)
+                out["doc_id"].append(doc_id)
+                out["seg_idx"].append(i)
+                out["seg_fp"].append(hashlib.md5(seg).hexdigest()[:8])
+                out["voiced_ratio"].append(round(voiced / SEG_BYTES, 4))
+        yield pd.DataFrame(out)
+
+
+_SEGMENTS_DUCK = f"""
+SELECT doc_id, i AS seg_idx,
+       substr(md5(substr(text, i * {SEG_HOP} + 1, {SEG_BYTES})), 1, 8)
+         AS seg_fp,
+       round(
+         length(replace(substr(text, i * {SEG_HOP} + 1, {SEG_BYTES}), ' ', ''))
+         / cast({SEG_BYTES} AS DOUBLE), 4) AS voiced_ratio
+FROM documents CROSS JOIN
+     (SELECT unnest(generate_series(0, 1000)) AS i) AS g
+WHERE n_chars >= {SEG_BYTES}
+  AND i <= (n_chars - {SEG_BYTES}) // {SEG_HOP}
+ORDER BY doc_id, seg_idx
+"""
+
+
+@register("multimodal_audio_segments", _SEGMENTS_DUCK, tags=("multimodal",))
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size segmentation of binary payloads with a
+    per-segment voice-activity proxy — the audio leg of the multimodal
+    surface (images: `multimodal_features`, video:
+    `multimodal_frame_sample`). Arrow-batched mapInPandas exploding
+    each asset into its windows; the oracle reproduces the stub in
+    SQL, pinning window offsets, fingerprints AND the activity math."""
+    assets = binary_assets(spark, sf_dir)
+    return assets.mapInPandas(_segment_batches, SEGMENTS_SCHEMA).orderBy(
+        "doc_id", "seg_idx"
+    )
