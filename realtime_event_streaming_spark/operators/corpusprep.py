@@ -346,3 +346,56 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the norm itself is the proven left-to-right dot-product fold)."""
     register_views(spark, sf_dir, tables=("embeddings",))
     return spark.sql(_NORM_STATS_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# HTML stripping (corrupt -> strip -> verify round trip)
+# ---------------------------------------------------------------------------
+
+
+def _html_sql(regex_flags: str) -> str:
+    # markup classes: %2 -> block wrapping, %4 -> inline tags between
+    # tokens (overlapping classes, like the whitespace normalizer).
+    return f"""
+WITH marked AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS wrapped,
+         CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS inlined,
+         CASE WHEN doc_id % 2 = 0
+              THEN '<div class="doc"><p>' ||
+                   CASE WHEN doc_id % 4 = 0
+                        THEN replace(text, ' ', ' <br> ') ELSE text END
+                   || '</p></div>'
+              ELSE CASE WHEN doc_id % 4 = 0
+                        THEN replace(text, ' ', ' <br> ') ELSE text END
+         END AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, text, wrapped, inlined,
+         trim(regexp_replace(
+           regexp_replace(html, '<[^>]+>', ''{regex_flags}),
+           ' +', ' '{regex_flags})) AS clean
+  FROM marked
+)
+SELECT cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(wrapped) AS BIGINT) AS n_wrapped,
+       cast(sum(inlined) AS BIGINT) AS n_inlined,
+       cast(sum(CASE WHEN clean = text THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_restored
+FROM stripped
+"""
+
+
+@register("html_strip_roundtrip", _html_sql(", 'g'"), tags=("text",))
+def html_strip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML stripping proven by round trip (same self-checking design
+    as `text_normalize_roundtrip`): wrap docs in deterministic block +
+    inline markup, strip tags with one regex pass + whitespace
+    collapse, assert the canonical text returns — n_restored must
+    equal n_docs. The tag regex ('<[^>]+>') is the crawl-cleanup
+    workhorse; a production pipeline swaps in a real HTML parser for
+    entity handling, the plan shape (map-only regex projection) is
+    identical."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_html_sql(""))
