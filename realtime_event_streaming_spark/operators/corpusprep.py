@@ -399,3 +399,34 @@ def html_strip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical."""
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_html_sql(""))
+
+
+# ---------------------------------------------------------------------------
+# doc-length quantiles per source (length-filter calibration)
+# ---------------------------------------------------------------------------
+
+
+def _len_quantiles_sql(pctl: str) -> str:
+    return f"""
+SELECT source, cast(count(*) AS BIGINT) AS n_docs,
+       round({pctl.format(p='0.5')}, 4) AS p50_chars,
+       round({pctl.format(p='0.9')}, 4) AS p90_chars,
+       round({pctl.format(p='0.99')}, 4) AS p99_chars,
+       cast(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "doc_length_quantiles",
+    _len_quantiles_sql("quantile_cont(n_chars, {p})"),
+    tags=("text", "curation"),
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quantiles (p50/p90/p99/max) — how
+    length-filter thresholds get calibrated per source instead of
+    guessed globally. Exact interpolated percentiles on both engines
+    (Spark `percentile` == DuckDB `quantile_cont`, the pairing proven
+    by `latency_stats`); one scan, per-source sort only."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_len_quantiles_sql("percentile(n_chars, {p})"))

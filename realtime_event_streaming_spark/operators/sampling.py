@@ -143,3 +143,46 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline, every stage oracle-checked end-to-end."""
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_PIPELINE_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (Efraimidis-Spirakis keys, deterministic)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_K = 10
+
+
+def _weighted_sql(t: str) -> str:
+    # u = (h16+1)/65537 in (0,1); E-S key = -ln(u)/w with w = n_chars;
+    # the k smallest keys are a weight-proportional sample without
+    # replacement. Deterministic salt-hash instead of rand() — same
+    # sample on every engine, run and shard layout.
+    h = _H16.format(t=t).replace("md5(cast(doc_id AS", "md5(cast('ws|' || doc_id AS")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         round(-ln(({h} + 1) / cast(65537 AS DOUBLE)) /
+               cast(n_chars AS DOUBLE), 4) AS es_key
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY es_key, doc_id) AS rnk FROM keyed
+)
+SELECT cast(rnk AS BIGINT) AS rnk, doc_id, source,
+       cast(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rnk <= {WEIGHTED_K}
+ORDER BY rnk
+"""
+
+
+@register("weighted_doc_sample", _weighted_sql("VARCHAR"), tags=("sampling",))
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample without replacement (weights = doc
+    length) via deterministic Efraimidis-Spirakis keys: key =
+    -ln(u)/w with u a salted-hash uniform; the k smallest keys are
+    the sample. The importance-sampling primitive behind token-mass-
+    proportional corpus draws, with rand() replaced by the salted hash
+    so every engine and re-run draws the SAME sample. One scan + a
+    top-k (per-partition heaps, no global sort)."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_weighted_sql("STRING"))
