@@ -148,3 +148,18 @@ def test_incremental_dedup_joins_on_hash_only(spark, reg):
     # the scalar-cutoff cross joins are 1-row broadcasts; a nested loop
     # over the corpus would also drop the equi-join asserted above
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_uses_take_ordered(spark, reg):
+    """The E-S weighted draw must plan per-partition heaps
+    (TakeOrderedAndProject), never a global sort of all keys."""
+    plan = _formatted_plan(reg["weighted_doc_sample"].spark_fn(spark, SF), spark)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_snapshot_diff_is_single_key_join(spark, reg):
+    """The snapshot diff must stay one full-outer equi-join on the doc
+    key — a nested loop would mean the join condition degraded."""
+    plan = _formatted_plan(reg["corpus_snapshot_diff"].spark_fn(spark, SF), spark)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin)", plan)
