@@ -101,6 +101,12 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "sequence_pack",
     "dedup_incremental",
     "kmeans_centroids",
+    # -- round-2 sketch family (mergeable-HLL rollup + accuracy
+    #    contracts); reagg_from_minute / embedding_quantize_int8 /
+    #    label_centroid_norms hold round-1 green rows and yielded
+    "reagg_sketch_hourly",
+    "approx_distinct_accuracy",
+    "approx_quantile_accuracy",
     # -- reference query corpus (metrics_queries.sql + dashboards);
     #    throughput_summary / device_breakdown / rollup_5min /
     #    rollup_hourly / recent_activity / event_growth_daily hold
@@ -113,7 +119,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "geo_breakdown",
     "top_pages",
     "minute_rollup",
-    "reagg_from_minute",
     "anomaly_zscore_batch",
     # -- star-schema scale queries
     "pricing_summary",
@@ -137,8 +142,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "ann_bruteforce",
     "embedding_near_dup",
     "ann_ivf_topk",
-    "embedding_quantize_int8",
-    "label_centroid_norms",
 )
 
 
@@ -179,5 +182,6 @@ def load_all() -> dict[str, Query]:
     from .operators import curation  # noqa: F401
     from .operators import chunking  # noqa: F401
     from .operators import corpusprep  # noqa: F401
+    from .operators import sketches  # noqa: F401
 
     return REGISTRY
