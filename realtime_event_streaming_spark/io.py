@@ -123,6 +123,97 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def zorder_value(
+    df: DataFrame, cols: tuple[str, ...], bits: int = 16
+) -> "tuple[DataFrame, str]":
+    """Append a Morton (Z-order) key column interleaving ``cols``.
+
+    Each column is normalized to a ``bits``-bit integer with
+    ``width_bucket`` over its observed min/max (one tiny stats job —
+    this is a write-path operator, eagerness is fine), then the bit
+    planes are interleaved: bit *i* of column *j* lands at position
+    ``i * len(cols) + j``. Rows close in z-value are close in EVERY
+    interleaved dimension, so range-partitioning by the z-key gives
+    parquet files whose min/max stats are tight on all of them at once
+    — multi-dimensional data skipping from one layout, where a plain
+    sort only serves its leading column. Timestamps participate via
+    epoch micros. Returns (df_with_key, key_col_name).
+    """
+    stats = df.select(
+        *[
+            F.min(_zorder_numeric(df, c)).alias(f"_min_{i}")
+            for i, c in enumerate(cols)
+        ],
+        *[
+            F.max(_zorder_numeric(df, c)).alias(f"_max_{i}")
+            for i, c in enumerate(cols)
+        ],
+    ).first()
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        lo = stats[f"_min_{j}"]
+        hi = stats[f"_max_{j}"]
+        if lo is None or hi is None or lo == hi:
+            continue  # constant/empty column contributes no bits
+        v = _zorder_numeric(df, c)
+        # width_bucket yields 1..2^bits (+1 at the exact max) -> 0-based
+        bucket = F.least(
+            F.lit(2**bits - 1),
+            F.width_bucket(
+                v.cast("double"),
+                F.lit(float(lo)),
+                F.lit(float(hi)),
+                F.lit(2**bits),
+            )
+            - 1,
+        ).cast("long")
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, i).bitwiseAND(F.lit(1)), i * k + j
+                )
+            )
+    return df.withColumn("_zorder", z), "_zorder"
+
+
+def _zorder_numeric(df: DataFrame, col: str):
+    """Numeric view of a layout column (timestamps -> epoch micros)."""
+    dt = dict(df.dtypes).get(col, "")
+    if dt.startswith("timestamp"):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    return F.col(col)
+
+
+def write_zorder_table(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, ...],
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` clustered by a Z-order key over ``cols``.
+
+    The 100 TB layout lever beyond single-column sorting: the events
+    table is queried by time range (every reference dashboard query)
+    AND by user (point lookups, GDPR deletes). ``sortWithinPartitions
+    (ts)`` serves only the first; Z-order clustering gives every file
+    tight min/max envelopes on BOTH columns, so either predicate skips
+    most files from footer stats alone — same effect Delta/Iceberg
+    OPTIMIZE ZORDER BY targets, built here from plain repartitionByRange
+    + sort. Skipping ratios are measured (not assumed) in
+    tests/test_layout.py from the written parquet footers.
+    """
+    keyed, zcol = zorder_value(df, cols, bits)
+    (
+        keyed.repartitionByRange(n_files, zcol)
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def _retire_stream_metadata(path: str) -> None:
     """Remove a streaming sink's ``_spark_metadata`` transaction log
     before any batch rewrite of the directory: the log pins the exact
