@@ -4,16 +4,19 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed twice: a warm-up collect (JIT/codegen, file
-footer caches) is NOT what we report — the reported per-query time is
-the second run, matching "steady-state engine throughput" rather than
-JVM startup. Total `value` is the sum of reported query times.
+Each query is executed four times: one warm-up collect (JIT/codegen,
+file footer caches) that is NOT reported, then three timed runs — the
+reported per-query time is the MEDIAN of the three, killing the ±15 %
+single-run jitter that made round-over-round comparisons noisy (judge
+round-2 item 3). Total `value` is the sum of per-query medians.
+Set SPARK_GRAFT_BENCH_RUNS to change the timed-run count.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -33,13 +36,17 @@ def main() -> None:
     reg = load_all()
     headline = {n: q for n, q in reg.items() if q.headline}
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     for name, q in sorted(headline.items()):
         df = q.spark_fn(spark, sf_dir)
         df.collect()  # warm-up: codegen + parquet footers
-        t0 = time.perf_counter()
-        q.spark_fn(spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            q.spark_fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(samples), 4)
 
     out = {
         "metric": "headline_query_wall_sec",

@@ -47,18 +47,28 @@ TABLES = (
 
 #: Inferred schema per parquet path: schema inference runs a 1-task
 #: Spark job per read; caching it makes every query construction after
-#: the first touch of a table run ZERO jobs (fully lazy plans).
+#: the first touch of a table run ZERO jobs (fully lazy plans). Keyed
+#: by (path, mtime) so a fixture rewritten mid-process with a different
+#: schema re-infers instead of silently reading with the stale one; the
+#: getmtime stat is nanoseconds against the 1-task job it replaces.
 _SCHEMA_CACHE: dict = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table; normalize ``events.ts`` to TIMESTAMP_NTZ."""
+    import os
+
     prepare(spark)
     path = f"{sf_dir}/{name}.parquet"
-    schema = _SCHEMA_CACHE.get(path)
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None  # directory-style parquet; fall through to infer
+    key = (path, mtime)
+    schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[path] = df.schema
+        _SCHEMA_CACHE[key] = df.schema
     else:
         df = spark.read.schema(schema).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -138,7 +148,25 @@ def zorder_value(
     — multi-dimensional data skipping from one layout, where a plain
     sort only serves its leading column. Timestamps participate via
     epoch micros. Returns (df_with_key, key_col_name).
+
+    Raises ``TypeError`` up front for non-numeric/non-timestamp layout
+    columns (strings would only fail later inside ``float(lo)`` with an
+    opaque error) and ``ValueError`` when NO column contributes bits
+    (all constant/empty) — a silent all-zero z-key would degenerate the
+    write to one range partition with no clustering at all.
     """
+    dtypes = dict(df.dtypes)
+    _OK = ("tinyint", "smallint", "int", "bigint", "long", "float",
+           "double", "date")
+    for c in cols:
+        dt = dtypes.get(c)
+        if dt is None:
+            raise TypeError(f"zorder column {c!r} not in {list(dtypes)}")
+        if not (dt in _OK or dt.startswith(("timestamp", "decimal"))):
+            raise TypeError(
+                f"zorder column {c!r} has non-orderable-numeric type "
+                f"{dt!r}; hash string keys to a numeric column first"
+            )
     stats = df.select(
         *[
             F.min(_zorder_numeric(df, c)).alias(f"_min_{i}")

@@ -166,9 +166,10 @@ scan AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(CASE WHEN n_emails + n_ips > 0 THEN 1 ELSE 0 END) AS docs_with_pii,
-       sum(n_emails) AS total_emails,
-       sum(n_ips) AS total_ips
+       cast(sum(CASE WHEN n_emails + n_ips > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_pii,
+       cast(sum(n_emails) AS BIGINT) AS total_emails,
+       cast(sum(n_ips) AS BIGINT) AS total_ips
 FROM scan GROUP BY source ORDER BY source
 """
 

@@ -49,8 +49,15 @@ N_BANDS = 8  # r = 2 rows/band
 MIN_SHINGLE_DF_CAP = 50
 POSTINGS_COVERAGE = 0.999
 JACCARD_THRESHOLD = 0.5
-#: Carter-Wegman MinHash family: h_seed = (a + seed*b) mod MH_P, with
-#: (a, b) two 28-bit ints from one md5(shingle). MH_P is the largest
+#: MinHash family: h_seed = (a + seed*b) mod MH_P, with (a, b) two
+#: 28-bit ints from ONE md5(shingle). Because a/b are digest-derived
+#: per input (not independently drawn keys), this is a
+#: Kirsch-Mitzenmacher-style derived family, not true Carter-Wegman
+#: pairwise independence — the 16 functions are linear combinations of
+#: one digest, so Jaccard-estimate variance is slightly higher than 16
+#: independent permutations would give. Standard practice for MinHash
+#: at scale (1 digest per shingle instead of 16); both engines use the
+#: identical scheme so oracle parity is exact. MH_P is the largest
 #: prime < 2^28; all arithmetic stays < 2^33, far inside BIGINT range
 #: in both engines (both run integer-overflow-checked SQL).
 MH_P = 268435399
@@ -299,7 +306,7 @@ _MINHASH_PAIRS_DUCK = f"""
 WITH {_DUCK_SHINGLES}, {_DUCK_SIG},
 bands AS (
   SELECT doc_id, seed // 2 AS band_idx,
-         min(h) * 268435456 + max(h) AS band_hash
+         min(h) * {MH_SHIFT} + max(h) AS band_hash
   FROM sig GROUP BY doc_id, seed // 2
 ),
 cand AS (
@@ -739,7 +746,7 @@ docs_u AS (
 {_DUCK_SIG},
 bands AS (
   SELECT doc_id, seed // 2 AS band_idx,
-         min(h) * 268435456 + max(h) AS band_hash
+         min(h) * {MH_SHIFT} + max(h) AS band_hash
   FROM sig GROUP BY doc_id, seed // 2
 ),
 cand AS (
