@@ -179,11 +179,13 @@ def zorder_value(
     ).first()
     k = len(cols)
     z = F.lit(0).cast("long")
+    n_contributing = 0
     for j, c in enumerate(cols):
         lo = stats[f"_min_{j}"]
         hi = stats[f"_max_{j}"]
         if lo is None or hi is None or lo == hi:
             continue  # constant/empty column contributes no bits
+        n_contributing += 1
         v = _zorder_numeric(df, c)
         # width_bucket yields 1..2^bits (+1 at the exact max) -> 0-based
         bucket = F.least(
@@ -202,6 +204,12 @@ def zorder_value(
                     F.shiftright(bucket, i).bitwiseAND(F.lit(1)), i * k + j
                 )
             )
+    if n_contributing == 0:
+        raise ValueError(
+            f"zorder over {cols}: every column is constant or empty — "
+            "the z-key would be all zeros (one range partition, no "
+            "clustering); pick at least one varying column"
+        )
     return df.withColumn("_zorder", z), "_zorder"
 
 

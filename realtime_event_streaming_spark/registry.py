@@ -172,6 +172,7 @@ def load_all() -> dict[str, Query]:
     from .plans import funnel_queries  # noqa: F401
     from .plans import sql_surface  # noqa: F401
     from .plans import streaming_replay  # noqa: F401
+    from .plans import layout_queries  # noqa: F401
     from .operators import dedup  # noqa: F401
     from .operators import similarity  # noqa: F401
     from .operators import textstats  # noqa: F401
