@@ -430,3 +430,52 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     by `latency_stats`); one scan, per-source sort only."""
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_len_quantiles_sql("percentile(n_chars, {p})"))
+
+
+# ---------------------------------------------------------------------------
+# temperature-based mixture resampling (multilingual-sampling schedule)
+# ---------------------------------------------------------------------------
+
+#: alpha = 0.5 — the sqrt-temperature schedule (mBERT/XLM-R style
+#: exponentiated smoothing of source shares). sqrt is chosen
+#: deliberately over an arbitrary alpha: IEEE-754 sqrt is correctly
+#: rounded in BOTH engines, so the smoothed shares are bit-identical
+#: cross-engine, where pow(x, 0.7) could drift a ulp between libm
+#: implementations and flip a 4-digit rounding.
+
+_TEMP_SQL = """
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+smoothed AS (
+  SELECT source, n_docs,
+         sqrt(cast(n_docs AS DOUBLE)) AS sm,
+         sum(sqrt(cast(n_docs AS DOUBLE))) OVER () AS sm_tot,
+         sum(n_docs) OVER () AS n_tot
+  FROM per_source
+)
+SELECT source,
+       n_docs,
+       round(cast(n_docs AS DOUBLE) / n_tot, 4) AS raw_share,
+       round(sm / sm_tot, 4) AS temp_share,
+       cast(floor(sm / sm_tot * n_tot) AS BIGINT) AS resampled_docs,
+       round((sm / sm_tot) / (cast(n_docs AS DOUBLE) / n_tot), 4)
+         AS boost
+FROM smoothed ORDER BY source
+"""
+
+
+@register("temperature_resample_counts", _TEMP_SQL, tags=("sampling",))
+def temperature_resample_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-smoothed source mixture (alpha=0.5): shares are
+    proportional to sqrt(n_docs), flattening the source distribution —
+    the standard schedule for rebalancing dominant sources in a
+    multilingual/multi-source training mix. Emits raw vs smoothed share,
+    the resampled per-source budget at constant corpus size, and the
+    boost factor a weighted sampler must apply. Pure aggregate math on
+    a per-source census: one scan, a |sources|-row window — nothing
+    here grows with corpus size."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_TEMP_SQL)

@@ -205,3 +205,108 @@ def reagg_sketch_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch as pure DataFrame ops (mergeable heavy-hitter counts)
+# ---------------------------------------------------------------------------
+
+#: CMS geometry: D independent hash rows x W buckets. W is deliberately
+#: SMALL relative to the key cardinality (~150 users at sf0.01) so
+#: bucket collisions actually occur and the overestimate property is
+#: exercised, not vacuous. Hash = md5(seed || ':' || key) truncated to
+#: 28 bits, mod W — identical integer arithmetic in both engines (the
+#: MinHash digest idiom, dedup.py).
+CMS_D = 4
+CMS_W = 64
+CMS_TOPK = 10
+
+_CMS_DUCK = f"""
+WITH seeds AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS seed),
+hashed AS (
+  SELECT seed,
+         ('0x' || substr(md5(concat(cast(seed AS VARCHAR), ':',
+                                    cast(user_id AS VARCHAR))), 1, 7)
+         )::BIGINT % {CMS_W} AS bucket
+  FROM events, seeds
+),
+sketch AS (
+  SELECT seed, bucket, count(*) AS c FROM hashed GROUP BY seed, bucket
+),
+exact AS (
+  SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id
+  ORDER BY exact_cnt DESC, user_id LIMIT {CMS_TOPK}
+),
+probe AS (
+  SELECT e.user_id, e.exact_cnt, min(s.c) AS est
+  FROM exact e, seeds sd
+  JOIN sketch s
+    ON s.seed = sd.seed
+   AND s.bucket = ('0x' || substr(md5(concat(cast(sd.seed AS VARCHAR), ':',
+                                             cast(e.user_id AS VARCHAR))), 1, 7)
+                  )::BIGINT % {CMS_W}
+  GROUP BY e.user_id, e.exact_cnt
+)
+SELECT user_id, exact_cnt,
+       cast(est AS BIGINT) AS cms_est,
+       round((est - exact_cnt) * 100.0 / exact_cnt, 4) AS over_pct
+FROM probe ORDER BY exact_cnt DESC, user_id
+"""
+
+
+@register("cms_heavy_hitters", _CMS_DUCK, tags=("sketch",))
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built entirely from DataFrame ops: explode D
+    seed rows per event, hash to W buckets, count — the sketch IS a
+    (seed, bucket, count) frame of at most D*W rows, regardless of
+    input size. Estimates for the top-{CMS_TOPK} users are the min
+    over the D bucket counts; CMS guarantees est >= exact with
+    overestimate bounded by collisions, and because both engines run
+    the identical deterministic hash, the oracle pins the ESTIMATES
+    themselves, not just bound flags.
+
+    100 TB design: the sketch is fixed-size and MERGEABLE — per-
+    partition partial counts combine by addition (ordinary map-side
+    combine), per-day sketches combine to monthly by summing bucket
+    counts, exactly like the HLL rollup above. Probing joins the
+    broadcast (D*W)-row sketch; nothing driver-side. This is the
+    heavy-hitter / frequency-census primitive (reference's per-page
+    counters generalized to keys too numerous for exact counting)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    seed = F.explode(
+        F.array(*[F.lit(i) for i in range(CMS_D)])
+    ).alias("seed")
+    bucket_expr = (
+        "cast(conv(substr(md5(concat(cast(seed as string), ':', "
+        f"cast(user_id as string))), 1, 7), 16, 10) as bigint) % {CMS_W}"
+    )
+    hashed = ev.select("user_id", seed).select(
+        "seed", F.expr(bucket_expr).alias("bucket")
+    )
+    sketch = hashed.groupBy("seed", "bucket").agg(F.count("*").alias("c"))
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(CMS_TOPK)
+    )
+    probes = exact.select("user_id", "exact_cnt", seed).select(
+        "user_id", "exact_cnt", "seed", F.expr(bucket_expr).alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            F.round(
+                (F.col("cms_est") - F.col("exact_cnt"))
+                * 100.0
+                / F.col("exact_cnt"),
+                4,
+            ).alias("over_pct"),
+        )
+        .orderBy(F.desc("exact_cnt"), "user_id")
+    )

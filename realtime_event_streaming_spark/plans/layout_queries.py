@@ -86,7 +86,7 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
-@register("zorder_pruned_scan", _ZORDER_DUCK, tags=("layout",))
+@register("zorder_pruned_scan", _ZORDER_DUCK, headline=True, tags=("layout",))
 def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-dimensional pruned scan over a Z-ordered copy of events.
 

@@ -163,3 +163,36 @@ def test_snapshot_diff_is_single_key_join(spark, reg):
     plan = _formatted_plan(reg["corpus_snapshot_diff"].spark_fn(spark, SF), spark)
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin)", plan)
+
+
+def test_zorder_scan_pushes_both_predicates(spark, reg):
+    """The registered Z-order query's whole point is footer skipping:
+    both the ts range and the user_id range must reach the parquet
+    scan as pushed filters (a function-wrapped column would evaluate
+    post-scan and skip nothing)."""
+    plan = _formatted_plan(
+        reg["zorder_pruned_scan"].spark_fn(spark, SF), spark
+    )
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(ts", plan)
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(user_id", plan)
+
+
+def test_cms_probe_broadcasts_the_sketch(spark, reg):
+    """The CMS probe must join the (<= D*W)-row sketch broadcast —
+    shuffling the sketch would serialize the fixed-size state through
+    a full exchange for no reason."""
+    plan = _formatted_plan(
+        reg["cms_heavy_hitters"].spark_fn(spark, SF), spark
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quality_classifier_broadcasts_weights_no_udf(spark, reg):
+    """Model inference = broadcast weight lookup inside codegen: the
+    weights join must be broadcast and the plan must contain no Python
+    evaluation node (the scoring is pure built-in expressions)."""
+    plan = _formatted_plan(
+        reg["quality_classifier_scores"].spark_fn(spark, SF), spark
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
