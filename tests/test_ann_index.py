@@ -1,0 +1,77 @@
+"""Materialized ANN index: build-once / probe-O(batch) invariants.
+
+The registered `ann_ivf_kmeans_topk` trains inline every run; the
+index API amortizes that training into parquet tables. These tests pin
+the contract the similarity docstrings promise: a probe against the
+materialized index (a) finds an indexed vector as its own top-1 at
+cosine 1.0, (b) is deterministic across probes, and (c) equals the
+inline IVF query's results for the same nprobe/topk once self-matches
+are removed — i.e. materialization changes WHERE the work happens,
+never the answer.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from realtime_event_streaming_spark.io import load_table
+from realtime_event_streaming_spark.operators.similarity import (
+    N_QUERIES,
+    ann_ivf_kmeans_topk,
+    probe_ann_index,
+    write_ann_index,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _queries(spark):
+    return (
+        load_table(spark, SF, "embeddings")
+        .where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("v"))
+    )
+
+
+def test_probe_finds_self_and_is_deterministic(spark, tmp_path):
+    path = str(tmp_path / "ann_index")
+    write_ann_index(spark, SF, path)
+    res = probe_ann_index(spark, path, _queries(spark)).collect()
+    # (a) every indexed query's nearest neighbor is itself at cos 1.0
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == N_QUERIES
+    for qid, rows in by_q.items():
+        top = min(rows, key=lambda r: r.rank)
+        assert top.neighbor_id == qid and top.cosine == 1.0, (qid, top)
+    # (b) deterministic across probes
+    again = probe_ann_index(spark, path, _queries(spark)).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, again))
+
+
+def test_probe_matches_inline_ivf_query(spark, tmp_path):
+    path = str(tmp_path / "ann_index2")
+    write_ann_index(spark, SF, path)
+    probed = probe_ann_index(spark, path, _queries(spark))
+    # drop self-matches and re-rank to align with the inline query's
+    # self-exclusion semantics
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    probed_noself = (
+        probed.where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+    inline = (
+        ann_ivf_kmeans_topk(spark, SF)
+        .where(F.col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+    assert sorted(map(tuple, probed_noself.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
