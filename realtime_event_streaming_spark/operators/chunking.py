@@ -131,3 +131,52 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus size because no state crosses shard boundaries."""
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_pack_sql("size", "split"))
+
+
+def _pack_eff_sql(len_fn: str, split_fn: str) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {len_fn}({split_fn}(text, ' ')) AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT source, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tok_before
+  FROM toks
+),
+seqs AS (
+  SELECT source,
+         cast(floor(tok_before / cast({SEQ_LEN} AS DOUBLE)) AS BIGINT)
+           AS seq_idx,
+         cast(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM cum GROUP BY 1, 2
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_sequences,
+       cast(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(cast(sum(n_tokens) AS DOUBLE)
+             / (count(*) * {SEQ_LEN}), 4) AS fill_rate,
+       cast(sum(CASE WHEN n_tokens > {SEQ_LEN} THEN n_tokens - {SEQ_LEN}
+                     ELSE 0 END) AS BIGINT) AS overflow_tokens
+FROM seqs GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "packing_efficiency",
+    _pack_eff_sql("len", "string_split"),
+    tags=("chunking",),
+)
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing QA over `sequence_pack`'s output grain: sequences per
+    source, fill rate (tokens per {SEQ_LEN}-token slot — the utilization
+    number every packing job reports; < 1.0 means padding waste), and
+    overflow tokens (a document straddling a boundary contributes its
+    tail to the NEXT slot; the overflow census quantifies how much
+    truncation a no-straddle packer would pay instead). Same single
+    window + bounded group-by as the packer itself — the QA pass costs
+    one more tiny aggregation, not a second corpus scan."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_pack_eff_sql("size", "split"))

@@ -479,3 +479,63 @@ def temperature_resample_counts(
     here grows with corpus size."""
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_TEMP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve (tokenizer-budget design)
+# ---------------------------------------------------------------------------
+
+#: Coverage checkpoints: what fraction of all token OCCURRENCES the
+#: top-N vocabulary entries cover. The knee of this curve is how
+#: tokenizer vocab budgets are chosen.
+_COVERAGE_NS = (10, 100, 1000)
+
+
+def _coverage_sql(explode_clause: str) -> str:
+    ns = ", ".join(str(n) for n in _COVERAGE_NS)
+    return f"""
+WITH tok AS (
+  SELECT {explode_clause} AS t FROM documents
+),
+counts AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+),
+ranked AS (
+  SELECT c,
+         row_number() OVER (ORDER BY c DESC, t) AS rnk,
+         sum(c) OVER (ORDER BY c DESC, t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_c,
+         sum(c) OVER () AS tot_c,
+         count(*) OVER () AS n_vocab
+  FROM counts
+)
+SELECT cast(vocab_size AS BIGINT) AS vocab_size,
+       cast(max(n_vocab) AS BIGINT) AS distinct_tokens,
+       round(max(CASE WHEN rnk <= vocab_size
+                      THEN cast(cum_c AS DOUBLE) / tot_c END), 4)
+         AS coverage
+FROM ranked
+CROSS JOIN (SELECT {_COVERAGE_NS[0]} AS vocab_size UNION ALL
+            SELECT {_COVERAGE_NS[1]} UNION ALL
+            SELECT {_COVERAGE_NS[2]}) sizes
+GROUP BY vocab_size ORDER BY vocab_size
+"""
+
+
+@register(
+    "vocab_coverage_curve",
+    _coverage_sql("unnest(string_split(text, ' '))"),
+    tags=("corpusprep", "text"),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-occurrence coverage of the top-{{10,100,1000}} vocabulary
+    entries — the curve a tokenizer budget is read off. One token
+    census (the same shuffle `vocab_top_bigrams` pays — distinct
+    tokens, not occurrences, cross the wire thanks to partial
+    aggregation), one global rank/cumsum window over the VOCABULARY
+    (O(distinct tokens), fine single-partition at any corpus size for
+    natural-language vocabularies), then a 3-row checkpoint join.
+    Deterministic ties: (count DESC, token)."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_coverage_sql("explode(split(text, ' '))"))

@@ -110,11 +110,13 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "temperature_resample_counts",
     "join_skew_diagnostics",
     "salted_user_enrich",
+    "packing_efficiency",
+    "vocab_coverage_curve",
     # -- flagship re-confirmations (all hold green rows from r1/r2;
-    #    they fill the remaining 24 slots per the rotation policy)
-    "throughput_per_minute",
+    #    they fill the remaining 22 slots per the rotation policy;
+    #    throughput_per_minute / data_freshness yielded their slots
+    #    this round — both r1+r2 green)
     "latency_stats",
-    "data_freshness",
     "geo_breakdown",
     "top_pages",
     "minute_rollup",
