@@ -11,7 +11,10 @@ StreamJob.java:102-108). Four families:
 
 Cross-engine determinism: content hashes are ``md5`` rendered as
 lowercase hex *strings* (identical in Spark and DuckDB). MinHash uses a
-Carter-Wegman family over ONE md5 per shingle: two 28-bit integers are
+Kirsch-Mitzenmacher-style derived family over ONE md5 per shingle
+(h_i = a + i*b with (a, b) digest-derived per-input — the functions are
+linearly dependent, standard practice for MinHash but weaker than
+independent permutations): two 28-bit integers are
 parsed from the digest (Spark ``conv(hex,16,10)``, DuckDB
 ``('0x'||hex)::BIGINT`` — verified to agree) and
 ``h_seed = (a + seed*b) mod P`` supplies all N_HASHES functions. One
@@ -89,9 +92,11 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form MinHash signature table (doc_id, seed, h).
 
-    Carter-Wegman family: h_seed(doc) = min over shingles of
-    ``(ha + seed*hb) mod MH_P`` with (ha, hb) parsed from ONE
-    md5(shingle) digest.
+    Kirsch-Mitzenmacher-derived family: h_seed(doc) = min over shingles
+    of ``(ha + seed*hb) mod MH_P`` with (ha, hb) parsed from ONE
+    md5(shingle) digest (seed 0 is just ha mod MH_P; the 16 functions
+    are linearly dependent — the standard KM composition trade-off, not
+    a true independent Carter-Wegman draw).
 
     Single-pass plan: one row per (doc, shingle) carrying (ha, hb),
     reduced by N_HASHES parallel integer ``min`` aggregates in ONE
@@ -332,7 +337,7 @@ def signature_arrays_of(docs: DataFrame) -> DataFrame:
     — the reusable core of ``minhash_signature_arrays``, also used by
     the incremental admission path over a corpus+batch union.
 
-    One md5 per shingle row; the Carter-Wegman mix
+    One md5 per shingle row; the Kirsch-Mitzenmacher mix
     ``(ha + seed*hb) mod MH_P`` generates all N_HASHES functions as
     integer arithmetic inside one whole-stage-codegen'd aggregate
     (measured 1.8x faster than 16 independent md5-min aggregates at
