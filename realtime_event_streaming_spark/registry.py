@@ -163,6 +163,7 @@ def load_all() -> dict[str, Query]:
     """Import every module that registers queries; return the registry."""
     from .plans import reference_queries  # noqa: F401
     from .plans import star_queries  # noqa: F401
+    from .plans import star_queries2  # noqa: F401
     from .plans import analytics_extras  # noqa: F401
     from .plans import behavior_queries  # noqa: F401
     from .plans import funnel_queries  # noqa: F401
