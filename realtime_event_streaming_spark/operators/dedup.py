@@ -775,7 +775,12 @@ GROUP BY tot.batch_docs
 """
 
 
-@register("dedup_incremental_minhash", _INC_MINHASH_DUCK, tags=("dedup",))
+@register(
+    "dedup_incremental_minhash",
+    _INC_MINHASH_DUCK,
+    headline=True,  # the O(batch) admission path users run at scale
+    tags=("dedup",),
+)
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup admission: the incoming snapshot (top 10%
     of doc ids + planted modified re-sends of every {mod}th corpus doc

