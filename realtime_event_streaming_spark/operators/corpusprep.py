@@ -17,9 +17,10 @@ empty-vs-empty trap).
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..io import register_views
+from ..io import load_table, register_views
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -539,3 +540,68 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic ties: (count DESC, token)."""
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_coverage_sql("explode(split(text, ' '))"))
+
+
+# ---------------------------------------------------------------------------
+# quality-stratified corpus binning (ntile calibration)
+# ---------------------------------------------------------------------------
+
+_N_QUARTILES = 4
+
+_QUARTILE_DUCK = f"""
+WITH scored AS (
+  SELECT source, doc_id,
+         len(string_split(text, ' ')) AS n_tokens, n_chars,
+         ntile({_N_QUARTILES}) OVER (
+           PARTITION BY source ORDER BY len(string_split(text, ' ')), doc_id
+         ) AS quartile
+  FROM documents
+)
+SELECT source, quartile,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(min(n_tokens) AS BIGINT) AS min_tokens,
+       cast(max(n_tokens) AS BIGINT) AS max_tokens,
+       round(avg(cast(n_chars AS DOUBLE)), 2) AS avg_chars
+FROM scored
+GROUP BY source, quartile
+ORDER BY source, quartile
+"""
+
+
+@register(
+    "quality_quartile_mix", _QUARTILE_DUCK, tags=("corpusprep", "sampling")
+)
+def quality_quartile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality quartiles via ``ntile`` — the stratified
+    binning a curation pipeline runs to calibrate per-source filters
+    (absolute thresholds over-prune short-form sources and under-prune
+    long-form ones; within-source quartiles are the standard
+    normalization). Token count is the stand-in quality score; the
+    ordering ties break on doc_id so both engines assign identical
+    buckets (ntile's earlier-buckets-get-the-remainder rule is the
+    same in Spark and DuckDB given a total order).
+
+    Scale notes (100 TB): the window partitions by source — each
+    partition is one source's docs, the same distribution unit every
+    per-source operator here shuffles by; no global sort, no single
+    partition. The rollup after it is O(sources x {_N_QUARTILES})."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split("text", " "))
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    scored = docs.select(
+        "source", "doc_id", n_tokens.alias("n_tokens"), "n_chars"
+    ).withColumn("quartile", F.ntile(_N_QUARTILES).over(w))
+    return (
+        scored.groupBy("source", "quartile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 2).alias(
+                "avg_chars"
+            ),
+        )
+        .orderBy("source", "quartile")
+    )

@@ -900,3 +900,128 @@ def probe_dedup_index(
         .na.fill({"near_dup": False})
         .select("doc_id", "exact_dup", "near_dup")
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup census (CCNet/RefinedWeb line-dedup analog)
+# ---------------------------------------------------------------------------
+
+#: fixed paragraph width in tokens. The fixture corpus is flat
+#: word-soup (no newlines), so "paragraph" = consecutive non-overlapping
+#: 8-token windows — the deterministic stand-in for newline-split lines;
+#: on real crawl text the splitter swaps for split(text, '\n') with the
+#: census unchanged.
+PARA_TOKENS = 8
+#: a doc whose duplicated-paragraph fraction exceeds this is the
+#: would-be-removed boilerplate candidate (CCNet drops the dup lines
+#: themselves; the census counts both grains).
+PARA_DUP_DOC_FRAC = 0.5
+
+_PARA_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+),
+chunks AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(c), 1, 14))::BIGINT AS cid
+  FROM toks,
+       UNNEST(list_transform(
+         generate_series(0, (len(tk) - 1) // {PARA_TOKENS}),
+         i -> array_to_string(
+           tk[i * {PARA_TOKENS} + 1 : i * {PARA_TOKENS} + {PARA_TOKENS}],
+           ' '))) AS u(c)
+),
+freq AS (SELECT cid, count(*) AS df FROM chunks GROUP BY cid),
+per_doc AS (
+  SELECT c.doc_id, c.source,
+         count(*) AS n_chunks,
+         sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS dup_chunks
+  FROM chunks c JOIN freq f ON c.cid = f.cid
+  GROUP BY c.doc_id, c.source
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(n_chunks) AS BIGINT) AS total_paras,
+       cast(sum(dup_chunks) AS BIGINT) AS dup_paras,
+       round(avg(cast(dup_chunks AS DOUBLE) / n_chunks), 4) AS avg_dup_frac,
+       cast(sum(CASE WHEN cast(dup_chunks AS DOUBLE) / n_chunks
+                          > {PARA_DUP_DOC_FRAC}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_dup_docs
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("paragraph_dedup_census", _PARA_DUCK, tags=("dedup",))
+def paragraph_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain duplicate census — the line-level dedup stage of
+    CCNet/RefinedWeb-style crawl pipelines, at the grain BETWEEN
+    whole-doc hashing (`dedup_exact_*`) and near-dup similarity
+    (`dedup_minhash_lsh`): boilerplate headers/footers repeat across
+    documents whose full texts are unique. Paragraphs are
+    non-overlapping {PARA_TOKENS}-token windows (the fixture corpus
+    has no newlines; see PARA_TOKENS); each is fingerprinted to a
+    56-bit md5-prefix integer, counted corpus-wide, and every doc gets
+    its duplicated-paragraph fraction; the census rolls up per source
+    with the would-be-filtered doc count (frac > {PARA_DUP_DOC_FRAC}).
+
+    Scale notes (100 TB): the paragraph-hash group-by is the one big
+    shuffle, keyed by a 56-bit integer (not paragraph text — bytes
+    shuffled are O(16/paragraph), the standard fingerprinting trade);
+    the frequency join shuffles on the same key so AQE reuses the
+    exchange; per-doc and per-source rollups are bounded. This is the
+    exact plan shape of a production line-dedup pass, which would add
+    a min(doc_id) per cid to pick surviving copies — same shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunk_expr = (
+        f"transform(sequence(0, cast(floor((size(tk) - 1) / {PARA_TOKENS}) "
+        f"as int)), i -> concat_ws(' ', slice(tk, i * {PARA_TOKENS} + 1, "
+        f"{PARA_TOKENS})))"
+    )
+    # Materialize the fingerprint table once: both consumers (the
+    # corpus-wide frequency agg and the per-doc join) would otherwise
+    # re-explode the text. At warehouse scale this is an explicit
+    # (doc_id, cid) paragraph-index table; in-query, a local checkpoint
+    # carrying 16 bytes/paragraph instead of the text.
+    chunks = (
+        docs.select("doc_id", "source", F.split("text", " ").alias("tk"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(chunk_expr)).alias("c"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                "cast(conv(substr(md5(c), 1, 14), 16, 10) as bigint)"
+            ).alias("cid"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    freq = chunks.groupBy("cid").agg(F.count("*").alias("df"))
+    per_doc = (
+        chunks.join(freq, "cid")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("df") > 1, 1).otherwise(0)
+            ).alias("dup_chunks"),
+        )
+    )
+    frac = F.col("dup_chunks").cast("double") / F.col("n_chunks")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chunks").cast("bigint").alias("total_paras"),
+            F.sum("dup_chunks").cast("bigint").alias("dup_paras"),
+            F.round(F.avg(frac), 4).alias("avg_dup_frac"),
+            F.sum(
+                F.when(frac > PARA_DUP_DOC_FRAC, 1).otherwise(0)
+            ).cast("bigint").alias("high_dup_docs"),
+        )
+        .orderBy("source")
+    )

@@ -288,3 +288,84 @@ def test_probe_dedup_near_side_is_semi_join(spark, reg):
     left-semi join into the band index (existence, not enumeration)."""
     plan = _formatted_plan(reg["probe_dedup_index"].spark_fn(spark, SF), spark)
     assert re.search(r"LeftSemi", plan)
+
+
+# ---------------------------------------------------------------------------
+# star_queries3 (round-5 additions) — Q2/Q11/Q13/Q19 shapes
+# ---------------------------------------------------------------------------
+
+
+def test_q2_window_is_per_part_and_part_filters_push(spark, reg):
+    """Q2's min-cost window partitions by l_partkey (bounded groups —
+    NO single-partition exchange anywhere), and both part predicates
+    push to the part scan; lineitem is scanned exactly once."""
+    plan = _formatted_plan(reg["min_cost_supplier"].spark_fn(spark, SF), spark)
+    assert plan.count("SinglePartition") == 0
+    assert re.search(r"PushedFilters:.*EqualTo\(p_type,STANDARD\)", plan)
+    assert re.search(r"PushedFilters:.*LessThanOrEqual\(p_size,10\)", plan)
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q11_single_fact_scan_with_bounded_scalar_window(spark, reg):
+    """Q11's share-of-total threshold must NOT re-derive the aggregate
+    (the naive scalar crossJoin scanned lineitem twice — caught during
+    this query's construction): one fact scan, with the total coming
+    from the one single-partition window over the grouped per-part
+    rows."""
+    plan = _formatted_plan(
+        reg["important_parts_by_value"].spark_fn(spark, SF), spark
+    )
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("SinglePartition") == 1
+
+
+def test_q13_preserves_outer_join(spark, reg):
+    """Q13's histogram needs the 0-orders bucket: the customer-orders
+    join must stay LeftOuter (the priority exclusion lives in the join
+    condition; a WHERE would degrade it to inner and drop the
+    bucket)."""
+    plan = _formatted_plan(
+        reg["customer_order_distribution"].spark_fn(spark, SF), spark
+    )
+    assert "LeftOuter" in plan
+
+
+def test_q19_or_brackets_push_to_both_scans(spark, reg):
+    """Q19's OR-of-conjunctions: Catalyst must extract the common
+    disjuncts per side — the brand/size disjunction reaches the part
+    scan and the quantity disjunction reaches the lineitem scan as
+    pushed filters (without extraction both scans read everything and
+    the predicate evaluates only post-join)."""
+    plan = _formatted_plan(reg["brackets_revenue"].spark_fn(spark, SF), spark)
+    assert re.search(r"PushedFilters:.*Or\(.*EqualTo\(p_brand,Brand#1\)", plan)
+    assert re.search(r"PushedFilters:.*Or\(.*l_quantity", plan)
+
+
+def test_paragraph_census_single_text_scan(spark, reg):
+    """The paragraph census must explode the corpus text ONCE (the
+    fingerprint table is checkpoint-shared by the frequency agg and
+    the per-doc join — two Generate nodes would mean the 100 TB text
+    is scanned twice)."""
+    plan = _formatted_plan(
+        reg["paragraph_dedup_census"].spark_fn(spark, SF), spark
+    )
+    assert plan.count("documents.parquet") <= 1
+
+
+def test_bloom_prefilter_broadcasts_bitset_and_semi_joins(spark, reg):
+    """The bloom census must broadcast BOTH small sides (the <=512-row
+    bitset for the probe and the dim for the exact column) — the fact
+    table must never be the build side — and the exact comparison must
+    plan as a left-semi join."""
+    plan = _formatted_plan(reg["bloom_prefilter_join"].spark_fn(spark, SF), spark)
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+    assert re.search(r"LeftSemi", plan)
+
+
+def test_quality_quartile_window_partitions_by_source(spark, reg):
+    """The ntile stratification must window per source — a global
+    (single-partition) ntile would serialize the corpus through one
+    task."""
+    plan = _formatted_plan(reg["quality_quartile_mix"].spark_fn(spark, SF), spark)
+    assert plan.count("SinglePartition") == 0
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
