@@ -605,3 +605,160 @@ def quality_quartile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "quartile")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training steps (vocab induction beyond counting)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 2
+#: merged symbols join with '+' (corpus tokens are plain words, so the
+#: marker cannot collide with an existing token)
+_BPE_SEP = "+"
+
+
+def _duck_bpe_round(n: int) -> str:
+    """One BPE merge round as DuckDB CTEs over toks{n-1} -> toks{n}.
+
+    pairs: each position with its successor token (lead); top: the
+    single most frequent adjacent pair with t1 <> t2 (ties broken
+    lexically); merged: greedy left-to-right application — because
+    t1 <> t2 two matches can never overlap, so "apply" is just: flagged
+    positions become the joined symbol, the successor of a flagged
+    position is dropped."""
+    p = n - 1
+    return f"""
+pairs{n} AS (
+  SELECT doc_id, pos, t,
+         lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS tn
+  FROM toks{p}
+),
+top{n} AS (
+  SELECT t AS a, tn AS b, count(*) AS cnt
+  FROM pairs{n} WHERE tn IS NOT NULL AND t <> tn
+  GROUP BY t, tn
+  ORDER BY cnt DESC, t, tn LIMIT 1
+),
+flagged{n} AS (
+  SELECT p.doc_id, p.pos, p.t,
+         (p.t = top{n}.a AND p.tn = top{n}.b) AS hit,
+         lag(p.t = top{n}.a AND p.tn = top{n}.b)
+           OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS consumed
+  FROM pairs{n} p, top{n}
+),
+toks{n} AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+         CASE WHEN hit THEN (SELECT a || '{_BPE_SEP}' || b FROM top{n})
+              ELSE t END AS t
+  FROM flagged{n}
+  WHERE consumed IS NULL OR NOT consumed
+)"""
+
+
+_BPE_DUCK = f"""
+WITH toks0 AS (
+  SELECT doc_id, i AS pos, tk[i] AS t
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       UNNEST(generate_series(1, len(tk))) AS g(i)
+),
+{_duck_bpe_round(1)},
+{_duck_bpe_round(2)}
+SELECT step, merged_pair, n_merges, corpus_tokens_after
+FROM (
+  SELECT 1 AS step, (SELECT a || '{_BPE_SEP}' || b FROM top1) AS merged_pair,
+         (SELECT cast(cnt AS BIGINT) FROM top1) AS n_merges,
+         (SELECT cast(count(*) AS BIGINT) FROM toks1) AS corpus_tokens_after
+  UNION ALL
+  SELECT 2, (SELECT a || '{_BPE_SEP}' || b FROM top2),
+         (SELECT cast(cnt AS BIGINT) FROM top2),
+         (SELECT cast(count(*) AS BIGINT) FROM toks2)
+)
+ORDER BY step
+"""
+
+
+def _bpe_round(toks: DataFrame):
+    """One Spark BPE round: returns (top-pair 1-row DF, merged toks)."""
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.withColumn("tn", F.lead("t").over(wd))
+    top = (
+        pairs.where(F.col("tn").isNotNull() & (F.col("t") != F.col("tn")))
+        .groupBy(F.col("t").alias("a"), F.col("tn").alias("b"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "a", "b")
+        .limit(1)
+    )
+    flagged = pairs.crossJoin(F.broadcast(top)).select(
+        "doc_id",
+        "pos",
+        "t",
+        "a",
+        "b",
+        ((F.col("t") == F.col("a")) & (F.col("tn") == F.col("b"))).alias("hit"),
+    )
+    flagged = flagged.withColumn("consumed", F.lag("hit").over(wd))
+    merged = (
+        flagged.where(F.col("consumed").isNull() | ~F.col("consumed"))
+        .select(
+            "doc_id",
+            F.row_number().over(wd).alias("pos"),
+            F.when(
+                F.col("hit"), F.concat("a", F.lit(_BPE_SEP), "b")
+            ).otherwise(F.col("t")).alias("t"),
+        )
+    )
+    return top, merged
+
+
+@register("bpe_merge_steps", _BPE_DUCK, tags=("corpusprep", "text"))
+def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_BPE_ROUNDS} unrolled BPE merge-training rounds over the corpus
+    token stream — the induction step a tokenizer trainer runs, not
+    just the counting pass (`vocab_top_bigrams`): find the most
+    frequent adjacent pair, MERGE every occurrence into one symbol,
+    recount on the merged stream, repeat. Restricting candidate pairs
+    to t1 <> t2 (documented deviation from byte-level BPE, where
+    same-symbol runs need run-length tie rules) makes greedy
+    left-to-right application overlap-free, so the merge is two
+    windows per round: lead() to flag pair heads, lag() to drop
+    consumed successors. Ties break (count DESC, a, b) so both
+    engines pick the identical pair every round.
+
+    Output: per round, the merged pair, how many merges applied, and
+    the corpus token count after — the compression trajectory.
+
+    Scale notes (100 TB): every window partitions by doc_id (bounded
+    by document length); the pair census is the same
+    partial-agg-then-shuffle as any bigram count (distinct pairs cross
+    the wire, not occurrences); the 1-row winner broadcasts. A real
+    trainer runs hundreds of rounds — each is this same bounded plan,
+    and production BPE trainers batch rounds exactly because each is a
+    full corpus pass (documented cost, not hidden)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "t")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
+    steps = []
+    for step in range(1, _BPE_ROUNDS + 1):
+        top, toks = _bpe_round(toks)
+        # one lazy plan per round's summary row; localCheckpoint shares
+        # the merged stream between this round's count and next round's
+        # pair census (each round is one corpus pass, like a real
+        # trainer)
+        toks = toks.localCheckpoint(eager=False)
+        summary = F.broadcast(top).crossJoin(
+            toks.agg(F.count("*").cast("bigint").alias("corpus_tokens_after"))
+        ).select(
+            F.lit(step).alias("step"),
+            F.concat("a", F.lit(_BPE_SEP), "b").alias("merged_pair"),
+            F.col("cnt").cast("bigint").alias("n_merges"),
+            "corpus_tokens_after",
+        )
+        steps.append(summary)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("step")

@@ -98,6 +98,7 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "paragraph_dedup_census",
     "bloom_prefilter_join",
     "quality_quartile_mix",
+    "bpe_merge_steps",
     # -- the 19 queries that got their first driver rows in r4 (judge
     #    r2 "What's missing" item 1)
     "ann_ivf_kmeans_topk",
@@ -144,7 +145,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_survivors_cc",
     "ann_bruteforce",
-    "ann_ivf_topk",
 )
 
 
