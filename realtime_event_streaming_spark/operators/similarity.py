@@ -911,3 +911,109 @@ def probe_ann_index(
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# contrastive triplet mining (anchor, hardest positive, hardest negative)
+# ---------------------------------------------------------------------------
+
+N_TRIPLET_ANCHORS = 20
+
+_TRIPLET_DUCK = f"""
+WITH {_DUCK_VECTORS},
+a AS (
+  SELECT vec_id AS a_id, label AS a_label, v AS av, norm AS anorm
+  FROM vecs WHERE vec_id < {N_TRIPLET_ANCHORS}
+),
+scored AS (
+  SELECT a.a_id, a.a_label, c.vec_id AS c_id, c.label AS c_label,
+         round(list_dot_product(a.av, c.v) / (a.anorm * c.norm), 4) AS cosine
+  FROM a JOIN vecs c ON c.vec_id <> a.a_id
+),
+pos AS (
+  SELECT a_id, c_id AS pos_id, cosine AS pos_cos FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY a_id ORDER BY cosine DESC, c_id) AS rn
+    FROM scored WHERE c_label = a_label
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT a_id, c_id AS neg_id, cosine AS neg_cos FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY a_id ORDER BY cosine DESC, c_id) AS rn
+    FROM scored WHERE c_label <> a_label
+  ) WHERE rn = 1
+)
+SELECT pos.a_id AS anchor_id, pos_id, pos_cos, neg_id, neg_cos,
+       round(pos_cos - neg_cos, 4) AS margin
+FROM pos JOIN neg ON pos.a_id = neg.a_id
+ORDER BY anchor_id
+"""
+
+
+@register("contrastive_triplets", _TRIPLET_DUCK, tags=("similarity",))
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for contrastive embedding fine-tuning: per
+    anchor, the hardest positive (most-similar same-label vector) and
+    the HARDEST negative (most-similar different-label vector — the
+    semi-hard/hard mining strategy triplet-loss training uses; easy
+    negatives produce no gradient) plus the margin between them.
+
+    Plan shape: the {N_TRIPLET_ANCHORS}-row anchor set broadcasts into
+    one scored pass over the corpus (another bounded cross join — the
+    anchor side is fixed-size by construction), then two per-anchor
+    row_number windows pick the extremes. At 100 TB the scored pass
+    mines from the IVF index's probed cells instead of the full corpus
+    (`probe_ann_index` is exactly that candidate generator); the
+    full-scan form here is the labeled-recall baseline, like
+    `ann_bruteforce`."""
+    vecs = _vectors(spark, sf_dir)
+    anchors = vecs.where(F.col("vec_id") < N_TRIPLET_ANCHORS).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("av"),
+        F.col("norm").alias("anorm"),
+    )
+    cand = vecs.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="av", b="cv")) / (F.col("anorm") * F.col("cnorm")),
+        4,
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(anchors))
+        .where(F.col("c_id") != F.col("a_id"))
+        .select("a_id", "a_label", "c_id", "c_label", cos.alias("cosine"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cosine"), "c_id")
+    pos = (
+        scored.where(F.col("c_label") == F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("a_id", F.col("c_id").alias("pos_id"),
+                F.col("cosine").alias("pos_cos"))
+    )
+    neg = (
+        scored.where(F.col("c_label") != F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("a_id").alias("n_id"), F.col("c_id").alias("neg_id"),
+                F.col("cosine").alias("neg_cos"))
+    )
+    return (
+        pos.join(neg, pos.a_id == neg.n_id)
+        .select(
+            F.col("a_id").alias("anchor_id"),
+            "pos_id",
+            "pos_cos",
+            "neg_id",
+            "neg_cos",
+            F.round(F.col("pos_cos") - F.col("neg_cos"), 4).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )

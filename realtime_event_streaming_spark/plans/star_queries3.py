@@ -289,3 +289,82 @@ def brackets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape — suppliers solely responsible for returns
+# ---------------------------------------------------------------------------
+
+_Q21_DUCK = """
+WITH fl AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+multi AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) >= 2
+)
+SELECT s_name, cast(count(*) AS BIGINT) AS numwait
+FROM fl
+JOIN supplier ON fl.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM multi m WHERE m.l_orderkey = fl.l_orderkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM fl o
+    WHERE o.l_orderkey = fl.l_orderkey AND o.l_suppkey <> fl.l_suppkey
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@register("sole_return_suppliers", _Q21_DUCK, tags=("star",))
+def sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS correlated on the SAME
+    derived fact — the supplier is blamed when its lines were returned
+    in a multi-supplier order and NO other supplier's lines were. The
+    spec's l_receiptdate > l_commitdate lateness predicate maps to
+    l_returnflag = 'R' (this schema has no receipt/commit dates).
+
+    Expressed as Spark's decorrelation would: the EXISTS is a
+    left-SEMI join against the multi-supplier order list, the NOT
+    EXISTS a left-ANTI join against other-supplier flagged lines of
+    the same order (equi on l_orderkey + the <> residual — stays a
+    hash-joinable shape, asserted in test_plan_properties). Both sides
+    shuffle on the natural l_orderkey key; supplier broadcasts under
+    AQE; top-20 is TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    fl = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .where(F.col("ns") >= 2)
+        .select(F.col("l_orderkey").alias("m_ok"))
+    )
+    others = fl.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    blamed = (
+        fl.join(multi, F.col("l_orderkey") == F.col("m_ok"), "left_semi")
+        .join(
+            others,
+            (F.col("l_orderkey") == F.col("o_ok"))
+            & (F.col("l_suppkey") != F.col("o_sk")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(
+            _t(spark, sf_dir, "supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

@@ -99,6 +99,8 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "bloom_prefilter_join",
     "quality_quartile_mix",
     "bpe_merge_steps",
+    "contrastive_triplets",
+    "sole_return_suppliers",
     # -- the 19 queries that got their first driver rows in r4 (judge
     #    r2 "What's missing" item 1)
     "ann_ivf_kmeans_topk",
@@ -143,8 +145,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "anomaly_zscore_batch",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_survivors_cc",
-    "ann_bruteforce",
 )
 
 

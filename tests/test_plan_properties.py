@@ -369,3 +369,15 @@ def test_quality_quartile_window_partitions_by_source(spark, reg):
     plan = _formatted_plan(reg["quality_quartile_mix"].spark_fn(spark, SF), spark)
     assert plan.count("SinglePartition") == 0
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+
+
+def test_q21_plans_semi_plus_anti_join(spark, reg):
+    """Q21's EXISTS/NOT EXISTS pair must plan as a left-semi join (the
+    multi-supplier order list) plus a left-anti join (other-supplier
+    flagged lines) — both hash-joinable on l_orderkey, never a
+    nested-loop; top-20 is TakeOrderedAndProject."""
+    plan = _formatted_plan(reg["sole_return_suppliers"].spark_fn(spark, SF), spark)
+    assert re.search(r"LeftSemi", plan)
+    assert re.search(r"LeftAnti", plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
