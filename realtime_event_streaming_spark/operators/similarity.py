@@ -1017,3 +1017,149 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component via unrolled power iteration (whitening trainer)
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 2
+
+
+def _duck_pca_round(n: int, prev_v: str) -> str:
+    """One power-iteration round as DuckDB CTEs: score every centered
+    vector against v_{n-1}, accumulate score-weighted coordinates per
+    dimension, normalize to unit length, round like the k-means
+    rounds so the next iteration starts from bit-identical inputs."""
+    return f"""
+sc{n} AS (
+  SELECT c.vec_id, round(list_dot_product(c.cv, {prev_v}.v), 4) AS s
+  FROM centered c, {prev_v}
+),
+acc{n} AS (
+  SELECT i, sum(sc{n}.s * c.cv[i]) AS w
+  FROM centered c JOIN sc{n} ON c.vec_id = sc{n}.vec_id,
+       UNNEST(generate_series(1, {_DIM})) AS g(i)
+  GROUP BY i
+),
+nrm{n} AS (SELECT sqrt(sum(w * w)) AS nw FROM acc{n}),
+v{n} AS (
+  SELECT list(round(w / nw, 4) ORDER BY i) AS v, round(max(nw), 4) AS ev
+  FROM acc{n}, nrm{n}
+)"""
+
+
+_PCA_DUCK = f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+mu AS (
+  SELECT i, round(avg(v[i]), 4) AS m
+  FROM vecs, UNNEST(generate_series(1, {_DIM})) AS g(i)
+  GROUP BY i
+),
+muv AS (SELECT list(m ORDER BY i) AS mv FROM mu),
+centered AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {_DIM}),
+                        i -> v[i] - mv[i]) AS cv
+  FROM vecs, muv
+),
+n0 AS (
+  SELECT sqrt(list_dot_product(cv, cv)) AS nw FROM centered WHERE vec_id = 0
+),
+v0 AS (
+  SELECT list_transform(cv, x -> round(x / nw, 4)) AS v
+  FROM centered, n0 WHERE vec_id = 0
+),
+{_duck_pca_round(1, "v0")},
+{_duck_pca_round(2, "v1")}
+SELECT i AS dim,
+       round((SELECT v FROM v2)[i], 4) AS loading,
+       (SELECT ev FROM v2) AS eigenvalue
+FROM UNNEST(generate_series(1, {_DIM})) AS g(i)
+ORDER BY dim
+"""
+
+
+@register("pca_power_iteration", _PCA_DUCK, tags=("similarity",))
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus via {PCA_ITERS}
+    unrolled power iterations — the training step of PCA
+    whitening/dim-reduction, expressed relationally like the k-means
+    trainer: mean-center, score each vector against the current
+    direction, accumulate score-weighted coordinates per dimension,
+    normalize. Deterministic init (the centered first vector,
+    normalized); every round's scores/components round to 4dp so both
+    engines iterate from bit-identical inputs (the `kmeans_centroids`
+    convention); eigenvalue estimate = the last round's accumulator
+    norm. Sign follows the init vector deterministically.
+
+    Scale notes (100 TB): per round the plan is one posexplode of the
+    centered vectors -> a {_DIM}-group sum (partial map-side, {_DIM}
+    rows shuffle) -> a 1-row broadcast of the new direction; cost is
+    O(corpus x dim) per round, the same class as one k-means
+    assignment pass, and rounds are a small constant (production
+    whitening runs a handful). The mean vector is itself a {_DIM}-row
+    aggregate broadcast back — no driver-side linear algebra."""
+    vecs = _vectors(spark, sf_dir).select("vec_id", "v")
+    pos = vecs.select("vec_id", F.posexplode("v").alias("i0", "x"))
+    mu = pos.groupBy("i0").agg(F.round(F.avg("x"), 4).alias("m"))
+    muv = F.broadcast(
+        mu.groupBy().agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i0, m))), e -> e.m)"
+            ).alias("mv")
+        )
+    )
+    centered = vecs.crossJoin(muv).select(
+        "vec_id",
+        F.expr("zip_with(v, mv, (a, b) -> a - b)").alias("cv"),
+    ).localCheckpoint(eager=False)
+    first = centered.where(F.col("vec_id") == 0).select("cv")
+    v_cur = F.broadcast(
+        first.select(
+            F.expr(
+                f"transform(cv, x -> round(x / sqrt({_DOT.format(a='cv', b='cv')}), 4))"
+            ).alias("v")
+        )
+    )
+    ev_col = None
+    for _ in range(PCA_ITERS):
+        scored = centered.crossJoin(v_cur).select(
+            "vec_id",
+            "cv",
+            F.round(F.expr(_DOT.format(a="cv", b="v")), 4).alias("s"),
+        )
+        acc = (
+            scored.select("s", F.posexplode("cv").alias("i0", "x"))
+            .groupBy("i0")
+            .agg(F.sum(F.col("s") * F.col("x")).alias("w"))
+        )
+        v_cur = F.broadcast(
+            acc.groupBy().agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i0, w))), e -> e.w)"
+                ).alias("wv")
+            ).select(
+                F.expr(
+                    f"transform(wv, x -> round(x / sqrt({_DOT.format(a='wv', b='wv')}), 4))"
+                ).alias("v"),
+                F.round(
+                    F.expr(f"sqrt({_DOT.format(a='wv', b='wv')})"), 4
+                ).alias("ev"),
+            )
+        )
+        ev_col = True
+    dims = vecs.sparkSession.range(1, _DIM + 1).select(
+        F.col("id").cast("int").alias("dim")
+    )
+    return (
+        dims.crossJoin(v_cur)
+        .select(
+            "dim",
+            F.round(F.expr("element_at(v, dim)"), 4).alias("loading"),
+            F.col("ev").alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )

@@ -101,6 +101,7 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "bpe_merge_steps",
     "contrastive_triplets",
     "sole_return_suppliers",
+    "pca_power_iteration",
     # -- the 19 queries that got their first driver rows in r4 (judge
     #    r2 "What's missing" item 1)
     "ann_ivf_kmeans_topk",
@@ -144,7 +145,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "minute_rollup",
     "anomaly_zscore_batch",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
 )
 
 
