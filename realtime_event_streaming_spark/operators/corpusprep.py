@@ -749,13 +749,24 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pair census (each round is one corpus pass, like a real
         # trainer)
         toks = toks.localCheckpoint(eager=False)
-        summary = F.broadcast(top).crossJoin(
+        # LEFT join from the always-1-row count aggregate so a round
+        # with NO eligible pair (degenerate corpus) still emits its
+        # step row with NULL merged_pair/n_merges — matching the
+        # oracle's UNION-of-literal-rows, whose scalar subqueries over
+        # an empty top{n} yield NULL (round-5 ADVICE: the engines
+        # previously disagreed on empty input).
+        summary = (
             toks.agg(F.count("*").cast("bigint").alias("corpus_tokens_after"))
-        ).select(
-            F.lit(step).alias("step"),
-            F.concat("a", F.lit(_BPE_SEP), "b").alias("merged_pair"),
-            F.col("cnt").cast("bigint").alias("n_merges"),
-            "corpus_tokens_after",
+            .join(F.broadcast(top), F.lit(True), "left")
+            .select(
+                F.lit(step).alias("step"),
+                F.when(
+                    F.col("a").isNotNull(),
+                    F.concat("a", F.lit(_BPE_SEP), "b"),
+                ).alias("merged_pair"),
+                F.col("cnt").cast("bigint").alias("n_merges"),
+                "corpus_tokens_after",
+            )
         )
         steps.append(summary)
     out = steps[0]

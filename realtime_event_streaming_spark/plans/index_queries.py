@@ -32,7 +32,9 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 import pyspark.sql.functions as F
@@ -70,7 +72,16 @@ def _index_path(spark: SparkSession, sf_dir: str, kind: str, builder) -> str:
     if path and os.path.isdir(path):
         return path
     path = tempfile.mkdtemp(prefix=f"rtes_{kind}_index_")
-    builder(spark, sf_dir, path)
+    # A failed build must not leave a partial index dir behind, and a
+    # successful one is process-scoped scratch — remove it at exit so
+    # repeated driver/test processes don't accumulate /tmp dirs
+    # (round-5 ADVICE).
+    try:
+        builder(spark, sf_dir, path)
+    except BaseException:
+        shutil.rmtree(path, ignore_errors=True)
+        raise
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     _INDEX_CACHE[key] = path
     return path
 

@@ -146,7 +146,7 @@ WITH natparts AS (
 total AS (SELECT sum(part_value) AS tv FROM natparts)
 SELECT l_partkey AS p_partkey, part_value
 FROM natparts, total
-WHERE part_value > tv * {_Q11_FRACTION}
+WHERE part_value > round(tv * {_Q11_FRACTION}, 2)
 ORDER BY part_value DESC, p_partkey
 LIMIT 30
 """
@@ -184,7 +184,12 @@ def important_parts_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     tv = F.sum("part_value").over(Window.partitionBy())
     return (
         natparts.withColumn("tv", tv)
-        .where(F.col("part_value") > F.col("tv") * _Q11_FRACTION)
+        # Round the scalar threshold (not just the per-part values)
+        # before comparing: tv is a sum of doubles, so its low-order
+        # bits can differ with partition/summation order; an unrounded
+        # threshold could flip a part sitting exactly on the boundary
+        # between engines (round-5 ADVICE).
+        .where(F.col("part_value") > F.round(F.col("tv") * _Q11_FRACTION, 2))
         .select(F.col("l_partkey").alias("p_partkey"), "part_value")
         .orderBy(F.desc("part_value"), "p_partkey")
         .limit(30)
