@@ -376,6 +376,61 @@ def compact_partition(
     return n_files
 
 
+def compact_index_table(
+    spark: SparkSession,
+    path: str,
+    partition_col: str | None = None,
+    target_file_mb: int = 128,
+) -> dict[str, int]:
+    """Compact an append-maintained parquet index table in place.
+
+    Incremental index maintenance (``operators.dedup.merge_dedup_index``
+    / ``operators.similarity.merge_ann_index``) appends one file set per
+    admitted batch; left alone, a nightly admission cycle accumulates
+    O(batches) small files and probe-side scans degrade. This is the
+    background-merge step (the analogue of ClickHouse's part merges the
+    reference relies on, sql/clickhouse_tables.sql:33 SummingMergeTree
+    semantics): rewrite the table into size-targeted files —
+    per-partition-value files when ``partition_col`` is set (each probe
+    prunes to its partition dirs, so one well-sized file per value is
+    the read-optimal layout), else ceil(bytes/target) files.
+
+    Same crash-safe two-rename swap as ``compact_partition``: readers
+    never see the in-flight copy (dot-prefixed dirs are invisible to
+    Spark's file index), and an interrupted swap is restored on the
+    next run. Returns ``{"files_before": b, "files_after": a}``.
+    """
+    import math
+    import shutil
+    from pathlib import Path
+
+    root = Path(path)
+    tmp = root.parent / f".compact_tmp_{root.name}"
+    old = root.parent / f".compact_old_{root.name}"
+    if not root.exists() and old.exists():
+        old.rename(root)
+    files_before = len(list(root.rglob("*.parquet")))
+    df = spark.read.parquet(str(root))
+    if partition_col is not None:
+        writer = (
+            df.repartition(partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+        )
+    else:
+        size = sum(f.stat().st_size for f in root.rglob("*.parquet"))
+        n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+        writer = df.repartition(n_files).write.mode("overwrite")
+    writer.parquet(str(tmp))
+    if old.exists():
+        shutil.rmtree(old)
+    root.rename(old)
+    tmp.rename(root)
+    shutil.rmtree(old)
+    files_after = len(list(root.rglob("*.parquet")))
+    return {"files_before": files_before, "files_after": files_after}
+
+
 def expire_old_partitions(
     spark: SparkSession, path: str, cutoff_month: str
 ) -> list[str]:

@@ -902,6 +902,33 @@ def probe_dedup_index(
     )
 
 
+def merge_dedup_index(
+    spark: SparkSession, path: str, batch: DataFrame
+) -> None:
+    """Incremental index MAINTENANCE: append an admitted batch into an
+    existing materialized index, so tomorrow's batch is checked against
+    today's admissions too — without this the build-once index goes
+    stale after one cycle (the exact analog of the reference's
+    insert-time MV maintenance, sql/clickhouse_tables.sql:75-85: each
+    insert block writes its partial state immediately; background
+    merges compact).
+
+    Appends are O(batch): one hash row and 8 band rows per admitted
+    doc, written into the same partition layout the probe prunes by.
+    Run ``io.compact_index_table`` periodically to fold the per-batch
+    file sets into per-partition files (the background-merge step).
+    ``probe_dedup_index`` needs no change: it reads whatever state the
+    index tables hold, and its DISTINCT on the hash/band sets makes
+    re-admitting an already-indexed doc idempotent for probe results."""
+    batch = batch.localCheckpoint(eager=False)
+    batch.select("doc_id", F.md5("text").alias("h")).write.mode(
+        "append"
+    ).parquet(f"{path}/content_hash")
+    band_table_of(signature_arrays_of(batch)).write.mode(
+        "append"
+    ).partitionBy("band_idx").parquet(f"{path}/minhash_bands")
+
+
 # ---------------------------------------------------------------------------
 # paragraph-level dedup census (CCNet/RefinedWeb line-dedup analog)
 # ---------------------------------------------------------------------------

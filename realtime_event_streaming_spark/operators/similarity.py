@@ -913,6 +913,44 @@ def probe_ann_index(
     )
 
 
+def merge_ann_index(
+    spark: SparkSession, path: str, batch: DataFrame
+) -> None:
+    """Incremental index MAINTENANCE: append newly admitted vectors
+    into an existing materialized IVF index. Each batch vector is
+    assigned to its nearest EXISTING centroid (same rounded-distance +
+    cid tiebreak as training, so an exact duplicate of an indexed
+    vector always lands in its source's cell) and appended to the
+    cid-partitioned postings; centroids are NOT retrained — the
+    standard IVF append discipline (FAISS add-after-train): assignment
+    quality drifts as the distribution moves, and the periodic
+    rebuild/compaction cycle (``write_ann_index`` +
+    ``io.compact_index_table``) restores it. Cost is O(batch x K):
+    K broadcast centroids scored per batch vector, then an O(batch)
+    partitioned append — never a corpus rescan.
+
+    ``batch`` must carry (vec_id, v); vec_ids must not collide with
+    indexed ones (the probe's ranks treat ids as identity)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    b = batch.select(
+        "vec_id", F.expr("transform(v, x -> cast(x AS DOUBLE))").alias("v")
+    )
+    cells = (
+        _kmeans_rank(b, cents)
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    withnorm = b.select(
+        "vec_id", "v", F.sqrt(F.expr(_DOT.format(a="v", b="v"))).alias("norm")
+    )
+    (
+        withnorm.join(cells, "vec_id")
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(f"{path}/postings")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contrastive triplet mining (anchor, hardest positive, hardest negative)
 # ---------------------------------------------------------------------------

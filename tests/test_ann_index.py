@@ -75,3 +75,41 @@ def test_probe_matches_inline_ivf_query(spark, tmp_path):
     assert sorted(map(tuple, probed_noself.collect())) == sorted(
         map(tuple, inline.collect())
     )
+
+
+def test_merge_appends_searchable_vectors_and_compaction_is_invisible(
+    spark, tmp_path
+):
+    """ANN maintenance round trip: an exact copy of an indexed vector
+    merged under a new id must surface in its source's probes at
+    cosine 1.0 (the append landed in the right cell), and compacting
+    the postings changes file counts, never answers."""
+    from realtime_event_streaming_spark.io import compact_index_table
+    from realtime_event_streaming_spark.operators.similarity import (
+        merge_ann_index,
+    )
+
+    path = str(tmp_path / "ann_index")
+    write_ann_index(spark, SF, path)
+    src = 3
+    batch = (
+        load_table(spark, SF, "embeddings")
+        .where(F.col("vec_id") == src)
+        .select(F.lit(9999).alias("vec_id"), F.col("embedding").alias("v"))
+    )
+    pre_ids = {
+        r.neighbor_id
+        for r in probe_ann_index(spark, path, _queries(spark)).collect()
+    }
+    assert 9999 not in pre_ids
+
+    merge_ann_index(spark, path, batch)
+    post = probe_ann_index(spark, path, _queries(spark)).collect()
+    hits = [r for r in post if r.neighbor_id == 9999]
+    assert hits and all(r.cosine == 1.0 for r in hits if r.query_id == src)
+    assert any(r.query_id == src for r in hits)
+
+    stats = compact_index_table(spark, f"{path}/postings", "cid")
+    assert stats["files_after"] < stats["files_before"]
+    again = probe_ann_index(spark, path, _queries(spark)).collect()
+    assert sorted(map(tuple, post)) == sorted(map(tuple, again))

@@ -43,3 +43,68 @@ def test_index_probe_classifies_exact_near_and_fresh(spark, tmp_path):
         9002: (False, True),
         9003: (False, False),
     }
+
+
+def test_merge_then_probe_flags_new_batch(spark, tmp_path):
+    """Maintenance round trip: a novel page is invisible to the base
+    index, admitted via merge, then its re-send flags on BOTH
+    detectors — the index no longer goes stale after one cycle."""
+    from realtime_event_streaming_spark.operators.dedup import (
+        merge_dedup_index,
+    )
+
+    path = str(tmp_path / "index")
+    write_dedup_index(spark, SF, path)
+    novel = spark.createDataFrame(
+        [(9100, " ".join(f"m{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    pre = probe_dedup_index(spark, path, novel).collect()[0]
+    assert (pre.exact_dup, pre.near_dup) == (False, False)
+
+    merge_dedup_index(spark, path, novel)
+    resend = novel.select((F.col("doc_id") + 1).alias("doc_id"), "text")
+    post = probe_dedup_index(spark, path, resend).collect()[0]
+    assert (post.exact_dup, post.near_dup) == (True, True)
+
+
+def test_compact_reduces_files_and_preserves_probe(spark, tmp_path):
+    """Compaction is the background-merge step: after several appended
+    batches it folds the per-batch file sets into per-partition files
+    WITHOUT changing any probe answer."""
+    from realtime_event_streaming_spark.io import compact_index_table
+    from realtime_event_streaming_spark.operators.dedup import (
+        merge_dedup_index,
+    )
+
+    path = str(tmp_path / "index")
+    write_dedup_index(spark, SF, path)
+    for k in range(3):
+        batch = spark.createDataFrame(
+            [(9200 + k, " ".join(f"c{k}t{i}" for i in range(20)))],
+            "doc_id long, text string",
+        )
+        merge_dedup_index(spark, path, batch)
+
+    probe = spark.createDataFrame(
+        [
+            (9300, " ".join(f"c1t{i}" for i in range(20))),  # merged batch
+            (9301, " ".join(f"zz{i}" for i in range(20))),  # novel
+        ],
+        "doc_id long, text string",
+    )
+    before = sorted(
+        map(tuple, probe_dedup_index(spark, path, probe).collect())
+    )
+    stats_bands = compact_index_table(
+        spark, f"{path}/minhash_bands", "band_idx"
+    )
+    stats_hash = compact_index_table(spark, f"{path}/content_hash")
+    assert stats_bands["files_after"] < stats_bands["files_before"]
+    assert stats_hash["files_after"] < stats_hash["files_before"]
+    after = sorted(
+        map(tuple, probe_dedup_index(spark, path, probe).collect())
+    )
+    assert before == after
+    by_id = {r[0]: r[1:] for r in after}
+    assert by_id[9300] == (True, True) and by_id[9301] == (False, False)
