@@ -34,11 +34,12 @@ def test_registry_count_matches_docs():
     )
 
 
-def test_oracle_coverage_is_total_minus_streaming_replay():
+def test_oracle_coverage_is_total():
     reg = load_all()
     no_oracle = sorted(n for n, q in reg.items() if q.oracle is None)
-    # The ONLY rows-only query is the streaming replay (non-SQL by
-    # design, proven by stream==batch reconciliation instead). Adding
-    # another oracle-less query requires updating this list — i.e. an
+    # Since round 6 EVERY registered query is oracle-gated — the
+    # streaming replay's input is a committed deterministic fixture
+    # both engines read, so even it has a value-level oracle. Adding
+    # an oracle-less query requires updating this list — i.e. an
     # explicit decision, not an accident.
-    assert no_oracle == ["streaming_rollup_replay"], no_oracle
+    assert no_oracle == [], no_oracle

@@ -353,3 +353,40 @@ def test_clickgen_deterministic_and_weighted(spark):
     # referrer chain: a non-'/' referrer must equal SOME page value
     pages_set = {p for p, _ in Counter(r.page for r in a).items()}
     assert {r.referrer for r in a} <= pages_set | {"/"}
+
+
+def test_committed_replay_fixture_matches_generator(spark, tmp_path):
+    """The committed wire fixture (the replay oracle's input) is
+    exactly what the seeded generator emits — regenerate it and compare
+    bytes, so fixture and generator can never drift apart."""
+    from realtime_event_streaming_spark.plans.streaming_replay import (
+        FIXTURE_DIR,
+    )
+    from realtime_event_streaming_spark.sources.clickgen import (
+        generate_clicks,
+        write_stream_fixture,
+    )
+
+    out = str(tmp_path / "regen")
+    clicks = generate_clicks(spark, n_events=2000, n_users=100, rate_per_sec=5)
+    write_stream_fixture(clicks, out, n_files=4)
+    import os
+
+    regen = sorted(
+        p for p in os.listdir(out)
+        if p.startswith("part-") and not p.endswith(".crc")
+    )
+    committed = sorted(p.name for p in FIXTURE_DIR.glob("part-*.txt"))
+    assert len(committed) == 4
+    # Compare the CONCATENATION in part order (= arrival order): the
+    # event stream is what the oracle and the replay consume; the
+    # per-file SPLIT may shift with session shuffle settings earlier
+    # tests leave behind (repartitionByRange samples boundaries), and
+    # the finalized-window answer is split-invariant.
+    regen_bytes = b"".join(
+        open(os.path.join(out, p), "rb").read() for p in regen
+    )
+    committed_bytes = b"".join(
+        (FIXTURE_DIR / p).read_bytes() for p in committed
+    )
+    assert regen_bytes == committed_bytes
