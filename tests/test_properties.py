@@ -98,3 +98,27 @@ def test_minhash_estimator_bounds(texts):
                 # disjoint sets agree on a hash only via md5 prefix
                 # collision — astronomically unlikely at this size
                 assert est == 0.0
+
+
+def test_bpe_run_round_merges_floor_half_per_run(spark):
+    """Run-length greedy semantics (byte-level BPE): in
+    'a a a a b a a' the winning pair (a,a) has 4 overlapping
+    occurrences but applies only 3 merges — floor(4/2)=2 in the first
+    run, floor(2/2)=1 in the second — yielding 'a+a a+a b a+a'."""
+    import pyspark.sql.functions as F
+
+    from realtime_event_streaming_spark.operators.corpusprep import (
+        _bpe_run_round,
+    )
+
+    toks = spark.createDataFrame(
+        [(1, i + 1, t) for i, t in enumerate("a a a a b a a".split())],
+        "doc_id long, pos long, t string",
+    )
+    top, keep, merged = _bpe_run_round(toks)
+    trow = top.collect()[0]
+    assert (trow.a, trow.b, trow.cnt) == ("a", "a", 4)
+    n_merges = keep.where("head").count()
+    assert n_merges == 3
+    out = [r.t for r in merged.orderBy("pos").collect()]
+    assert out == ["a+a", "a+a", "b", "a+a"]
