@@ -122,3 +122,27 @@ def test_bpe_run_round_merges_floor_half_per_run(spark):
     assert n_merges == 3
     out = [r.t for r in merged.orderBy("pos").collect()]
     assert out == ["a+a", "a+a", "b", "a+a"]
+
+
+def test_pca_topk_basis_properties(spark):
+    """Deflation must produce an orthonormal basis: every component
+    unit-norm and pairwise dots ~0 at the engine's rounding — the
+    structural point of top-k PCA beyond the single direction."""
+    from realtime_event_streaming_spark.operators.similarity import (
+        PCA_TOPK,
+        pca_topk_components,
+    )
+
+    rows = pca_topk_components(spark, "/root/testdata/sf0.001").collect()
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r.component, {})[r.dim] = r.loading
+    assert sorted(by_c) == list(range(1, PCA_TOPK + 1))
+    vecs = {c: [d[i] for i in sorted(d)] for c, d in by_c.items()}
+    for c, v in vecs.items():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-3, (c, "norm")
+    for a in vecs:
+        for b in vecs:
+            if a < b:
+                dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+                assert abs(dot) < 1e-3, (a, b, dot)
