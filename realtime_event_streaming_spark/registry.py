@@ -172,6 +172,7 @@ def load_all() -> dict[str, Query]:
     from .plans import star_queries  # noqa: F401
     from .plans import star_queries2  # noqa: F401
     from .plans import star_queries3  # noqa: F401
+    from .plans import star_queries4  # noqa: F401
     from .plans import analytics_extras  # noqa: F401
     from .plans import behavior_queries  # noqa: F401
     from .plans import funnel_queries  # noqa: F401

@@ -430,3 +430,41 @@ def test_aqe_skew_join_rescue_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_discount_uplift_pushes_all_predicates(spark, reg):
+    """Q6 shape promise: ship-date range, discount band, and quantity
+    cap ALL reach the parquet scan; no join anywhere in the plan."""
+    plan = _formatted_plan(reg["discount_uplift"].spark_fn(spark, SF), spark)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    blob = " ".join(pushed)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in blob, (frag, blob)
+    assert "Join" not in plan
+
+
+def test_idle_customer_balance_plans_anti_join(spark, reg):
+    """Q22 shape promise: NOT EXISTS becomes a LeftAnti hash join and
+    the orders side is pruned to o_custkey at the scan."""
+    plan = _formatted_plan(
+        reg["idle_customer_balance"].spark_fn(spark, SF), spark
+    )
+    assert "LeftAnti" in plan, plan
+    orders_reads = [
+        ln for ln in plan.splitlines()
+        if "ReadSchema" in ln and "o_custkey" in ln
+    ]
+    assert any(
+        "o_orderdate" not in ln and "o_totalprice" not in ln
+        for ln in orders_reads
+    ), orders_reads
+
+
+def test_dominant_part_suppliers_broadcasts_dims(spark, reg):
+    """Q20 shape promise: part/supplier/nation broadcast; the only
+    shuffled joins key on the fact aggregate's own l_partkey."""
+    plan = _formatted_plan(
+        reg["dominant_part_suppliers"].spark_fn(spark, SF), spark
+    )
+    assert plan.count("BroadcastHashJoin") >= 3, plan
