@@ -373,3 +373,140 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_SNAP_DIFF_SQL)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed n-gram importance resampling)
+# ---------------------------------------------------------------------------
+
+#: Hashed-unigram feature space size. DSIR (Xie et al. 2023, "Data
+#: Selection for Language Models via Importance Resampling") uses 10^4
+#: buckets at web scale; the fixture corpus is small so 2^10 keeps
+#: per-bucket counts dense. The bucket table ALWAYS broadcasts.
+DSIR_BUCKETS = 1024
+#: The "target domain" anchor: DSIR reweights raw data toward a
+#: high-quality target (Wikipedia in the paper). The fixture's sources
+#: are synthetic peers, so the first source bucket stands in as the
+#: target — the estimator is source-agnostic.
+DSIR_TARGET = "src0"
+
+_DSIR_DUCK = f"""
+WITH b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(tok), 1, 14))::BIGINT % {DSIR_BUCKETS} AS bk
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+),
+stats AS (
+  SELECT bk,
+         sum(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN source <> '{DSIR_TARGET}' THEN 1 ELSE 0 END) AS cr
+  FROM b GROUP BY bk
+),
+tot AS (
+  SELECT sum(ct) AS tn, sum(cr) AS rn FROM stats
+),
+llr AS (
+  SELECT bk,
+         round(ln((ct + 1.0) / (tn + {DSIR_BUCKETS}))
+             - ln((cr + 1.0) / (rn + {DSIR_BUCKETS})), 6) AS w
+  FROM stats, tot
+),
+docw AS (
+  SELECT b.doc_id, b.source,
+         round(sum(l.w) / count(*), 4) AS logw
+  FROM b JOIN llr l USING (bk)
+  GROUP BY b.doc_id, b.source
+),
+gm AS (SELECT round(avg(logw), 4) AS g FROM docw)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       round(avg(logw), 4) AS avg_logw,
+       round(max(logw), 4) AS max_logw,
+       cast(sum(CASE WHEN logw > g THEN 1 ELSE 0 END) AS BIGINT)
+         AS selected_docs
+FROM docw, gm
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("dsir_importance_weights", _DSIR_DUCK, tags=("curation", "sampling"))
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every raw doc
+    by how much more likely its hashed-unigram bag is under the target
+    domain's unigram model than under the raw pool's —
+    log w(d) = mean over tokens of ln(p_target(bk)/p_raw(bk)) with
+    add-1 smoothing over {DSIR_BUCKETS} md5-hashed buckets (per-TOKEN
+    mean, not the paper's raw sum — the raw sum is monotone in doc
+    length on this corpus, which would make "selected" a length
+    filter; the mean scores domain affinity at any length). Docs
+    above the corpus-mean weight are the selected half; the census
+    reports per-source mean/max weight and that selected count (the
+    resampling step itself is ``sampling.weighted_doc_sample`` /
+    ``temperature_resample_counts`` on these weights).
+
+    Determinism: bucket = 56-bit md5 prefix mod {DSIR_BUCKETS}
+    (identical integer in both engines); per-bucket log-ratios are
+    rounded to 6 dp before the per-doc sum, per-doc sums to 4 dp
+    before any comparison or average, so summation order cannot flip
+    the selected-count threshold.
+
+    Scale notes (100 TB): the token->bucket projection shuffles ONLY
+    16-byte bucket ids keyed by {DSIR_BUCKETS} values (bounded, dense
+    — no skew); the bucket model is a <={DSIR_BUCKETS}-row table that
+    broadcasts into a map-side join; the per-doc sum is the one
+    corpus-sized shuffle, keyed by doc_id. In the paper's setting the
+    target n-gram counts come from a SMALL curated corpus — that side
+    gets its own scan; both model tables still broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        docs.select(
+            "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                f"cast(conv(substr(md5(tok), 1, 14), 16, 10) as bigint) "
+                f"% {DSIR_BUCKETS}"
+            ).alias("bk"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    is_t = F.col("source") == DSIR_TARGET
+    stats = b.groupBy("bk").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("cr"),
+    )
+    tot = stats.agg(
+        F.sum("ct").alias("tn"), F.sum("cr").alias("rn")
+    )
+    # 1-row totals broadcast onto the bounded bucket table.
+    llr = stats.crossJoin(F.broadcast(tot)).select(
+        "bk",
+        F.round(
+            F.log((F.col("ct") + 1.0) / (F.col("tn") + DSIR_BUCKETS))
+            - F.log((F.col("cr") + 1.0) / (F.col("rn") + DSIR_BUCKETS)),
+            6,
+        ).alias("w"),
+    )
+    docw = (
+        b.join(F.broadcast(llr), "bk")
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.sum("w") / F.count("*"), 4).alias("logw"))
+    )
+    gm = docw.agg(F.round(F.avg("logw"), 4).alias("g"))
+    return (
+        docw.crossJoin(F.broadcast(gm))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("logw"), 4).alias("avg_logw"),
+            F.round(F.max("logw"), 4).alias("max_logw"),
+            F.sum(F.when(F.col("logw") > F.col("g"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("selected_docs"),
+        )
+        .orderBy("source")
+    )

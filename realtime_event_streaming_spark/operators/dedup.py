@@ -1052,3 +1052,191 @@ def paragraph_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# repeated-substring census (ExactSubstr-style span detection)
+# ---------------------------------------------------------------------------
+
+#: Sliding-window width in tokens (stride 1 — OVERLAPPING, unlike the
+#: non-overlapping PARA_TOKENS chunks above). A run of R consecutive
+#: duplicated windows inside one doc certifies a repeated substring of
+#: R + SPAN_W - 1 tokens, the relational approximation of the
+#: suffix-array ExactSubstr pass of Lee et al. 2021 ("Deduplicating
+#: Training Data Makes Language Models Better") — a true suffix array
+#: is pointer-chasing and does not distribute; stride-1 fingerprints
+#: find the same spans at >= SPAN_W tokens with O(tokens) work.
+SPAN_W = 6
+#: A doc whose longest certified span reaches this many tokens is the
+#: ExactSubstr removal candidate (Lee et al. cut at 50 BPE tokens; the
+#: fixture corpus is tiny so the census threshold is lower).
+LONG_SPAN_TOKENS = 10
+
+_SPAN_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+),
+wins AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(
+            array_to_string(tk[i + 1 : i + {SPAN_W}], ' ')), 1, 14))::BIGINT
+           AS fid
+  FROM toks, UNNEST(generate_series(0, len(tk) - {SPAN_W})) AS g(i)
+  WHERE len(tk) >= {SPAN_W}
+),
+freq AS (SELECT fid, count(*) AS df FROM wins GROUP BY fid),
+j AS (
+  SELECT w.doc_id, w.pos, f.df FROM wins w JOIN freq f USING (fid)
+),
+per_win AS (
+  SELECT doc_id, count(*) AS n_wins,
+         sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_wins
+  FROM j GROUP BY doc_id
+),
+isl AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM j WHERE df >= 2
+),
+runs AS (SELECT doc_id, count(*) AS run_len FROM isl GROUP BY doc_id, grp),
+per_run AS (SELECT doc_id, max(run_len) AS max_run FROM runs GROUP BY doc_id),
+per_doc AS (
+  SELECT d.doc_id, d.source,
+         coalesce(p.n_wins, 0) AS n_wins,
+         coalesce(p.dup_wins, 0) AS dup_wins,
+         CASE WHEN coalesce(r.max_run, 0) > 0
+              THEN r.max_run + {SPAN_W} - 1 ELSE 0 END AS span
+  FROM documents d
+  LEFT JOIN per_win p USING (doc_id)
+  LEFT JOIN per_run r USING (doc_id)
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(n_wins) AS BIGINT) AS total_windows,
+       cast(sum(dup_wins) AS BIGINT) AS dup_windows,
+       cast(sum(CASE WHEN dup_wins > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_dup,
+       cast(sum(CASE WHEN span >= {LONG_SPAN_TOKENS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS long_span_docs,
+       cast(max(span) AS BIGINT) AS max_span_tokens,
+       round(coalesce(avg(CASE WHEN dup_wins > 0 THEN span END), 0), 4)
+         AS avg_span_tokens
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("repeated_substring_census", _SPAN_DUCK, tags=("dedup",))
+def repeated_substring_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-SPAN census (Lee et al. 2021): every
+    stride-1 window of {SPAN_W} tokens is fingerprinted; a window whose
+    fingerprint occurs >= 2 times corpus-wide (across OR within docs —
+    self-repetition counts, as in the suffix-array original) is
+    duplicated, and a doc's longest run of CONSECUTIVE duplicated
+    positions certifies its longest repeated substring
+    (run + {SPAN_W} - 1 tokens). Runs are found relationally with the
+    gaps-and-islands idiom: pos - row_number() is constant exactly on
+    consecutive positions. The census rolls up per source with the
+    removal-candidate count (span >= {LONG_SPAN_TOKENS} tokens).
+
+    Fills the grain the other dedup families miss: exact hashing needs
+    whole-doc equality, MinHash needs high whole-doc Jaccard, the
+    paragraph census needs aligned non-overlapping chunks — only
+    stride-1 spans certify an arbitrary-offset verbatim repeat
+    (the memorization-risk signal ExactSubstr targets).
+
+    Scale notes (100 TB): stride-1 windows are O(tokens) rows but only
+    16 bytes each beyond doc_id/pos (56-bit fingerprint — window TEXT
+    is hashed away before any shuffle); the frequency group-by and the
+    freq join shuffle on the same fid key so AQE reuses the exchange
+    (same shape as paragraph_dedup_census). The islands window is
+    per-doc, bounded by doc length; rollups are bounded by |sources|.
+    A production pass would add min(doc_id) ownership per fid to pick
+    which copy keeps each span — one more column through the same
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("tk")
+    )
+    # Fingerprint table materialized once for its two consumers
+    # (corpus-wide frequency; per-doc join) — at warehouse scale this
+    # is an explicit (doc_id, pos, fid) span-index table.
+    wins = (
+        toks.where(F.size("tk") >= SPAN_W)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(tk) - {SPAN_W}), "
+                    f"i -> concat_ws(' ', slice(tk, i + 1, {SPAN_W})))"
+                )
+            ).alias("pos", "w"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(
+                "cast(conv(substr(md5(w), 1, 14), 16, 10) as bigint)"
+            ).alias("fid"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    freq = wins.groupBy("fid").agg(F.count("*").alias("df"))
+    j = wins.join(freq, "fid").select("doc_id", "pos", "df")
+    per_win = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_wins"),
+        F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("dup_wins"),
+    )
+    from pyspark.sql import Window
+
+    wrn = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        j.where(F.col("df") >= 2)
+        .select(
+            "doc_id", (F.col("pos") - F.row_number().over(wrn)).alias("grp")
+        )
+    )
+    runs = isl.groupBy("doc_id", "grp").agg(F.count("*").alias("run_len"))
+    per_run = runs.groupBy("doc_id").agg(F.max("run_len").alias("max_run"))
+    per_doc = (
+        docs.select("doc_id", "source")
+        .join(per_win, "doc_id", "left")
+        .join(per_run, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("n_wins", F.lit(0)).alias("n_wins"),
+            F.coalesce("dup_wins", F.lit(0)).alias("dup_wins"),
+            F.when(
+                F.coalesce("max_run", F.lit(0)) > 0,
+                F.col("max_run") + SPAN_W - 1,
+            )
+            .otherwise(0)
+            .alias("span"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_wins").cast("bigint").alias("total_windows"),
+            F.sum("dup_wins").cast("bigint").alias("dup_windows"),
+            F.sum(F.when(F.col("dup_wins") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_with_dup"),
+            F.sum(
+                F.when(F.col("span") >= LONG_SPAN_TOKENS, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("long_span_docs"),
+            F.max("span").cast("bigint").alias("max_span_tokens"),
+            F.round(
+                F.coalesce(
+                    F.avg(F.when(F.col("dup_wins") > 0, F.col("span"))),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("avg_span_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -79,4 +79,7 @@ def test_driver_registry_contract():
 
 def test_oracle_lookup(eng):
     assert "SELECT" in eng.oracle("latency_stats")
-    assert eng.oracle("streaming_rollup_replay") is None
+    # the streaming replay gained a value-level oracle in round 6 (the
+    # committed wire fixture made its input visible to DuckDB) — every
+    # registered query is now SQL-oracled.
+    assert "SELECT" in eng.oracle("streaming_rollup_replay")

@@ -146,3 +146,36 @@ def test_pca_topk_basis_properties(spark):
             if a < b:
                 dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
                 assert abs(dot) < 1e-3, (a, b, dot)
+
+
+def test_repeated_substring_span_arithmetic(spark, tmp_path):
+    """A planted 12-token verbatim repeat shared by two docs (all
+    other tokens globally unique) must certify span = 12 exactly:
+    12 - SPAN_W + 1 = 7 consecutive duplicated windows -> run 7 ->
+    7 + SPAN_W - 1 = 12. Docs without the repeat contribute nothing."""
+    from realtime_event_streaming_spark.operators.dedup import (
+        SPAN_W,
+        repeated_substring_census,
+    )
+
+    assert SPAN_W == 6
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, f"a0 a1 a2 {shared} a3 a4", "en", "planted", 0),
+        (2, f"b0 {shared} b1 b2 b3 b4", "en", "planted", 0),
+        (3, " ".join(f"c{i}" for i in range(20)), "en", "planted", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d)
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r.source: r for r in repeated_substring_census(spark, d).collect()}
+    r = out["planted"]
+    assert r.max_span_tokens == 12
+    assert r.docs_with_dup == 2
+    assert r.dup_windows == 14  # 7 windows in each of the two docs
+    assert r.avg_span_tokens == 12.0
