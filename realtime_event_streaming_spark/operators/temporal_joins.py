@@ -247,3 +247,121 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension merge (dimension-side maintenance for as-of joins)
+# ---------------------------------------------------------------------------
+
+#: Deterministic change batch carved from the dimension itself so both
+#: engines state identical inputs at every scale factor: every 7th
+#: customer gets a segment/balance update, every 13th spawns a brand
+#: new customer (negative key — collision-free without a max() scan).
+SCD_UPD_MOD = 7
+SCD_INS_MOD = 13
+
+_SCD2_DUCK = f"""
+WITH dim AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+  FROM customer
+),
+upd AS (
+  SELECT k, seg || '_V2' AS nseg, round(bal + 100, 2) AS nbal
+  FROM dim WHERE k % {SCD_UPD_MOD} = 0
+),
+merged AS (
+  SELECT d.seg, d.bal, 1 AS version,
+         CASE WHEN u.k IS NULL THEN 'open' ELSE 'closed' END AS status
+  FROM dim d LEFT JOIN upd u USING (k)
+  UNION ALL
+  SELECT nseg, nbal, 2, 'open' FROM upd
+  UNION ALL
+  SELECT 'NEWSEG', bal, 1, 'open' FROM dim WHERE k % {SCD_INS_MOD} = 0
+)
+SELECT seg AS mktsegment,
+       cast(version AS INT) AS version,
+       status,
+       cast(count(*) AS BIGINT) AS n_rows,
+       round(sum(bal), 2) AS total_bal
+FROM merged
+GROUP BY seg, version, status
+ORDER BY mktsegment, version, status
+"""
+
+
+@register("scd2_dim_merge", _SCD2_DUCK, tags=("join", "temporal"))
+def scd2_dim_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 merge — the maintenance step
+    that FEEDS `asof_tier_rollup`'s snapshot side: apply a change
+    batch (updates + inserts) to a versioned dimension so every key
+    keeps its full history (closed v1 row + open v2 row) instead of
+    being overwritten. Census output: per (segment, version, status)
+    row counts and balance totals over the post-merge dimension.
+
+    The merge is ONE left join + a map-side explode: each dimension
+    row joined against the change batch emits its closed-v1 and
+    open-v2 rows when matched, or passes through open-v1 unmatched —
+    the exact single-pass shape lakehouse ``MERGE INTO`` lowers to
+    (ConditionalInsert over a matched/unmatched join), with inserts
+    unioned map-side. The DuckDB oracle deliberately states the
+    semantics as three UNION ALL branches (two passes over the dim),
+    so the hash match proves the one-pass rewrite.
+
+    Scale notes (100 TB): a real change batch is O(day), tiny vs the
+    dimension — Spark broadcasts it and the merge never shuffles the
+    dimension at all (map-side join + explode + map-side union); here
+    the batch is carved from the dimension itself so the join is
+    keyed on c_custkey either way. History grows append-only, and the
+    (key, valid_from) layout keeps the as-of union-sort consumers
+    co-partitioned."""
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    upd = dim.where(F.col("k") % SCD_UPD_MOD == 0).select(
+        "k",
+        F.concat(F.col("seg"), F.lit("_V2")).alias("nseg"),
+        F.round(F.col("bal") + 100, 2).alias("nbal"),
+    )
+    j = dim.join(F.broadcast(upd), "k", "left")
+    merged = j.select(
+        F.explode(
+            F.when(
+                F.col("nseg").isNotNull(),
+                F.expr(
+                    "array(struct(seg, bal, 1 as version, "
+                    "'closed' as status), "
+                    "struct(nseg as seg, nbal as bal, 2 as version, "
+                    "'open' as status))"
+                ),
+            ).otherwise(
+                F.expr(
+                    "array(struct(seg, bal, 1 as version, "
+                    "'open' as status))"
+                )
+            )
+        ).alias("r")
+    ).select("r.seg", "r.bal", "r.version", "r.status")
+    inserts = dim.where(F.col("k") % SCD_INS_MOD == 0).select(
+        F.lit("NEWSEG").alias("seg"),
+        F.col("bal"),
+        F.lit(1).alias("version"),
+        F.lit("open").alias("status"),
+    )
+    return (
+        merged.unionByName(inserts)
+        .groupBy("seg", "version", "status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.sum("bal"), 2).alias("total_bal"),
+        )
+        .select(
+            F.col("seg").alias("mktsegment"),
+            F.col("version").cast("int").alias("version"),
+            "status",
+            "n_rows",
+            "total_bal",
+        )
+        .orderBy("mktsegment", "version", "status")
+    )

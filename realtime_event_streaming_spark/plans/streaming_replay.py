@@ -144,3 +144,104 @@ def streaming_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "page", "country")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join (conversion attribution)
+# ---------------------------------------------------------------------------
+
+#: Attribution window: a checkout is credited to every homepage visit
+#: by the same user in the preceding ATTR_WINDOW.
+ATTR_WINDOW_S = 60
+
+_ATTR_DUCK = f"""
+WITH raw AS (
+  SELECT * FROM read_json_auto(
+    '{FIXTURE_DIR}/part-*.txt', format='newline_delimited')
+),
+ev AS (
+  SELECT make_timestamp(ts * 1000) AS t, page, country, user_id FROM raw
+)
+SELECT h.user_id,
+       strftime(h.t, '%Y-%m-%d %H:%M:%S.%g') AS visit_ts,
+       strftime(a.t, '%Y-%m-%d %H:%M:%S.%g') AS checkout_ts,
+       a.country
+FROM ev h JOIN ev a
+  ON h.user_id = a.user_id
+ AND h.page = '/' AND a.page = '/checkout'
+ AND a.t > h.t
+ AND a.t <= h.t + INTERVAL {ATTR_WINDOW_S} SECOND
+ORDER BY h.user_id, visit_ts, checkout_ts
+"""
+
+
+@register("stream_stream_attribution", _ATTR_DUCK, tags=("streaming", "join"))
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval self-join over the committed wire
+    fixture: homepage visits and checkouts are two filtered views of
+    the SAME live stream, joined on user_id with the event-time range
+    constraint (checkout within {ATTR_WINDOW_S} s after the visit) —
+    last-touch-style conversion attribution, the canonical
+    stream-stream join workload. This exercises the join-state path
+    none of the other streaming queries touch: both sides buffer rows
+    in state across micro-batches (4 here), and the watermark plus
+    the range condition bound how long a visit is retained
+    (visit evicted once watermark > visit_ts + {ATTR_WINDOW_S} s —
+    Spark derives that retention from the join condition itself).
+
+    The DuckDB oracle is the plain theta self-join over the same
+    bytes; the hash match proves the incremental, state-managed join
+    emits exactly the one-shot relational answer (the fixture's
+    arrival order equals event order and carries no late rows, so no
+    legitimate pair is ever evicted early — the same invariant the
+    replay rollup documents).
+
+    Scale notes (100 TB/day): state size is O(events inside the
+    watermark horizon), not O(stream) — the eviction above is the
+    whole point of the range constraint; both sides shuffle by
+    user_id (the join key), same partitioning as the sessionizer, and
+    skewed hot users salt the same way the batch joins do. sf_dir is
+    unused: the input is the engine's own wire format."""
+    in_dir = _ensure_fixture(spark)
+    ev = parse_clicks(
+        read_json_file_stream(spark, in_dir), watermark=EXACT_WATERMARK
+    )
+    visits = ev.where(F.col("page") == "/").select(
+        F.col("user_id").alias("h_user"), F.col("ts").alias("visit_t")
+    )
+    acts = ev.where(F.col("page") == "/checkout").select(
+        "user_id", F.col("ts").alias("act_t"), "country"
+    )
+    joined = visits.join(
+        acts,
+        F.expr(
+            f"h_user = user_id AND act_t > visit_t "
+            f"AND act_t <= visit_t + interval {ATTR_WINDOW_S} seconds"
+        ),
+        "inner",
+    )
+    name = "attr_pairs"
+    if any(t.name == name for t in spark.catalog.listTables()):
+        spark.catalog.dropTempView(name)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.date_format("visit_t", "yyyy-MM-dd HH:mm:ss.SSS").alias(
+                "visit_ts"
+            ),
+            F.date_format("act_t", "yyyy-MM-dd HH:mm:ss.SSS").alias(
+                "checkout_ts"
+            ),
+            "country",
+        )
+        .orderBy("user_id", "visit_ts", "checkout_ts")
+    )

@@ -390,3 +390,48 @@ def test_committed_replay_fixture_matches_generator(spark, tmp_path):
         (FIXTURE_DIR / p).read_bytes() for p in committed
     )
     assert regen_bytes == committed_bytes
+
+
+def test_stream_stream_join_carries_state_across_batches(spark):
+    """The attribution join must match pairs whose visit and checkout
+    arrive in DIFFERENT micro-batches (one fixture file each) — that
+    is the join-state path; a per-batch join would silently drop
+    them. Verify at least one cross-file pair exists in the fixture
+    and that the streamed result contains every one of them."""
+    import json
+
+    from realtime_event_streaming_spark.plans.streaming_replay import (
+        ATTR_WINDOW_S,
+        FIXTURE_DIR,
+        stream_stream_attribution,
+    )
+
+    events = []  # (file_idx, ts_ms, page, user)
+    for fi, f in enumerate(sorted(FIXTURE_DIR.glob("part-*.txt"))):
+        for line in open(f):
+            d = json.loads(line)
+            events.append((fi, d["ts"], d["page"], d["user_id"]))
+    cross = set()
+    visits = [e for e in events if e[2] == "/"]
+    for af, ats, _, au in [e for e in events if e[2] == "/checkout"]:
+        for vf, vts, _, vu in visits:
+            if (
+                vu == au
+                and vts < ats <= vts + ATTR_WINDOW_S * 1000
+                and vf != af
+            ):
+                cross.add((au, vts, ats))
+    assert cross, "fixture has no cross-file pair; test is vacuous"
+    out = stream_stream_attribution(spark, "unused").collect()
+    got = {(r.user_id, r.visit_ts, r.checkout_ts) for r in out}
+
+    def fmt(ms):
+        from datetime import datetime, timezone
+
+        t = datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
+        return t.strftime("%Y-%m-%d %H:%M:%S.") + f"{ms % 1000:03d}"
+
+    missing = [
+        (u, v, a) for (u, v, a) in cross if (u, fmt(v), fmt(a)) not in got
+    ]
+    assert not missing, f"cross-batch pairs dropped: {missing[:3]}"
