@@ -1011,3 +1011,107 @@ def bpe_merge_steps_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in steps[1:]:
         out = out.unionByName(s)
     return out.orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE: apply the trained merge table, report compression
+# ---------------------------------------------------------------------------
+
+_BPE_ENCODE_DUCK = (
+    f"""
+WITH toks0 AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i, j) AS pos,
+         tk[i] AS t
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       UNNEST(generate_series(1, len(tk))) AS g(i),
+       UNNEST(generate_series(1,
+         CASE WHEN (i - 1) % {_BPE_RUN_DUP_EVERY} = 0 THEN 2 ELSE 1 END))
+         AS r(j)
+),
+"""
+    + ",".join(_duck_bpe_run_round(n) for n in range(1, _BPE_RUN_ROUNDS + 1))
+    + f"""
+, before AS (
+  SELECT doc_id, count(*) AS n0 FROM toks0 GROUP BY doc_id
+),
+after AS (
+  SELECT doc_id, count(*) AS n1 FROM toks{_BPE_RUN_ROUNDS} GROUP BY doc_id
+)
+SELECT d.source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(b.n0) AS BIGINT) AS tokens_before,
+       cast(sum(a.n1) AS BIGINT) AS tokens_after,
+       round(cast(sum(a.n1) AS DOUBLE) / sum(b.n0), 4)
+         AS compression
+FROM documents d
+JOIN before b ON b.doc_id = d.doc_id
+JOIN after a ON a.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+)
+
+
+@register("bpe_encode_lengths", _BPE_ENCODE_DUCK, tags=("corpusprep", "text"))
+def bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE side of BPE training: apply the
+    {_BPE_RUN_ROUNDS}-round learned merge sequence (same training
+    stream, duplication and run-length greedy semantics as
+    `bpe_merge_steps_runs`) to the whole corpus and report per-source
+    token counts before and after plus the compression ratio — the
+    number a tokenization pipeline actually budgets by (context
+    windows, shard sizes, cost). Greedy merge application and
+    training share one code path (`_bpe_run_round`), exactly like a
+    real tokenizer where encode replays the merge table in rank
+    order.
+
+    Scale notes (100 TB): per round one pair-census shuffle (distinct
+    pairs after map-side partial agg) + per-doc windows; the final
+    census joins doc-grain counts back to the dimension columns —
+    shuffles keyed by doc_id throughout, bounded rollup at the end.
+    Encoding with a FROZEN merge table at serving time skips the
+    census entirely: each round becomes a broadcast of that round's
+    rule + the same per-doc windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "t")
+        )
+        .select(
+            "doc_id",
+            "i0",
+            "t",
+            F.explode(
+                F.expr(
+                    f"sequence(1, IF(i0 % {_BPE_RUN_DUP_EVERY} = 0, 2, 1))"
+                )
+            ).alias("j"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w0 = Window.partitionBy("doc_id").orderBy("i0", "j")
+    toks = toks.select(
+        "doc_id", F.row_number().over(w0).alias("pos"), "t"
+    ).localCheckpoint(eager=False)
+    before = toks.groupBy("doc_id").agg(F.count("*").alias("n0"))
+    for _ in range(_BPE_RUN_ROUNDS):
+        _top, _keep, toks = _bpe_run_round(toks)
+        toks = toks.localCheckpoint(eager=False)
+    after = toks.groupBy("doc_id").agg(F.count("*").alias("n1"))
+    return (
+        docs.select("doc_id", "source")
+        .join(before, "doc_id")
+        .join(after, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n0").cast("bigint").alias("tokens_before"),
+            F.sum("n1").cast("bigint").alias("tokens_after"),
+            F.round(
+                F.sum("n1").cast("double") / F.sum("n0"), 4
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )

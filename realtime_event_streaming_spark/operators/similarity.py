@@ -1412,3 +1412,144 @@ def pca_topk_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("component", "dim")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup by within-cluster cosine pruning
+# ---------------------------------------------------------------------------
+
+#: Within-cluster cosine above which two embeddings are semantic
+#: duplicates (SemDeDup, Abbas et al. 2023 use 1 - eps with eps in
+#: [0.001, 0.1]; the fixture's organic within-cluster cosines top out
+#: at ~0.51, so 0.9 cleanly separates planted copies from neighbors).
+SEM_TAU = 0.9
+#: Every SEM_PLANT_MOD-th embedding gets a deterministic near-copy
+#: planted (first component +0.1, id offset +SEM_ID_OFFSET) so the
+#: prune path has guaranteed positives at every scale factor — the
+#: raw fixture has NO organic embedding near-dups (embedding_near_dup
+#: is provably empty), and an all-zero census would be the round-1
+#: empty-vs-empty oracle trap.
+SEM_PLANT_MOD = 29
+SEM_ID_OFFSET = 100000
+
+_SEM_DUCK = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+vecs AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {SEM_ID_OFFSET},
+         list_concat([v[1] + 0.1], v[2:len(v)])
+  FROM base WHERE vec_id % {SEM_PLANT_MOD} = 0
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < {K_CENTROIDS}),
+{_duck_kmeans_round(1, "c0")},
+{_duck_kmeans_round(2, "c1")},
+n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM vecs
+),
+pairs AS (
+  SELECT a.cid, b.vec_id AS pruned_id
+  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN n x ON x.vec_id = a.vec_id
+  JOIN n y ON y.vec_id = b.vec_id
+  WHERE round(list_dot_product(x.v, y.v) / (x.norm * y.norm), 4)
+          >= {SEM_TAU}
+),
+pr AS (SELECT cid, count(DISTINCT pruned_id) AS n_pruned FROM pairs
+       GROUP BY cid),
+cnt AS (SELECT cid, count(*) AS n_vecs FROM a2 GROUP BY cid)
+SELECT cid,
+       cast(n_vecs AS BIGINT) AS n_vecs,
+       cast(coalesce(n_pruned, 0) AS BIGINT) AS n_pruned,
+       round(cast(coalesce(n_pruned, 0) AS DOUBLE) / n_vecs, 4)
+         AS prune_frac
+FROM cnt LEFT JOIN pr USING (cid)
+ORDER BY cid
+"""
+
+
+@register("semantic_dedup_prune", _SEM_DUCK, tags=("similarity", "dedup"))
+def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding corpus with
+    k-means, then prune within each cluster every member whose cosine
+    to a lower-id member exceeds {SEM_TAU} (keep-lowest-id — the
+    paper keeps the member farthest from the centroid; any
+    deterministic representative rule gives the same dedup rate).
+    Near-dup detection only ever compares vectors INSIDE a cluster —
+    the clustering is what makes semantic dedup sub-quadratic. The
+    corpus is augmented with planted near-copies (see SEM_PLANT_MOD)
+    so the prune path is provably exercised; census per cluster:
+    size, pruned count, prune fraction.
+
+    Scale notes (100 TB): training reuses `kmeans_centroids`'s
+    bounded-shuffle Lloyd rounds; the within-cluster pair join is
+    quadratic ONLY in cluster occupancy — production SemDeDup caps
+    occupancy by raising K (the paper: 50k clusters for 5B images) so
+    each cluster's pair block fits one task; the join here shuffles
+    by cid exactly once. The cosine filter compares against a
+    4-dp-rounded value on both engines, so threshold flips cannot
+    come from summation order."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v"),
+    )
+    planted = base.where(F.col("vec_id") % SEM_PLANT_MOD == 0).select(
+        (F.col("vec_id") + SEM_ID_OFFSET).alias("vec_id"),
+        F.expr(
+            "concat(array(v[0] + 0.1d), slice(v, 2, size(v) - 1))"
+        ).alias("v"),
+    )
+    vecs = base.unionByName(planted).localCheckpoint(eager=False)
+    _, assign = _train_kmeans(vecs)
+    vn = vecs.select(
+        "vec_id",
+        "v",
+        F.sqrt(F.expr(_DOT.format(a="v", b="v"))).alias("norm"),
+    )
+    left = (
+        assign.join(vn, "vec_id")
+        .select(
+            F.col("cid"),
+            F.col("vec_id").alias("ia"),
+            F.col("v").alias("va"),
+            F.col("norm").alias("na"),
+        )
+    )
+    right = (
+        assign.join(vn, "vec_id")
+        .select(
+            F.col("cid"),
+            F.col("vec_id").alias("ib"),
+            F.col("v").alias("vb"),
+            F.col("norm").alias("nb"),
+        )
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")), 4
+    )
+    pruned = (
+        left.join(right, ["cid"])
+        .where(F.col("ia") < F.col("ib"))
+        .where(cos >= SEM_TAU)
+        .groupBy("cid")
+        .agg(F.countDistinct("ib").alias("n_pruned"))
+    )
+    cnt = assign.groupBy("cid").agg(F.count("*").alias("n_vecs"))
+    return (
+        cnt.join(pruned, "cid", "left")
+        .select(
+            "cid",
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.coalesce("n_pruned", F.lit(0))
+            .cast("bigint")
+            .alias("n_pruned"),
+            F.round(
+                F.coalesce("n_pruned", F.lit(0)).cast("double")
+                / F.col("n_vecs"),
+                4,
+            ).alias("prune_frac"),
+        )
+        .orderBy("cid")
+    )
