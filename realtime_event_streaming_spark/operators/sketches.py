@@ -310,3 +310,122 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable histogram-quantile rollup
+# ---------------------------------------------------------------------------
+
+#: Fixed-width histogram bin (value range 0..~500 in the fixture).
+#: Rank-exactness: the binned quantile's value error is bounded by one
+#: bin width; its RANK error is 0 at bin edges — unlike t-digest/KLL
+#: the estimate is DETERMINISTIC, which is what lets the oracle match
+#: it bit-for-bit instead of settling for a contract boolean.
+HQ_BIN = 1.0
+
+_HQ_DUCK = f"""
+WITH h AS (
+  SELECT event_type, cast(floor(value / {HQ_BIN}) AS BIGINT) AS bin,
+         count(*) AS c
+  FROM events GROUP BY event_type, bin
+),
+cum AS (
+  SELECT event_type, bin,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cm,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type,
+       cast(n AS BIGINT) AS n,
+       cast((min(CASE WHEN cm >= ceil(0.5 * n) THEN bin END) + 1)
+            * {HQ_BIN} AS DOUBLE) AS p50_est,
+       cast((min(CASE WHEN cm >= ceil(0.95 * n) THEN bin END) + 1)
+            * {HQ_BIN} AS DOUBLE) AS p95_est,
+       cast((min(CASE WHEN cm >= ceil(0.99 * n) THEN bin END) + 1)
+            * {HQ_BIN} AS DOUBLE) AS p99_est
+FROM cum
+GROUP BY event_type, n
+ORDER BY event_type
+"""
+
+
+@register("histogram_quantile_rollup", _HQ_DUCK, tags=("sketch",))
+def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantiles: per-minute fixed-width histograms (the
+    stored sketch — a (minute, event_type, bin, count) table) merged
+    by bin-count addition into global per-type histograms, then
+    p50/p95/p99 read off the cumulative counts (smallest bin whose
+    cumulative count reaches ceil(q*n); estimate = the bin's upper
+    edge). Completes the mergeable-sketch family: HLL covers
+    distincts, CMS covers heavy hitters, this covers quantiles —
+    `approx_quantile_accuracy` already contracts percentile_approx,
+    but that sketch is NOT re-aggregatable from stored partials,
+    which is the property rollup storage needs (the same
+    sum-of-distincts trap the reference's SummingMergeTree has for
+    counts, reappearing for percentiles).
+
+    The DuckDB oracle computes the binned quantile DIRECTLY at the
+    global grain — the hash match proves merge-then-read equals
+    read-once (sketch mergeability), exactly the reagg_from_minute
+    proof pattern. Deterministic by construction: integer bins,
+    integer cumulative counts, no float summation anywhere before the
+    final edge multiply.
+
+    Scale notes (100 TB): the minute-grain sketch table is bounded by
+    minutes x types x occupied bins (<= 500 here) regardless of event
+    volume; the merge shuffles only that bounded table keyed by
+    (event_type, bin); the quantile read is a per-type window over
+    <= 500 rows. Bin width trades value resolution for sketch size
+    exactly like production histogram metrics (Prometheus/HDR)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("minute", "ts").alias("minute"),
+        "event_type",
+        F.floor(F.col("value") / HQ_BIN).cast("bigint").alias("bin"),
+    )
+    minute_hist = ev.groupBy("minute", "event_type", "bin").agg(
+        F.count("*").alias("c")
+    )
+    merged = minute_hist.groupBy("event_type", "bin").agg(
+        F.sum("c").alias("c")
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(wcum).alias("cm"),
+        F.sum("c").over(wall).alias("n"),
+    )
+
+    def est(q: float):
+        return (
+            F.min(
+                F.when(
+                    F.col("cm") >= F.ceil(q * F.col("n")), F.col("bin")
+                )
+            )
+            + 1
+        ).cast("double") * HQ_BIN
+
+    return (
+        cum.groupBy("event_type", "n")
+        .agg(
+            est(0.5).alias("p50_est"),
+            est(0.95).alias("p95_est"),
+            est(0.99).alias("p99_est"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            "p50_est",
+            "p95_est",
+            "p99_est",
+        )
+        .orderBy("event_type")
+    )

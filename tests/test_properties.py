@@ -179,3 +179,33 @@ def test_repeated_substring_span_arithmetic(spark, tmp_path):
     assert r.docs_with_dup == 2
     assert r.dup_windows == 14  # 7 windows in each of the two docs
     assert r.avg_span_tokens == 12.0
+
+
+def test_histogram_quantile_rank_tightness(spark):
+    """The binned quantile must be rank-correct and one-bin tight:
+    at least ceil(q*n) values sit at or below the estimate, and
+    strictly fewer sit below the previous bin edge — the histogram
+    sketch's whole accuracy guarantee."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from realtime_event_streaming_spark.io import load_table
+    from realtime_event_streaming_spark.operators.sketches import (
+        HQ_BIN,
+        histogram_quantile_rollup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    est = {
+        r.event_type: r for r in histogram_quantile_rollup(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events").select("event_type", "value")
+    for et, r in est.items():
+        vals = [
+            x.value for x in ev.where(F.col("event_type") == et).collect()
+        ]
+        for q, e in ((0.5, r.p50_est), (0.95, r.p95_est), (0.99, r.p99_est)):
+            need = math.ceil(q * r.n)
+            assert sum(v <= e for v in vals) >= need, (et, q)
+            assert sum(v <= e - HQ_BIN for v in vals) < need, (et, q)
