@@ -1127,7 +1127,7 @@ ORDER BY source
 """
 
 
-@register("repeated_substring_census", _SPAN_DUCK, tags=("dedup",))
+@register("repeated_substring_census", _SPAN_DUCK, headline=True, tags=("dedup",))
 def repeated_substring_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style repeated-SPAN census (Lee et al. 2021): every
     stride-1 window of {SPAN_W} tokens is fingerprinted; a window whose

@@ -1470,7 +1470,7 @@ ORDER BY cid
 """
 
 
-@register("semantic_dedup_prune", _SEM_DUCK, tags=("similarity", "dedup"))
+@register("semantic_dedup_prune", _SEM_DUCK, headline=True, tags=("similarity", "dedup"))
 def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding corpus with
     k-means, then prune within each cluster every member whose cosine

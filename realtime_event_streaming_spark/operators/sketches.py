@@ -349,7 +349,7 @@ ORDER BY event_type
 """
 
 
-@register("histogram_quantile_rollup", _HQ_DUCK, tags=("sketch",))
+@register("histogram_quantile_rollup", _HQ_DUCK, headline=True, tags=("sketch",))
 def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE quantiles: per-minute fixed-width histograms (the
     stored sketch — a (minute, event_type, bin, count) table) merged

@@ -60,10 +60,10 @@ def test_duplicate_registration_rejected():
 def test_driver_registry_contract():
     """The priority list must stay at exactly 50 entries (the
     CORRECTNESS gate's row cap), every name registered, no duplicates,
-    and every priority entry SQL-oracled (no rows-only checks inside
-    the row window — the streaming replay deliberately lives outside
-    it). The driver-facing registry exposes the FULL registry with the
-    priority names first."""
+    and every priority entry SQL-oracled — since round 6 that includes
+    the streaming replay, whose committed wire fixture gave it a
+    value-level oracle. The driver-facing registry exposes the FULL
+    registry with the priority names first."""
     from realtime_event_streaming_spark.registry import (
         DRIVER_QUERIES,
         driver_registry,
