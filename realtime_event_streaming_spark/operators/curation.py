@@ -510,3 +510,111 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# right-to-erasure audit (GDPR deletion propagation)
+# ---------------------------------------------------------------------------
+
+#: Deterministic erasure list: every user whose id hashes into the
+#: deletion cohort (id % ERASE_MOD == 0) has requested deletion. Both
+#: engines derive the identical list from the data itself.
+ERASE_MOD = 101
+
+_ERASE_DUCK = f"""
+WITH erased AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % {ERASE_MOD} = 0
+),
+marked AS (
+  SELECT e.event_type, e.user_id, date_trunc('minute', e.ts) AS m,
+         (x.user_id IS NOT NULL) AS hit
+  FROM events e LEFT JOIN erased x USING (user_id)
+),
+survivor_check AS (
+  SELECT count(*) AS residue
+  FROM marked WHERE NOT hit AND user_id % {ERASE_MOD} = 0
+)
+SELECT event_type,
+       cast(count(*) AS BIGINT) AS rows_total,
+       cast(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased,
+       cast(count(DISTINCT CASE WHEN hit THEN user_id END) AS BIGINT)
+         AS users_erased,
+       cast(count(DISTINCT CASE WHEN hit THEN m END) AS BIGINT)
+         AS affected_minutes,
+       cast(count(*) - sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS rows_after,
+       (SELECT residue FROM survivor_check) = 0 AS clean
+FROM marked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("user_erasure_audit", _ERASE_DUCK, tags=("curation",))
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR art. 17) propagation audit: given the
+    deletion cohort, report per event_type how many raw rows and
+    distinct users the erasure removes, how many PER-MINUTE ROLLUP
+    groups become stale (``affected_minutes`` — each needs its count
+    AND its exact-distinct recomputed; a SummingMergeTree-style store
+    can only decrement counts, which is reference bug territory), the
+    surviving row count, and a ``clean`` flag proving the anti-join
+    left no cohort row behind. The flag is computed from the engine's
+    OWN output (count of cohort rows among survivors), so the oracle
+    hash pins the erasure actually happened, not just the intent.
+
+    Scale notes (100 TB): one scan of events; the erasure list is
+    DISTINCT over a modular filter (tiny — it broadcasts; a real
+    deletion-request table broadcasts the same way at daily volumes);
+    the census is map-side flagging + one bounded per-type agg with
+    two conditional distincts. Erasure-as-rewrite of the raw table is
+    the same anti-join executed as a partition overwrite, and
+    ``affected_minutes`` sizes exactly the rollup backfill that must
+    follow (io.backfill_minute_rollup)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.date_trunc("minute", "ts").alias("m")
+    )
+    erased = (
+        ev.where(F.col("user_id") % ERASE_MOD == 0)
+        .select("user_id")
+        .distinct()
+        .withColumn("hit_", F.lit(True))
+    )
+    marked = ev.join(F.broadcast(erased), "user_id", "left").select(
+        "event_type",
+        "user_id",
+        "m",
+        F.coalesce("hit_", F.lit(False)).alias("hit"),
+    )
+    residue = marked.where(
+        (~F.col("hit")) & (F.col("user_id") % ERASE_MOD == 0)
+    ).agg(F.count("*").alias("residue"))
+    return (
+        marked.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("rows_total"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("rows_erased"),
+            F.countDistinct(F.when(F.col("hit"), F.col("user_id")))
+            .cast("bigint")
+            .alias("users_erased"),
+            F.countDistinct(F.when(F.col("hit"), F.col("m")))
+            .cast("bigint")
+            .alias("affected_minutes"),
+        )
+        .withColumn(
+            "rows_after", (F.col("rows_total") - F.col("rows_erased"))
+        )
+        .crossJoin(F.broadcast(residue))
+        .select(
+            "event_type",
+            "rows_total",
+            "rows_erased",
+            "users_erased",
+            "affected_minutes",
+            F.col("rows_after").cast("bigint").alias("rows_after"),
+            (F.col("residue") == 0).alias("clean"),
+        )
+        .orderBy("event_type")
+    )

@@ -357,3 +357,161 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall loss — the standard Charikar trade)."""
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_SIMHASH_NEAR_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Gopher/MassiveText rule-pack filter census
+# ---------------------------------------------------------------------------
+
+#: Adapted Gopher rules (Rae et al. 2021, MassiveText filtering,
+#: Table A1). Bounds calibrated so every rule is LIVE on the synthetic
+#: fixture (a rule that can never fire is the empty-vs-empty oracle
+#: trap): the fixture's mean word lengths sit in [3.7, 5.3] where web
+#: text spans [3, 10], so the upper bound tightens to 4.75; the
+#: word-count floor drops 50 -> 20 (fixture docs cap at ~100 words);
+#: symbol/ellipsis/bullet rules are dropped entirely (the synthetic
+#: corpus is alphanumeric-pure — they CANNOT fire, and are documented
+#: out rather than shipped dead). The stopword and top-word rules are
+#: the paper's own thresholds.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_LO = 3.0
+GOPHER_MWL_HI = 4.75
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_TOPWORD_FRAC = 0.2
+_GOPHER_SW = "'the','be','to','of','and','that','have','with'"
+
+_GOPHER_DUCK = f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+),
+m AS (
+  SELECT doc_id, source, len(tk) AS n,
+         round(list_sum(list_transform(tk, x -> cast(length(x) AS BIGINT)))
+               / cast(len(tk) AS DOUBLE), 4) AS mwl,
+         len(list_filter(tk, x -> x IN ({_GOPHER_SW}))) AS sw
+  FROM t
+),
+w AS (
+  SELECT doc_id, max(c) AS mc FROM (
+    SELECT doc_id, x, count(*) AS c
+    FROM t, UNNEST(tk) AS u(x) GROUP BY doc_id, x
+  ) GROUP BY doc_id
+),
+f AS (
+  SELECT m.source,
+         (n < {GOPHER_MIN_WORDS} OR n > {GOPHER_MAX_WORDS}) AS f_wc,
+         (mwl < {GOPHER_MWL_LO} OR mwl > {GOPHER_MWL_HI}) AS f_mwl,
+         (sw < {GOPHER_MIN_STOPWORDS}) AS f_sw,
+         (round(mc / cast(n AS DOUBLE), 4) > {GOPHER_TOPWORD_FRAC}) AS f_tw
+  FROM m JOIN w USING (doc_id)
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_word_count,
+       cast(sum(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_mean_word_len,
+       cast(sum(CASE WHEN f_sw THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_stopwords,
+       cast(sum(CASE WHEN f_tw THEN 1 ELSE 0 END) AS BIGINT)
+         AS fail_top_word,
+       cast(sum(CASE WHEN NOT (f_wc OR f_mwl OR f_sw OR f_tw)
+                THEN 1 ELSE 0 END) AS BIGINT) AS survivors
+FROM f
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("gopher_quality_flags", _GOPHER_DUCK, tags=("text", "curation"))
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText rule-pack filter (Rae et al. 2021) as a
+    per-source census: each doc is tested against the adapted rule set
+    (word count, mean word length, >= {GOPHER_MIN_STOPWORDS} of the
+    paper's 8 stopwords, most-frequent-word occupancy <=
+    {GOPHER_TOPWORD_FRAC}) and the census reports how many docs each
+    rule kills plus the survivors that pass ALL rules — the
+    rule-attribution view a curation team tunes thresholds with
+    (`doc_quality` scores; this FILTERS, with per-rule blame).
+
+    Determinism: word counts / stopword hits / top-word counts are
+    integers; mean word length and top-word fraction are rounded to
+    4 dp on both engines BEFORE threshold comparison, so summation
+    order cannot flip a rule.
+
+    Scale notes (100 TB): word-count, mean-length and stopword rules
+    are pure map-side projections (array folds inside codegen — no
+    explode, no shuffle); only the top-word rule needs the (doc_id,
+    token) census, one shuffle keyed by doc_id x token with map-side
+    partial counts, then a bounded per-doc max. The final rollup is
+    |sources| rows. This is the cheapest possible shape: one shuffle
+    for the whole rule pack."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    n = F.size(tk)
+    mwl = F.round(
+        F.expr(
+            "aggregate(transform(split(text, ' '), x -> length(x)), "
+            "cast(0 as bigint), (acc, x) -> acc + x)"
+        )
+        / n.cast("double"),
+        4,
+    )
+    sw = F.size(
+        F.expr(f"filter(split(text, ' '), x -> x IN ({_GOPHER_SW}))")
+    )
+    m = docs.select(
+        "doc_id",
+        "source",
+        n.alias("n"),
+        mwl.alias("mwl"),
+        sw.alias("sw"),
+    )
+    tok = docs.select("doc_id", F.explode(tk).alias("x"))
+    topw = (
+        tok.groupBy("doc_id", "x")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mc"))
+    )
+    f = m.join(topw, "doc_id").select(
+        "source",
+        (
+            (F.col("n") < GOPHER_MIN_WORDS)
+            | (F.col("n") > GOPHER_MAX_WORDS)
+        ).alias("f_wc"),
+        (
+            (F.col("mwl") < GOPHER_MWL_LO) | (F.col("mwl") > GOPHER_MWL_HI)
+        ).alias("f_mwl"),
+        (F.col("sw") < GOPHER_MIN_STOPWORDS).alias("f_sw"),
+        (
+            F.round(F.col("mc") / F.col("n").cast("double"), 4)
+            > GOPHER_TOPWORD_FRAC
+        ).alias("f_tw"),
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            cnt("f_wc").alias("fail_word_count"),
+            cnt("f_mwl").alias("fail_mean_word_len"),
+            cnt("f_sw").alias("fail_stopwords"),
+            cnt("f_tw").alias("fail_top_word"),
+            F.sum(
+                F.when(
+                    ~(
+                        F.col("f_wc")
+                        | F.col("f_mwl")
+                        | F.col("f_sw")
+                        | F.col("f_tw")
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("survivors"),
+        )
+        .orderBy("source")
+    )
