@@ -1115,3 +1115,138 @@ def bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# interpolated bigram LM perplexity
+# ---------------------------------------------------------------------------
+
+#: Interpolation weight on the bigram term (Jelinek-Mercer smoothing);
+#: the unigram back-off carries the rest. 0.7 is the classic JM
+#: default for bigram models.
+LM2_LAMBDA = 0.7
+
+_LM2_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS pos,
+         tk[i] AS w
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS tk
+        FROM documents),
+       UNNEST(generate_series(1, len(tk))) AS g(i)
+),
+uni AS (SELECT w, count(*) AS c1 FROM toks GROUP BY w),
+nt AS (SELECT cast(sum(c1) AS DOUBLE) AS n FROM uni),
+pairs AS (
+  SELECT doc_id, source, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+bi AS (
+  SELECT w1, w2, count(*) AS c2 FROM pairs
+  WHERE w2 IS NOT NULL GROUP BY w1, w2
+),
+model AS (
+  SELECT b.w1, b.w2,
+         round(-ln({LM2_LAMBDA} * (b.c2 / cast(u1.c1 AS DOUBLE))
+                   + (1 - {LM2_LAMBDA}) * (u2.c1 / nt.n)), 6) AS nll
+  FROM bi b
+  JOIN uni u1 ON u1.w = b.w1
+  JOIN uni u2 ON u2.w = b.w2, nt
+),
+scored AS (
+  SELECT p.doc_id, p.source,
+         round(avg(m.nll), 4) AS avg_nll
+  FROM pairs p JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
+  WHERE p.w2 IS NOT NULL
+  GROUP BY p.doc_id, p.source
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       round(avg(avg_nll), 4) AS avg_nll,
+       round(min(avg_nll), 4) AS min_nll,
+       round(max(avg_nll), 4) AS max_nll
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("bigram_lm_perplexity", _LM2_DUCK, tags=("text", "curation"))
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated BIGRAM language-model score (Jelinek-Mercer:
+    lambda*p(w2|w1) + (1-lambda)*p(w2)) — the KenLM-shaped upgrade of
+    `lm_score_filter`'s unigram proxy: context-aware, so word-salad
+    documents score badly even when every individual token is common
+    (the failure mode unigram scoring cannot see; CCNet's actual
+    filter is a 5-gram KenLM used exactly this way). Census per
+    source: docs, mean/min/max per-doc average negative
+    log-likelihood over transitions.
+
+    Every seen bigram's NLL is rounded to 6 dp IN THE MODEL TABLE,
+    per-doc averages to 4 dp, so both engines sum identical values;
+    unseen bigrams cannot occur (the model is trained on the corpus
+    being scored — held-out scoring would add a back-off CASE on the
+    same join).
+
+    Scale notes (100 TB): the unigram table is vocabulary-sized and
+    broadcasts; the bigram model is distinct-transition-sized — it
+    shuffle-joins the pair stream on (w1, w2), the same key its
+    census group-by just used, so AQE reuses the exchange; per-doc
+    and per-source rollups are doc-keyed and bounded. A frozen
+    external LM would replace the model CTE with a lookup table —
+    identical join shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    uni = toks.groupBy("w").agg(F.count("*").alias("c1"))
+    nt = uni.agg(F.sum("c1").cast("double").alias("n"))
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select(
+            "doc_id",
+            "source",
+            F.col("w").alias("w1"),
+            F.lead("w").over(wd).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1b"))
+    model = (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log(
+                    LM2_LAMBDA
+                    * (F.col("c2") / F.col("c1a").cast("double"))
+                    + (1 - LM2_LAMBDA) * (F.col("c1b") / F.col("n"))
+                ),
+                6,
+            ).alias("nll"),
+        )
+    )
+    scored = (
+        pairs.join(model, ["w1", "w2"])
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.avg("nll"), 4).alias("avg_nll"))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("avg_nll"), 4).alias("avg_nll"),
+            F.round(F.min("avg_nll"), 4).alias("min_nll"),
+            F.round(F.max("avg_nll"), 4).alias("max_nll"),
+        )
+        .orderBy("source")
+    )

@@ -80,10 +80,10 @@ DRIVER_QUERIES: tuple[str, ...] = (
     # -- round-6 debuts, never rowed: the post-r5-snapshot work
     #    (TPC-H Q6/Q9/Q12/Q17/Q20/Q22 analogs, index MAINTENANCE
     #    probe-merge-probe pair, same-symbol BPE, top-k PCA) plus the
-    #    seven round-6 operators (ExactSubstr span census, DSIR
-    #    weights, SCD2 merge, stream-stream attribution join,
-    #    SemDeDup prune, BPE encode census, mergeable histogram
-    #    quantiles).
+    #    ten round-6 operators (ExactSubstr span census, DSIR weights,
+    #    SCD2 merge, stream-stream attribution join, SemDeDup prune,
+    #    BPE encode census, mergeable histogram quantiles, Gopher rule
+    #    pack, GDPR erasure audit, bigram LM perplexity).
     "discount_uplift",
     "profit_by_nation_year",
     "priority_by_latency",
@@ -101,6 +101,9 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "semantic_dedup_prune",
     "bpe_encode_lengths",
     "histogram_quantile_rollup",
+    "gopher_quality_flags",
+    "user_erasure_audit",
+    "bigram_lm_perplexity",
     # -- first ORACLE-gated row for the replay (its r1 row was the
     #    rows-only weak check; the committed wire fixture gave it a
     #    value-level oracle — judge r5 item 2)
@@ -131,18 +134,16 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "throughput_summary",
     "top_customers",
     "value_histogram",
-    # -- ... and eight of the round-2 cohort, one per family
-    #    (sketch contracts, freshness, incremental dedup, embedding
-    #    dedup, multimodal, range join, sessions). Yielded this round
-    #    (all green r5, proof cumulative): the whole r5 window; all
-    #    remain locally gated by tests/test_oracle_parity.py.
+    # -- ... and five of the round-2 cohort (sketch contracts,
+    #    freshness, incremental dedup, sessions). Yielded this round
+    #    (all green r2 and/or r5, proof cumulative): the whole r5
+    #    window plus embedding_near_dup / multimodal_features /
+    #    range_join_windows; all remain locally gated by
+    #    tests/test_oracle_parity.py.
     "approx_distinct_accuracy",
     "approx_quantile_accuracy",
     "data_freshness",
     "dedup_incremental",
-    "embedding_near_dup",
-    "multimodal_features",
-    "range_join_windows",
     "user_sessions",
 )
 

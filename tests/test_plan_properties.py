@@ -468,3 +468,85 @@ def test_dominant_part_suppliers_broadcasts_dims(spark, reg):
         reg["dominant_part_suppliers"].spark_fn(spark, SF), spark
     )
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_span_census_hashes_before_shuffle_single_text_scan(spark, reg):
+    """repeated_substring_census must shuffle 56-bit fingerprints, not
+    window text: no Exchange may carry the exploded window string `w`,
+    and the text column must be read exactly once (the checkpoint
+    shares the fingerprint table between its two consumers)."""
+    plan = _formatted_plan(
+        reg["repeated_substring_census"].spark_fn(spark, SF), spark
+    )
+    assert len(re.findall(r"Scan parquet[^\n]*documents", plan)) <= 2
+    for m in re.finditer(r"\(\d+\) Exchange\b.*?\n(?:.*?\n){1,4}", plan):
+        assert ", w#" not in m.group(0) and "[w#" not in m.group(0)
+
+
+def test_dsir_bucket_model_broadcasts(spark, reg):
+    """The 1024-row LLR model and both 1-row scalars must broadcast —
+    the per-doc scoring join is map-side."""
+    plan = _formatted_plan(
+        reg["dsir_importance_weights"].spark_fn(spark, SF), spark
+    )
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_merge_is_single_pass_broadcast(spark, reg):
+    """The SCD2 merge must plan ONE broadcast join over the dimension
+    (batch side broadcast) + a map-side explode — no sort-merge join,
+    no second dimension scan for the matched branch."""
+    plan = _formatted_plan(reg["scd2_dim_merge"].spark_fn(spark, SF), spark)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_erasure_audit_broadcasts_deletion_cohort(spark, reg):
+    """The erased-users list and the 1-row residue check broadcast;
+    the events table is never shuffled before the per-type agg's
+    partial aggregation."""
+    plan = _formatted_plan(
+        reg["user_erasure_audit"].spark_fn(spark, SF), spark
+    )
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_gopher_rules_single_shuffle_for_top_word(spark, reg):
+    """Only the top-word rule may shuffle doc-grain data: the plan has
+    exactly the token-census aggregation pair plus the bounded
+    source rollup — map-side projections for every other rule."""
+    plan = _formatted_plan(
+        reg["gopher_quality_flags"].spark_fn(spark, SF), spark
+    )
+    assert "CartesianProduct" not in plan
+    # doc_id-keyed exchanges: token census + per-doc max + rule join
+    assert plan.count("Exchange hashpartitioning") <= 5
+
+
+def test_histogram_quantile_merges_bounded_sketch(spark, reg):
+    """The minute-grain histogram must partially aggregate map-side
+    (partial_count before any exchange) and the merge exchange carries
+    only (event_type, bin) keys."""
+    plan = _formatted_plan(
+        reg["histogram_quantile_rollup"].spark_fn(spark, SF), spark
+    )
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pair_join_keyed_by_cluster(spark, reg):
+    """The within-cluster pair join must be an equi-join on cid (the
+    SemDeDup blocking key), never a nested-loop over the corpus; the
+    centroid tables stay broadcast."""
+    plan = _formatted_plan(
+        reg["semantic_dedup_prune"].spark_fn(spark, SF), spark
+    )
+    # a keyed join (SMJ/SHJ) must carry the pair block; nested-loop
+    # nodes are fine ONLY because the broadcast K-row centroid cross
+    # uses them — the corpus-side pair join must never be one.
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
+    pair = re.search(r"(SortMergeJoin|ShuffledHashJoin)[^\n]*", plan)
+    assert pair is not None
