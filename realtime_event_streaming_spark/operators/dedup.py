@@ -36,7 +36,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..io import load_table
 from ..registry import register
@@ -1239,4 +1239,346 @@ def repeated_substring_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_span_tokens"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate strip: line-dedup as a TRANSFORM (keep-first reconstruction)
+# ---------------------------------------------------------------------------
+
+#: paragraphs removed at or beyond this count put a doc in the output
+#: window (the 20 most-stripped docs) — purely a display bound; the
+#: transform itself rebuilds EVERY document.
+_STRIP_TOP = 20
+
+_STRIP_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+paras AS (
+  SELECT doc_id, i AS pid,
+         array_to_string(
+           tk[i * {PARA_TOKENS} + 1 : i * {PARA_TOKENS} + {PARA_TOKENS}],
+           ' ') AS ptxt
+  FROM toks, UNNEST(generate_series(0, (len(tk) - 1) // {PARA_TOKENS}))
+       AS u(i)
+),
+marked AS (
+  SELECT doc_id, pid, ptxt,
+         row_number() OVER (PARTITION BY ptxt
+                            ORDER BY doc_id, pid) AS occ
+  FROM paras
+),
+rebuilt AS (
+  SELECT doc_id,
+         cast(count(*) AS BIGINT) AS n_paras,
+         cast(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         coalesce(string_agg(CASE WHEN occ = 1 THEN ptxt END, ' '
+                             ORDER BY pid), '') AS clean
+  FROM marked GROUP BY doc_id
+)
+SELECT doc_id, n_paras, n_kept,
+       n_paras - n_kept AS n_removed,
+       cast(length(clean) AS BIGINT) AS clean_chars,
+       substr(clean, 1, 48) AS clean_prefix
+FROM rebuilt
+ORDER BY n_removed DESC, doc_id LIMIT {_STRIP_TOP}
+"""
+
+
+@register("boilerplate_strip", _STRIP_DUCK, tags=("dedup", "curation"))
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line dedup as a TRANSFORM, not just a census
+    (`paragraph_dedup_census` counts; this one rebuilds): every
+    paragraph occurrence except the corpus-wide FIRST (ordered by
+    doc_id, pid) is stripped, and each document's text is
+    reconstructed from its surviving paragraphs in position order.
+    Output: the {top} most-stripped documents with before/after
+    paragraph counts, rebuilt length, and a 48-char prefix of the
+    cleaned text (proving the reconstruction, without shipping 500
+    full texts through the gate). Paragraph = non-overlapping
+    PARA_TOKENS-token window, same convention as the census.
+
+    Scale notes (100 TB): keep-first needs a global first-occurrence
+    rank per paragraph — one shuffle keyed by paragraph text (in
+    production by its 56-bit fingerprint, with the text carried only
+    on the rank-1 row); reconstruction is a per-doc group-by that
+    collects (pid, kept-paragraph) pairs — partition-bounded by doc
+    length, never corpus-wide. The ORDER BY ... LIMIT tail is a
+    TakeOrderedAndProject, not a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunk_expr = (
+        f"transform(sequence(0, cast(floor((size(tk) - 1) / {PARA_TOKENS}) "
+        f"as int)), i -> concat_ws(' ', slice(tk, i * {PARA_TOKENS} + 1, "
+        f"{PARA_TOKENS})))"
+    )
+    paras = (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .select("doc_id", F.posexplode(F.expr(chunk_expr)).alias("pid", "ptxt"))
+    )
+    w = Window.partitionBy("ptxt").orderBy("doc_id", "pid")
+    marked = paras.withColumn("occ", F.row_number().over(w))
+    rebuilt = marked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_paras"),
+        F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN occ = 1 THEN "
+                "struct(pid, ptxt) END)), e -> e.ptxt)"
+            ),
+            " ",
+        ).alias("clean"),
+    )
+    return (
+        rebuilt.select(
+            "doc_id",
+            "n_paras",
+            "n_kept",
+            (F.col("n_paras") - F.col("n_kept")).alias("n_removed"),
+            F.length("clean").cast("bigint").alias("clean_chars"),
+            F.substring("clean", 1, 48).alias("clean_prefix"),
+        )
+        .orderBy(F.desc("n_removed"), "doc_id")
+        .limit(_STRIP_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy near-dup pairs by edit distance (prefix-blocked levenshtein)
+# ---------------------------------------------------------------------------
+
+#: compare the first _FUZZY_TITLE chars of each doc (the "title" in a
+#: metadata-dedup pass); block on the first _FUZZY_BLOCK chars so the
+#: pair join is equi-keyed, never all-pairs.
+_FUZZY_TITLE = 32
+_FUZZY_BLOCK = 8
+_FUZZY_MAX_DIST = 12
+_FUZZY_TOP = 20
+
+_FUZZY_DUCK = f"""
+WITH titles AS (
+  SELECT doc_id, source,
+         substr(text, 1, {_FUZZY_TITLE}) AS title,
+         substr(text, 1, {_FUZZY_BLOCK}) AS blk
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.source AS source_a, b.source AS source_b,
+         cast(levenshtein(a.title, b.title) AS BIGINT) AS dist
+  FROM titles a JOIN titles b
+    ON a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, source_a, source_b, dist
+FROM pairs
+WHERE dist <= {_FUZZY_MAX_DIST}
+ORDER BY dist, doc_a, doc_b
+LIMIT {_FUZZY_TOP}
+"""
+
+
+@register("fuzzy_title_pairs", _FUZZY_DUCK, tags=("dedup",))
+def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs — the record-linkage grain the
+    hash/shingle family can't see (single-character typos shift every
+    shingle, but move levenshtein by 1): compare {t}-char title
+    prefixes, blocked on the first {b} chars so candidate generation
+    is an equi-join on the block key, then keep pairs within edit
+    distance {d}. Top-{n} pairs by (distance, ids).
+
+    Scale notes (100 TB): blocking is the whole game — the join is
+    equi-keyed on the block prefix (shuffle-hash/broadcast by key
+    cardinality), and levenshtein runs only INSIDE blocks, on fixed
+    {t}-char strings (O(t^2) each, constant). Production variants
+    block on multiple keys (prefix, soundex, length bucket) and union
+    the candidate sets; skewed blocks (empty-title pathologies) get
+    the salting treatment from `salted_user_enrich`. The a.doc_id <
+    b.doc_id predicate halves the pair space and canonicalizes pair
+    identity."""
+    docs = load_table(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id",
+        "source",
+        F.substring("text", 1, _FUZZY_TITLE).alias("title"),
+        F.substring("text", 1, _FUZZY_BLOCK).alias("blk"),
+    )
+    a = titles.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("source").alias("source_a"),
+        F.col("title").alias("title_a"),
+        "blk",
+    )
+    b = titles.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("source_b"),
+        F.col("title").alias("title_b"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "source_a",
+            "source_b",
+            F.levenshtein("title_a", "title_b").cast("bigint").alias("dist"),
+        )
+        .where(F.col("dist") <= _FUZZY_MAX_DIST)
+        .orderBy("dist", "doc_a", "doc_b")
+        .limit(_FUZZY_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimation-accuracy contract (est vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+_MH_ACC_DUCK = f"""
+WITH {_DUCK_SHINGLES}, {_DUCK_SIG},
+bands AS (
+  SELECT doc_id, seed // 2 AS band_idx,
+         min(h) * {MH_SHIFT} + max(h) AS band_hash
+  FROM sig GROUP BY doc_id, seed // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         round(avg(CASE WHEN sa.h = sb.h THEN 1.0 ELSE 0.0 END), 4) AS est_j
+  FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b AND sa.seed = sb.seed
+  GROUP BY doc_a, doc_b
+),
+ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+  GROUP BY c.doc_a, c.doc_b
+),
+exact AS (
+  SELECT e.doc_a, e.doc_b, e.est_j,
+         cast(coalesce(i.ni, 0) AS DOUBLE)
+           / (na.n + nb.n - coalesce(i.ni, 0)) AS true_j
+  FROM est e
+  LEFT JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+  JOIN ns na ON na.doc_id = e.doc_a
+  JOIN ns nb ON nb.doc_id = e.doc_b
+)
+SELECT cast(floor(est_j * 4) AS BIGINT) AS est_bucket,
+       cast(count(*) AS BIGINT) AS n_pairs,
+       round(avg(est_j), 4) AS avg_est,
+       round(avg(true_j), 4) AS avg_true,
+       round(avg(abs(est_j - true_j)), 4) AS mae,
+       round(max(abs(est_j - true_j)), 4) AS max_err
+FROM exact GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("minhash_estimate_accuracy", _MH_ACC_DUCK, tags=("dedup", "sketch"))
+def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy contract for the MinHash sketch itself (the
+    `approx_distinct_accuracy` pattern applied to Jaccard): for every
+    LSH candidate pair, compare the 16-hash signature-agreement
+    estimate against the EXACT distinct-shingle Jaccard, bucketed by
+    estimated similarity (quarter buckets). Documents the estimator's
+    bias/error envelope (16 Kirsch-Mitzenmacher-derived hashes =>
+    stderr ~ sqrt(J(1-J)/16), slightly wider than independent
+    permutations — see minhash_signatures) so threshold choices in
+    `dedup_minhash_lsh` are made against measured error, not theory.
+
+    Scale notes (100 TB): everything downstream of candidate
+    generation is bounded by the LSH pair count, NOT the corpus; the
+    exact-Jaccard verification join runs only on candidate pairs
+    (same shape as `dedup_ngram_jaccard`'s verification pass). The
+    census itself is a 5-row rollup.
+
+    Determinism: est_j is k/16 (binary-exact); true_j stays UNROUNDED
+    into the averages — pre-rounding it to 4dp makes bucket averages
+    land exactly on half-ulp midpoints (two 4dp values averaged end in
+    ...5), where the engines' round() disagree. Raw doubles keep the
+    midpoint probability at ~0; only the output columns round."""
+    sig_arr = minhash_signature_arrays(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    bands = band_table_of(sig_arr)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    est_expr = F.expr(
+        "round(size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) "
+        f"/ cast({N_HASHES} AS DOUBLE), 4)"
+    )
+    est = (
+        cand.join(
+            sig_arr.select(
+                F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sig_arr.select(
+                F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", est_expr.alias("est_j"))
+    )
+    sh = shingles(spark, sf_dir).localCheckpoint(eager=False)
+    ns = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"]
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    exact = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(ns.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(ns.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "est_j",
+            (
+                F.coalesce("ni", F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce("ni", F.lit(0)))
+            ).alias("true_j"),
+        )
+    )
+    err = F.abs(F.col("est_j") - F.col("true_j"))
+    return (
+        exact.groupBy(
+            F.floor(F.col("est_j") * 4).cast("bigint").alias("est_bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("est_j"), 4).alias("avg_est"),
+            F.round(F.avg("true_j"), 4).alias("avg_true"),
+            F.round(F.avg(err), 4).alias("mae"),
+            F.round(F.max(err), 4).alias("max_err"),
+        )
+        .orderBy("est_bucket")
     )

@@ -1,0 +1,478 @@
+"""Retrieval operators over ``documents`` / ``embeddings``: BM25 term
+search and hybrid lexical+vector rank fusion.
+
+Extension surface for RAG / retrieval-augmented training pipelines (no
+counterpart in the reference, whose query corpus is pure OLAP —
+SURVEY.md §2.9 note). Two shapes every retrieval stack runs:
+
+- **BM25 top-k**: the Okapi BM25(k1=1.2, b=0.75) ranking function over
+  the corpus inverted index, for a deterministic query-term set (the
+  corpus's rarest tokens — on the fixture that surfaces the 'dup'
+  mutation marker with a high idf against the uniform word-soup
+  background).
+- **Hybrid RRF**: reciprocal-rank fusion (Cormack et al., the fixed
+  1/(K+rank) variant with K=60) of a lexical ranking (token Jaccard)
+  and a vector ranking (embedding cosine) for the same query documents
+  — the standard way production search fuses BM25 and ANN results
+  without score calibration.
+
+Both are pure relational plans (explode -> bounded group-bys -> window
+top-k); no UDFs. All scores are rounded to ROUND_DIGITS before any
+ranking comparison so cross-engine float drift cannot flip a rank.
+
+Scale notes (100 TB): BM25's big shuffle is the (tok) postings
+group-by — bounded by vocabulary, not corpus; the query-term table is
+tiny and broadcast into the postings join, and scoring touches ONLY
+the probed terms' postings (filter pushes into the scan of a real
+inverted-index layout). Hybrid RRF broadcasts the bounded query-doc
+set against the corpus exactly like `ann_bruteforce`'s query side; at
+cluster scale the candidate generation swaps for the LSH/IVF bucketed
+variants (`ann_ivf_kmeans_topk`) with the same fusion tail.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import register_views
+from ..registry import register
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+N_QUERY_TERMS = 5
+BM25_TOPK = 10
+
+RRF_K = 60
+N_QUERY_DOCS = 5
+RRF_TOPK = 10
+
+# ---------------------------------------------------------------------------
+# Okapi BM25 top-k per query term
+# ---------------------------------------------------------------------------
+
+#: one SQL text for both engines; only the tokenizer line differs
+#: (DuckDB unnest(string_split(...)) vs Spark explode(split(...))).
+#: Scoring arithmetic is written once so both engines evaluate the
+#: identical expression tree over exact-integer inputs (tf, dl, df, N).
+_BM25_BODY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT cast(count(*) AS DOUBLE) AS n_docs,
+         avg(cast(dl AS DOUBLE)) AS avgdl
+  FROM doclen
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+qterms AS (
+  SELECT term, df FROM df
+  ORDER BY df ASC, term ASC LIMIT {N_QUERY_TERMS}
+),
+tf AS (
+  SELECT toks.doc_id, toks.term, count(*) AS tf
+  FROM toks JOIN qterms ON toks.term = qterms.term
+  GROUP BY toks.doc_id, toks.term
+),
+scored AS (
+  SELECT tf.term, tf.doc_id,
+         round(
+           ln(1.0 + (stats.n_docs - qterms.df + 0.5) / (qterms.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * doclen.dl / stats.avgdl)),
+           4) AS bm25
+  FROM tf
+  JOIN qterms ON tf.term = qterms.term
+  JOIN doclen ON tf.doc_id = doclen.doc_id
+  CROSS JOIN stats
+),
+ranked AS (
+  SELECT term, doc_id, bm25,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY bm25 DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT term, rnk, doc_id, bm25 FROM ranked
+WHERE rnk <= {BM25_TOPK}
+ORDER BY term, rnk
+"""
+
+_BM25_SPARK = _BM25_BODY.replace(
+    "unnest(string_split(text, ' '))", "explode(split(text, ' '))"
+)
+
+
+@register("bm25_topk", _BM25_BODY, tags=("text", "retrieval"))
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1={k1}, b={b}) top-{k} documents for each of the
+    {n} rarest corpus terms (df ASC, term ASC — deterministic), the
+    inverted-index ranking function behind every lexical retrieval
+    stack. idf uses the ln(1 + (N-df+.5)/(df+.5)) form (always
+    positive); scores round to 4dp before ranking, ties break on
+    doc_id.
+
+    Scale notes (100 TB): the postings build is one explode + two
+    vocabulary-bounded group-bys (df is |vocab| rows, tf is |postings
+    of probed terms| rows — the qterms join prunes scoring to the
+    probed terms BEFORE the tf aggregation, so the scoring shuffle is
+    O(matching postings), not O(corpus tokens)). The 5-row qterms and
+    1-row stats tables broadcast. On a real deployment the toks CTE is
+    a materialized postings table partitioned by term — the plan then
+    reads only the probed partitions.""".format(
+        k1=BM25_K1, b=BM25_B, k=BM25_TOPK, n=N_QUERY_TERMS
+    )
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_BM25_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of lexical + vector ranks
+# ---------------------------------------------------------------------------
+
+#: lexical arm: token-set Jaccard between query doc and candidate doc
+#: (distinct tokens — the `dedup_ngram_jaccard` similarity at unigram
+#: grain); vector arm: embedding cosine (the `ann_bruteforce` score,
+#: doc_id and vec_id are the same id space in the fixture). Each arm
+#: ranks by (rounded score DESC, id); fusion score is
+#: sum(1/(K+rank)) over the two arms — rational in the ranks, so
+#: bit-identical across engines at 4dp.
+_RRF_BODY = f"""
+WITH dtoks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tokcount AS (SELECT doc_id, count(*) AS nt FROM dtoks GROUP BY doc_id),
+qdocs AS (SELECT doc_id FROM documents WHERE doc_id < {N_QUERY_DOCS}),
+overlap AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS cand_id, count(*) AS inter
+  FROM dtoks q JOIN dtoks c ON q.term = c.term AND c.doc_id <> q.doc_id
+  JOIN qdocs ON q.doc_id = qdocs.doc_id
+  GROUP BY q.doc_id, c.doc_id
+),
+lex AS (
+  SELECT query_id, cand_id,
+         round(cast(inter AS DOUBLE)
+               / (tq.nt + tc.nt - inter), 4) AS jac
+  FROM overlap
+  JOIN tokcount tq ON overlap.query_id = tq.doc_id
+  JOIN tokcount tc ON overlap.cand_id = tc.doc_id
+),
+lexrank AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY jac DESC, cand_id) AS lrank
+  FROM lex
+),
+vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS norm
+  FROM embeddings
+),
+vec AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 4) AS cosine
+  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERY_DOCS}
+),
+vecrank AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id) AS vrank
+  FROM vec
+),
+fused AS (
+  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         coalesce(l.cand_id, v.cand_id) AS cand_id,
+         round(coalesce(cast(1 AS DOUBLE) / ({RRF_K} + l.lrank),
+                        cast(0 AS DOUBLE))
+               + coalesce(cast(1 AS DOUBLE) / ({RRF_K} + v.vrank),
+                          cast(0 AS DOUBLE)), 4) AS rrf,
+         l.lrank AS lrank, v.vrank AS vrank
+  FROM lexrank l
+  FULL OUTER JOIN vecrank v
+    ON l.query_id = v.query_id AND l.cand_id = v.cand_id
+),
+final AS (
+  SELECT query_id, cand_id, rrf, lrank, vrank,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, cand_id) AS rnk
+  FROM fused
+)
+SELECT query_id, rnk, cand_id, rrf, lrank, vrank
+FROM final WHERE rnk <= {RRF_TOPK}
+ORDER BY query_id, rnk
+"""
+
+_RRF_SPARK = _RRF_BODY.replace(
+    "unnest(string_split(text, ' '))", "explode(split(text, ' '))"
+).replace(
+    "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))",
+    "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 AS DOUBLE),"
+    " (acc, x) -> acc + x))",
+).replace(
+    "embedding::DOUBLE[] AS v",
+    "transform(embedding, x -> cast(x AS DOUBLE)) AS v",
+).replace(
+    "list_dot_product(q.v, c.v)",
+    "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0 AS DOUBLE),"
+    " (acc, x) -> acc + x)",
+)
+
+
+@register("hybrid_rrf_retrieval", _RRF_BODY, tags=("retrieval", "similarity"))
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse a lexical ranking (distinct-token Jaccard)
+    and a vector ranking (embedding cosine — doc_id/vec_id share the
+    fixture id space) with reciprocal-rank fusion, score =
+    1/({K}+lex_rank) + 1/({K}+vec_rank). Top-{k} fused candidates per
+    query doc (doc_id < {n}). RRF is the calibration-free fusion used
+    when BM25 and ANN scores live on incomparable scales; the fused
+    score is rational in the two integer ranks, so cross-engine
+    determinism is exact.
+
+    Scale notes (100 TB): both arms broadcast the bounded query set;
+    the lexical arm's overlap group-by is keyed on (query, candidate)
+    pairs that SHARE a token (postings-intersection sized, not
+    all-pairs — the qdocs join prunes before the group-by); the
+    vector arm is the documented labeled-baseline shape whose
+    production form is the IVF probe. The fusion itself is a join on
+    (query, candidate) — O(topk-ish candidate sets), trivially
+    shuffled.""".format(K=RRF_K, k=RRF_TOPK, n=N_QUERY_DOCS)
+    register_views(spark, sf_dir, tables=("documents", "embeddings"))
+    return spark.sql(_RRF_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# product-quantization ANN (PQ codebook training + ADC top-k)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4        # subspaces
+PQ_SUBDIM = 16  # dims per subspace (4 x 16 = the 64-dim embedding)
+PQ_K = 8        # codewords per subspace codebook
+PQ_NQ = 10      # query vectors: vec_id < PQ_NQ (matches the ANN family)
+PQ_TOPK = 5
+
+#: squared L2 over one PQ subspace, DuckDB form (16-dim diff fold).
+_PQD2_DUCK = (
+    f"list_dot_product("
+    f"list_transform(generate_series(1, {PQ_SUBDIM}), i -> {{a}}[i] - {{b}}[i]), "
+    f"list_transform(generate_series(1, {PQ_SUBDIM}), i -> {{a}}[i] - {{b}}[i]))"
+)
+#: same fold, Spark form.
+_PQD2_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "cast(0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
+#: ADC sum in a FIXED evaluation order: one conditional aggregate per
+#: subspace (each sums exactly one addend, hence exact), then a
+#: left-to-right 4-term addition both engines evaluate identically —
+#: a plain sum(dd) would expose cross-engine float-summation order.
+_ADC_TERMS = " + ".join(f"d{s}" for s in range(1, PQ_M + 1))
+_ADC_CASES_SQL = ",\n         ".join(
+    f"sum(CASE WHEN s = {s} THEN dd END) AS d{s}" for s in range(1, PQ_M + 1)
+)
+
+_PQ_DUCK = f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+subs AS (
+  SELECT vec_id, s,
+         list_transform(generate_series(1, {PQ_SUBDIM}),
+                        i -> v[(s - 1) * {PQ_SUBDIM} + i]) AS sv
+  FROM vecs, UNNEST(generate_series(1, {PQ_M})) AS g(s)
+),
+c0 AS (SELECT s, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < {PQ_K}),
+dist1 AS (
+  SELECT q.vec_id, q.s, c0.cid,
+         round({_PQD2_DUCK.format(a="q.sv", b="c0.cv")}, 4) AS dd
+  FROM subs q JOIN c0 ON q.s = c0.s
+),
+a1 AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dd, cid) AS rn
+    FROM dist1
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT a1.s, a1.cid, i, round(avg(subs.sv[i]), 4) AS m
+  FROM a1 JOIN subs ON a1.vec_id = subs.vec_id AND a1.s = subs.s,
+       UNNEST(generate_series(1, {PQ_SUBDIM})) AS gi(i)
+  GROUP BY a1.s, a1.cid, i
+),
+c1 AS (SELECT s, cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY s, cid),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT q.vec_id, q.s, c1.cid,
+           row_number() OVER (PARTITION BY q.vec_id, q.s
+               ORDER BY round({_PQD2_DUCK.format(a="q.sv", b="c1.cv")}, 4),
+                        c1.cid) AS rn
+    FROM subs q JOIN c1 ON q.s = c1.s
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS qid, q.s, c1.cid,
+         round({_PQD2_DUCK.format(a="q.sv", b="c1.cv")}, 4) AS dd
+  FROM subs q JOIN c1 ON q.s = c1.s
+  WHERE q.vec_id < {PQ_NQ}
+),
+pair AS (
+  SELECT lut.qid, codes.vec_id AS nid, lut.s, lut.dd
+  FROM codes JOIN lut ON codes.s = lut.s AND codes.cid = lut.cid
+  WHERE codes.vec_id <> lut.qid
+),
+parts AS (
+  SELECT qid, nid,
+         {_ADC_CASES_SQL}
+  FROM pair GROUP BY qid, nid
+),
+adc AS (
+  SELECT qid AS query_id, nid AS neighbor_id,
+         round({_ADC_TERMS}, 4) AS adc_d2
+  FROM parts
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2, neighbor_id) AS rnk
+  FROM adc
+)
+SELECT query_id, rnk, neighbor_id, adc_d2
+FROM ranked WHERE rnk <= {PQ_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
+def _pq_subvectors(vecs: DataFrame) -> DataFrame:
+    """(vec_id, s, sv): the PQ_M 16-dim subvectors of each embedding —
+    one explode of a literal M-element array, no shuffle."""
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s + 1).alias("s"),
+                F.slice("v", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+            )
+            for s in range(PQ_M)
+        ]
+    )
+    return vecs.select("vec_id", F.explode(parts).alias("e")).select(
+        "vec_id", "e.s", "e.sv"
+    )
+
+
+def _pq_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest codeword per (vector, subspace): broadcast the M*K-row
+    codebook, join on subspace, rank by (rounded subspace-L2, cid)."""
+    from pyspark.sql import Window
+
+    d2 = F.round(F.expr(_PQD2_SPARK.format(a="sv", b="cv")), 4)
+    w = Window.partitionBy("vec_id", "s").orderBy("dd", "cid")
+    return (
+        subs.join(F.broadcast(cents), "s")
+        .select("vec_id", "s", "cid", d2.alias("dd"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", "cid")
+    )
+
+
+@register("pq_adc_topk", _PQ_DUCK, tags=("similarity", "retrieval"))
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PQ with asymmetric
+    distance computation): split the 64-dim embedding into {m} x
+    {d}-dim subspaces, train one codebook of {k} codewords per
+    subspace (deterministic init = first {k} vectors' subvectors, one
+    Lloyd round, means rounded 4dp so both engines iterate from
+    identical codebooks), encode every vector as {m} one-byte codes,
+    then answer each query (vec_id < {nq}) by ADC: a {m}x{k}-entry
+    lookup table of query-subvector-to-codeword distances, summed over
+    the code tuple in a FIXED 4-term order (each term is a
+    single-addend conditional aggregate, so no float-summation-order
+    drift). Top-{topk} per query by (rounded ADC distance, id). One
+    Lloyd round (vs kmeans_centroids' 2) keeps the inline oracle
+    tractable; the production path trains once and materializes the
+    codebook like `probe_ann_index`.
+
+    Scale notes (100 TB): this is the memory-bound ANN compression
+    path — the corpus at rest is {m} bytes/vector of codes (256x
+    smaller than the float64 vectors), the codebook is M*K rows and
+    always broadcast, and the ADC scan never touches the original
+    embeddings. The pair join is (codes x per-query LUT) on (s, cid)
+    — candidate-side work is a map-side broadcast-hash join over the
+    code table; the only shuffle is the (query, neighbor) group-by,
+    O(M x corpus) rows keyed evenly. At cluster scale the code table
+    is additionally IVF-partitioned (IVF-PQ) so each query touches
+    nprobe cells only — same plan tail.""".format(
+        m=PQ_M, d=PQ_SUBDIM, k=PQ_K, nq=PQ_NQ, topk=PQ_TOPK
+    )
+    from pyspark.sql import Window
+
+    from ..io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v"),
+    )
+    subs = _pq_subvectors(vecs)
+
+    # -- train: deterministic init + one Lloyd round, rounded means
+    c0 = subs.where(F.col("vec_id") < PQ_K).select(
+        "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    a1 = _pq_assign(subs, c0)
+    m1 = (
+        a1.join(subs, ["vec_id", "s"])
+        .select("s", "cid", F.posexplode("sv").alias("i0", "x"))
+        .groupBy("s", "cid", "i0")
+        .agg(F.round(F.avg("x"), 4).alias("m"))
+    )
+    c1 = m1.groupBy("s", "cid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i0, m))), e -> e.m)"
+        ).alias("cv")
+    )
+
+    # -- encode the corpus; build the per-query LUT against the SAME
+    #    codebook
+    codes = _pq_assign(subs, c1)
+    lut = (
+        subs.where(F.col("vec_id") < PQ_NQ)
+        .join(F.broadcast(c1), "s")
+        .select(
+            F.col("vec_id").alias("qid"),
+            "s",
+            "cid",
+            F.round(F.expr(_PQD2_SPARK.format(a="sv", b="cv")), 4).alias("dd"),
+        )
+    )
+
+    # -- ADC: map each code to its LUT entry, sum per (query, neighbor)
+    #    in fixed subspace order
+    pair = codes.join(F.broadcast(lut), ["s", "cid"]).where(
+        F.col("vec_id") != F.col("qid")
+    )
+    parts = pair.groupBy("qid", "vec_id").agg(
+        *[
+            F.sum(F.when(F.col("s") == s, F.col("dd"))).alias(f"d{s}")
+            for s in range(1, PQ_M + 1)
+        ]
+    )
+    adc = parts.select(
+        F.col("qid").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(F.expr(_ADC_TERMS), 4).alias("adc_d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= PQ_TOPK)
+        .select("query_id", "rnk", "neighbor_id", "adc_d2")
+        .orderBy("query_id", "rnk")
+    )

@@ -84,6 +84,16 @@ DRIVER_QUERIES: tuple[str, ...] = (
     #    SCD2 merge, stream-stream attribution join, SemDeDup prune,
     #    BPE encode census, mergeable histogram quantiles, Gopher rule
     #    pack, GDPR erasure audit, bigram LM perplexity).
+    # -- round-6 second-wave debuts (retrieval family + dedup
+    #    extensions): BM25, hybrid RRF fusion, PQ-ADC ANN, keep-first
+    #    boilerplate strip, edit-distance fuzzy pairs, MinHash
+    #    accuracy contract.
+    "bm25_topk",
+    "hybrid_rrf_retrieval",
+    "pq_adc_topk",
+    "boilerplate_strip",
+    "fuzzy_title_pairs",
+    "minhash_estimate_accuracy",
     "discount_uplift",
     "profit_by_nation_year",
     "priority_by_latency",
@@ -133,18 +143,14 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "rows_per_minute",
     "throughput_summary",
     "top_customers",
-    "value_histogram",
-    # -- ... and five of the round-2 cohort (sketch contracts,
-    #    freshness, incremental dedup, sessions). Yielded this round
-    #    (all green r2 and/or r5, proof cumulative): the whole r5
-    #    window plus embedding_near_dup / multimodal_features /
-    #    range_join_windows; all remain locally gated by
-    #    tests/test_oracle_parity.py.
-    "approx_distinct_accuracy",
-    "approx_quantile_accuracy",
-    "data_freshness",
-    "dedup_incremental",
-    "user_sessions",
+    # -- Yielded this round (proof cumulative; every yielded query
+    #    remains locally gated by tests/test_oracle_parity.py): the
+    #    whole r5 window, embedding_near_dup / multimodal_features /
+    #    range_join_windows, and — to make room for the round-6
+    #    second-wave debuts — value_histogram (green r1) and the
+    #    round-2 cohort (approx_distinct_accuracy,
+    #    approx_quantile_accuracy, data_freshness, dedup_incremental,
+    #    user_sessions — all green r2 and re-confirmed since).
 )
 
 
@@ -193,5 +199,6 @@ def load_all() -> dict[str, Query]:
     from .operators import corpusprep  # noqa: F401
     from .operators import sketches  # noqa: F401
     from .operators import inference  # noqa: F401
+    from .operators import retrieval  # noqa: F401
 
     return REGISTRY

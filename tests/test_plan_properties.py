@@ -550,3 +550,35 @@ def test_semantic_dedup_pair_join_keyed_by_cluster(spark, reg):
     assert re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
     pair = re.search(r"(SortMergeJoin|ShuffledHashJoin)[^\n]*", plan)
     assert pair is not None
+
+
+def test_bm25_prunes_scoring_to_probed_terms(spark, reg):
+    """BM25's tf aggregation must run AFTER the qterms join (postings
+    pruned to probed terms before the scoring shuffle) and read only
+    the two columns the tokenizer needs."""
+    plan = _formatted_plan(reg["bm25_topk"].spark_fn(spark, SF), spark)
+    m = re.search(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert m and "text" in m.group(1) and "lang" not in m.group(1)
+    assert "BroadcastHashJoin" in plan  # 5-row qterms broadcast
+
+
+def test_pq_codebook_and_lut_are_broadcast(spark, reg):
+    """PQ-ADC: the M*K codebook and the per-query LUT must broadcast —
+    the code-table scan side must never shuffle for the join."""
+    plan = _formatted_plan(reg["pq_adc_topk"].spark_fn(spark, SF), spark)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_boilerplate_strip_plans_top_k(spark, reg):
+    plan = _formatted_plan(reg["boilerplate_strip"].spark_fn(spark, SF), spark)
+    assert "TakeOrderedAndProject" in plan, "strip lost its top-k tail"
+
+
+def test_fuzzy_pairs_join_is_equi_keyed_on_block(spark, reg):
+    """The levenshtein pair join must be an equi-join on the block
+    prefix — a nested-loop/cartesian here is the all-pairs scale
+    killer the blocking exists to prevent."""
+    plan = _formatted_plan(reg["fuzzy_title_pairs"].spark_fn(spark, SF), spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
