@@ -1582,3 +1582,209 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("est_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplication power-law census (log-log OLS over the df histogram)
+# ---------------------------------------------------------------------------
+
+_PLAW_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+chunks AS (
+  SELECT doc_id, ('0x' || substr(md5(c), 1, 14))::BIGINT AS cid
+  FROM toks,
+       UNNEST(list_transform(
+         generate_series(0, (len(tk) - 1) // {PARA_TOKENS}),
+         i -> array_to_string(
+           tk[i * {PARA_TOKENS} + 1 : i * {PARA_TOKENS} + {PARA_TOKENS}],
+           ' '))) AS u(c)
+),
+freq AS (SELECT cid, count(*) AS df FROM chunks GROUP BY cid),
+hist AS (SELECT df, count(*) AS n_paras FROM freq GROUP BY df),
+fit AS (
+  SELECT cast(count(*) AS BIGINT) AS n_points,
+         round(regr_slope(ln(cast(n_paras AS DOUBLE)),
+                          ln(cast(df AS DOUBLE))), 4) AS slope,
+         round(regr_intercept(ln(cast(n_paras AS DOUBLE)),
+                              ln(cast(df AS DOUBLE))), 4) AS intercept,
+         round(regr_r2(ln(cast(n_paras AS DOUBLE)),
+                       ln(cast(df AS DOUBLE))), 4) AS r2
+  FROM hist
+),
+mass AS (
+  SELECT cast(sum(CASE WHEN df = 1 THEN n_paras ELSE 0 END) AS BIGINT)
+           AS unique_paras,
+         cast(sum(n_paras) AS BIGINT) AS distinct_paras,
+         cast(max(df) AS BIGINT) AS max_df
+  FROM hist
+)
+SELECT n_points, slope, intercept, r2, unique_paras, distinct_paras, max_df
+FROM fit, mass
+"""
+
+
+@register("dup_cluster_powerlaw", _PLAW_DUCK, tags=("dedup", "diagnostics"))
+def dup_cluster_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-frequency power-law fit: the paragraph-fingerprint
+    df histogram (how many paragraphs occur exactly df times) fit by
+    OLS in log-log space — web-crawl duplication is famously Zipfian,
+    and the fitted slope decides dedup strategy (a heavy tail means a
+    few boilerplate strings dominate postings; the rare-shingle cap in
+    `dedup_ngram_jaccard` exists exactly because of this shape). One
+    output row: point count, slope, intercept, r2, plus the unique /
+    distinct paragraph mass and the deepest cluster.
+
+    Uses the engines' native least-squares aggregates (regr_slope /
+    regr_intercept / regr_r2 — identical Welford-style definitions in
+    Spark and DuckDB) over the ≤|max df| histogram rows.
+
+    Scale notes (100 TB): the only corpus-sized shuffle is the
+    fingerprint group-by (16 B/paragraph, same as the census); the
+    histogram is ≤ max-df rows and the regression is a single bounded
+    aggregate over it. This is the diagnostic you run BEFORE choosing
+    band counts and caps on a new crawl."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunk_expr = (
+        f"transform(sequence(0, cast(floor((size(tk) - 1) / {PARA_TOKENS}) "
+        f"as int)), i -> concat_ws(' ', slice(tk, i * {PARA_TOKENS} + 1, "
+        f"{PARA_TOKENS})))"
+    )
+    chunks = (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .select("doc_id", F.explode(F.expr(chunk_expr)).alias("c"))
+        .select(
+            F.expr(
+                "cast(conv(substr(md5(c), 1, 14), 16, 10) as bigint)"
+            ).alias("cid")
+        )
+    )
+    freq = chunks.groupBy("cid").agg(F.count("*").alias("df"))
+    hist = freq.groupBy("df").agg(F.count("*").alias("n_paras"))
+    lx = F.log(F.col("df").cast("double"))
+    ly = F.log(F.col("n_paras").cast("double"))
+    fit = hist.agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.round(F.regr_slope(ly, lx), 4).alias("slope"),
+        F.round(F.regr_intercept(ly, lx), 4).alias("intercept"),
+        F.round(F.regr_r2(ly, lx), 4).alias("r2"),
+    )
+    mass = hist.agg(
+        F.sum(F.when(F.col("df") == 1, F.col("n_paras")).otherwise(0))
+        .cast("bigint")
+        .alias("unique_paras"),
+        F.sum("n_paras").cast("bigint").alias("distinct_paras"),
+        F.max("df").cast("bigint").alias("max_df"),
+    )
+    return fit.crossJoin(mass).select(
+        "n_points", "slope", "intercept", "r2",
+        "unique_paras", "distinct_paras", "max_df",
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty rate of an admitted batch vs the standing corpus
+# ---------------------------------------------------------------------------
+
+#: batch = docs with doc_id % _NOV_MOD == _NOV_SLOT (~10% of the
+#: corpus), everything else is the standing corpus — same
+#: deterministic snapshot convention as `dedup_incremental`.
+_NOV_MOD = 10
+_NOV_SLOT = 7
+_NOV_N = 5  # 5-gram fingerprints
+
+_NOVELTY_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+  WHERE len(string_split(text, ' ')) >= {_NOV_N}
+),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         ('0x' || substr(md5(array_to_string(
+            tk[i : i + {_NOV_N} - 1], ' ')), 1, 14))::BIGINT AS gid
+  FROM toks, UNNEST(generate_series(1, len(tk) - {_NOV_N} + 1)) AS g(i)
+),
+corpus_grams AS (
+  SELECT DISTINCT gid FROM grams WHERE doc_id % {_NOV_MOD} <> {_NOV_SLOT}
+),
+batch AS (
+  SELECT doc_id, source, gid,
+         CASE WHEN gid IN (SELECT gid FROM corpus_grams)
+              THEN 0 ELSE 1 END AS novel
+  FROM grams WHERE doc_id % {_NOV_MOD} = {_NOV_SLOT}
+),
+per_doc AS (
+  SELECT doc_id, source, count(*) AS n_grams,
+         sum(novel) AS n_novel
+  FROM batch GROUP BY doc_id, source
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(n_grams) AS BIGINT) AS total_grams,
+       cast(sum(n_novel) AS BIGINT) AS novel_grams,
+       round(avg(cast(n_novel AS DOUBLE) / n_grams), 4) AS avg_novelty
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("ngram_novelty_rate", _NOVELTY_DUCK, tags=("dedup", "curation"))
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-grain novelty of an admitted batch: the fraction of each
+    batch document's distinct {n}-gram fingerprints NOT present
+    anywhere in the standing corpus — the content-level signal dataset
+    curators use to decide whether a new crawl snapshot is worth
+    ingesting (doc-grain `corpus_snapshot_diff` says WHICH docs
+    changed; this says how much genuinely new text they carry).
+    Census per source over the ~10% batch slice (doc_id % {m} =
+    {s}, the `dedup_incremental` snapshot convention).
+
+    Scale notes (100 TB): the corpus side reduces to a DISTINCT
+    56-bit fingerprint set (16 B/gram on the wire, the standard
+    trade); the novelty test is a left-anti-shaped probe of O(batch)
+    grams against it, both sides shuffle-keyed by gid so the join is
+    co-partitioned. In production the corpus gram set is the
+    materialized n-gram index `update_dedup_index` maintains —
+    the probe then reads only matching index partitions."""
+    docs = load_table(spark, sf_dir, "documents")
+    gram_expr = (
+        f"explode(array_distinct(transform("
+        f"sequence(1, size(tk) - {_NOV_N} + 1), "
+        f"i -> cast(conv(substr(md5(concat_ws(' ', slice(tk, i, {_NOV_N}))), "
+        f"1, 14), 16, 10) as bigint))))"
+    )
+    grams = (
+        docs.select("doc_id", "source", F.split("text", " ").alias("tk"))
+        .where(F.size("tk") >= _NOV_N)
+        .select("doc_id", "source", F.expr(gram_expr).alias("gid"))
+    )
+    is_batch = F.col("doc_id") % _NOV_MOD == _NOV_SLOT
+    corpus_grams = grams.where(~is_batch).select("gid").distinct()
+    batch = grams.where(is_batch)
+    novel = (
+        batch.join(
+            corpus_grams.withColumn("seen", F.lit(1)), "gid", "left"
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("seen").isNull(), 1).otherwise(0).alias("novel"),
+        )
+    )
+    per_doc = novel.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_grams"), F.sum("novel").alias("n_novel")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("total_grams"),
+            F.sum("n_novel").cast("bigint").alias("novel_grams"),
+            F.round(
+                F.avg(F.col("n_novel").cast("double") / F.col("n_grams")), 4
+            ).alias("avg_novelty"),
+        )
+        .orderBy("source")
+    )

@@ -476,3 +476,209 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rnk", "neighbor_id", "adc_d2")
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cell pruning composed with PQ-ADC scoring
+# ---------------------------------------------------------------------------
+
+#: PQ CTE block with a name prefix, so the coarse k-means CTEs
+#: (c0..c2 from similarity._KMEANS_CTES) and the PQ codebook CTEs can
+#: coexist in ONE oracle without collisions.
+def _pq_duck_ctes(prefix: str) -> str:
+    p = prefix
+    return f"""
+{p}subs AS (
+  SELECT vec_id, s,
+         list_transform(generate_series(1, {PQ_SUBDIM}),
+                        i -> v[(s - 1) * {PQ_SUBDIM} + i]) AS sv
+  FROM vecs, UNNEST(generate_series(1, {PQ_M})) AS g(s)
+),
+{p}c0 AS (SELECT s, vec_id AS cid, sv AS cv FROM {p}subs
+          WHERE vec_id < {PQ_K}),
+{p}dist1 AS (
+  SELECT q.vec_id, q.s, {p}c0.cid,
+         round({_PQD2_DUCK.format(a="q.sv", b=prefix + "c0.cv")}, 4) AS dd
+  FROM {p}subs q JOIN {p}c0 ON q.s = {p}c0.s
+),
+{p}a1 AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dd, cid) AS rn
+    FROM {p}dist1
+  ) WHERE rn = 1
+),
+{p}m1 AS (
+  SELECT {p}a1.s, {p}a1.cid, i, round(avg({p}subs.sv[i]), 4) AS m
+  FROM {p}a1 JOIN {p}subs ON {p}a1.vec_id = {p}subs.vec_id
+                         AND {p}a1.s = {p}subs.s,
+       UNNEST(generate_series(1, {PQ_SUBDIM})) AS gi(i)
+  GROUP BY {p}a1.s, {p}a1.cid, i
+),
+{p}c1 AS (SELECT s, cid, list(m ORDER BY i) AS cv
+          FROM {p}m1 GROUP BY s, cid),
+{p}codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT q.vec_id, q.s, {p}c1.cid,
+           row_number() OVER (PARTITION BY q.vec_id, q.s
+               ORDER BY round({_PQD2_DUCK.format(a="q.sv", b=prefix + "c1.cv")}, 4),
+                        {p}c1.cid) AS rn
+    FROM {p}subs q JOIN {p}c1 ON q.s = {p}c1.s
+  ) WHERE rn = 1
+),
+{p}lut AS (
+  SELECT q.vec_id AS qid, q.s, {p}c1.cid,
+         round({_PQD2_DUCK.format(a="q.sv", b=prefix + "c1.cv")}, 4) AS dd
+  FROM {p}subs q JOIN {p}c1 ON q.s = {p}c1.s
+  WHERE q.vec_id < {PQ_NQ}
+)"""
+
+
+def _ivfpq_duck() -> str:
+    from .similarity import IVF_NPROBE, _KMEANS_CTES, _duck_kmeans_round
+
+    return f"""
+WITH {_KMEANS_CTES},
+{_duck_kmeans_round(3, "c2")},
+qprobe AS (
+  SELECT vec_id AS qid, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+    FROM dist3 WHERE vec_id < {PQ_NQ}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+{_pq_duck_ctes("p")},
+pair AS (
+  SELECT lut.qid, codes.vec_id AS nid, lut.s, lut.dd
+  FROM pcodes codes
+  JOIN a3 cell ON cell.vec_id = codes.vec_id
+  JOIN qprobe ON qprobe.cid = cell.cid
+  JOIN plut lut ON lut.qid = qprobe.qid
+               AND lut.s = codes.s AND lut.cid = codes.cid
+  WHERE codes.vec_id <> qprobe.qid
+),
+parts AS (
+  SELECT qid, nid,
+         {_ADC_CASES_SQL}
+  FROM pair GROUP BY qid, nid
+),
+adc AS (
+  SELECT qid AS query_id, nid AS neighbor_id,
+         round({_ADC_TERMS}, 4) AS adc_d2
+  FROM parts
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2, neighbor_id) AS rnk
+  FROM adc
+)
+SELECT query_id, rnk, neighbor_id, adc_d2
+FROM ranked WHERE rnk <= {PQ_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
+@register("ivf_pq_topk", _ivfpq_duck(), tags=("similarity", "retrieval"))
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the FAISS IVFPQ composition, non-residual variant):
+    coarse k-means cells prune the candidate set to each query's
+    nprobe nearest cells (`ann_ivf_kmeans_topk`'s trained quantizer,
+    identical rounds), and candidates are scored by PQ-ADC lookup-table
+    sums (`pq_adc_topk`'s codebooks) instead of full-vector math — the
+    cell pruning bounds WORK, the codes bound MEMORY. Non-residual:
+    codes quantize the raw vectors, not (v - centroid) residuals; the
+    residual refinement halves quantization error at the cost of
+    per-cell codebooks and is the documented production extension.
+
+    Scale notes (100 TB): per query the plan touches nprobe cells'
+    code postings only — never the corpus — and every trained table
+    (coarse centroids, PQ codebooks, per-query LUT) is bounded and
+    broadcast. The code postings table is PQ_M bytes/vector,
+    cid-partitioned on disk in the materialized form
+    (`write_ann_index` + codes column), so a 100 TB corpus's search
+    tier fits ~400 GB of RAM across executors. The one shuffle is the
+    (query, neighbor) ADC group-by, bounded by nprobe cell sizes."""
+    from .similarity import IVF_NPROBE, _kmeans_rank, _train_kmeans
+
+    from ..io import load_table
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v"),
+    )
+    # -- coarse quantizer: 2 trained rounds + final assignment/probe
+    cents, _ = _train_kmeans(vecs)
+    ranked_cells = _kmeans_rank(vecs, cents)
+    cells = ranked_cells.where(F.col("rn") == 1).select("vec_id", "cid")
+    qprobe = ranked_cells.where(
+        (F.col("rn") <= IVF_NPROBE) & (F.col("vec_id") < PQ_NQ)
+    ).select(F.col("vec_id").alias("qid"), "cid")
+
+    # -- PQ codebooks + codes + per-query LUTs (same pipeline as
+    #    pq_adc_topk)
+    subs = _pq_subvectors(vecs)
+    c0 = subs.where(F.col("vec_id") < PQ_K).select(
+        "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    a1 = _pq_assign(subs, c0)
+    m1 = (
+        a1.join(subs, ["vec_id", "s"])
+        .select("s", "cid", F.posexplode("sv").alias("i0", "x"))
+        .groupBy("s", "cid", "i0")
+        .agg(F.round(F.avg("x"), 4).alias("m"))
+    )
+    c1 = m1.groupBy("s", "cid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i0, m))), e -> e.m)"
+        ).alias("cv")
+    )
+    codes = _pq_assign(subs, c1)
+    lut = (
+        subs.where(F.col("vec_id") < PQ_NQ)
+        .join(F.broadcast(c1), "s")
+        .select(
+            F.col("vec_id").alias("qid"),
+            "s",
+            "cid",
+            F.round(F.expr(_PQD2_SPARK.format(a="sv", b="cv")), 4).alias("dd"),
+        )
+    )
+
+    # -- candidate pruning: codes of vectors in the probed cells only
+    #    (rename to keep the PQ code id distinct from the coarse cell id)
+    pair = (
+        codes.withColumnRenamed("cid", "code")
+        .join(cells.withColumnRenamed("cid", "cell"), "vec_id")
+        .join(F.broadcast(qprobe.withColumnRenamed("cid", "cell")), "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .join(
+            F.broadcast(
+                lut.withColumnRenamed("cid", "code").select(
+                    "qid", "s", "code", "dd"
+                )
+            ),
+            ["qid", "s", "code"],
+        )
+    )
+    parts = pair.groupBy("qid", "vec_id").agg(
+        *[
+            F.sum(F.when(F.col("s") == s, F.col("dd"))).alias(f"d{s}")
+            for s in range(1, PQ_M + 1)
+        ]
+    )
+    adc = parts.select(
+        F.col("qid").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(F.expr(_ADC_TERMS), 4).alias("adc_d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= PQ_TOPK)
+        .select("query_id", "rnk", "neighbor_id", "adc_d2")
+        .orderBy("query_id", "rnk")
+    )

@@ -89,6 +89,9 @@ DRIVER_QUERIES: tuple[str, ...] = (
     #    boilerplate strip, edit-distance fuzzy pairs, MinHash
     #    accuracy contract.
     "bm25_topk",
+    "ivf_pq_topk",
+    "dup_cluster_powerlaw",
+    "ngram_novelty_rate",
     "hybrid_rrf_retrieval",
     "pq_adc_topk",
     "boilerplate_strip",
@@ -140,9 +143,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "rollup_5min",
     "rollup_cascade_5min",
     "rollup_hourly",
-    "rows_per_minute",
-    "throughput_summary",
-    "top_customers",
     # -- Yielded this round (proof cumulative; every yielded query
     #    remains locally gated by tests/test_oracle_parity.py): the
     #    whole r5 window, embedding_near_dup / multimodal_features /
@@ -150,7 +150,10 @@ DRIVER_QUERIES: tuple[str, ...] = (
     #    second-wave debuts — value_histogram (green r1) and the
     #    round-2 cohort (approx_distinct_accuracy,
     #    approx_quantile_accuracy, data_freshness, dedup_incremental,
-    #    user_sessions — all green r2 and re-confirmed since).
+    #    user_sessions — all green r2 and re-confirmed since), and
+    #    rows_per_minute / throughput_summary / top_customers (green
+    #    r1, yielded to the third-wave debuts: IVF-PQ, power-law
+    #    census, n-gram novelty).
 )
 
 

@@ -582,3 +582,21 @@ def test_fuzzy_pairs_join_is_equi_keyed_on_block(spark, reg):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_pq_prunes_by_cell_and_broadcasts_tables(spark, reg):
+    """IVF-PQ: every trained table (coarse centroids, PQ codebook,
+    probe list, LUT) is bounded and must broadcast; the code-postings
+    side must reach the ADC join without a cartesian."""
+    plan = _formatted_plan(reg["ivf_pq_topk"].spark_fn(spark, SF), spark)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_novelty_probe_is_anti_join_shaped(spark, reg):
+    """The novelty check must stay a co-partitioned equi-join on the
+    56-bit gid (left join + null test == anti shape), never a
+    nested-loop over the corpus gram set."""
+    plan = _formatted_plan(reg["ngram_novelty_rate"].spark_fn(spark, SF), spark)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
