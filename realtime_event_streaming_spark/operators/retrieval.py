@@ -104,7 +104,7 @@ _BM25_SPARK = _BM25_BODY.replace(
 )
 
 
-@register("bm25_topk", _BM25_BODY, tags=("text", "retrieval"))
+@register("bm25_topk", _BM25_BODY, headline=True, tags=("text", "retrieval"))
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 (k1={k1}, b={b}) top-{k} documents for each of the
     {n} rarest corpus terms (df ASC, term ASC — deterministic), the
@@ -478,6 +478,8 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ: coarse cell pruning composed with PQ-ADC scoring
 # ---------------------------------------------------------------------------
@@ -535,11 +537,12 @@ def _pq_duck_ctes(prefix: str) -> str:
 )"""
 
 
-def _ivfpq_duck() -> str:
+def _ivfpq_ctes() -> str:
+    """All IVF-PQ CTEs up to ``ranked`` (the full ADC candidate
+    ranking) — shared by the search query and the recall evaluation."""
     from .similarity import IVF_NPROBE, _KMEANS_CTES, _duck_kmeans_round
 
-    return f"""
-WITH {_KMEANS_CTES},
+    return f"""{_KMEANS_CTES},
 {_duck_kmeans_round(3, "c2")},
 qprobe AS (
   SELECT vec_id AS qid, cid FROM (
@@ -573,33 +576,22 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY adc_d2, neighbor_id) AS rnk
   FROM adc
-)
+)"""
+
+
+def _ivfpq_duck() -> str:
+    return f"""
+WITH {_ivfpq_ctes()}
 SELECT query_id, rnk, neighbor_id, adc_d2
 FROM ranked WHERE rnk <= {PQ_TOPK}
 ORDER BY query_id, rnk
 """
 
 
-@register("ivf_pq_topk", _ivfpq_duck(), tags=("similarity", "retrieval"))
-def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ (the FAISS IVFPQ composition, non-residual variant):
-    coarse k-means cells prune the candidate set to each query's
-    nprobe nearest cells (`ann_ivf_kmeans_topk`'s trained quantizer,
-    identical rounds), and candidates are scored by PQ-ADC lookup-table
-    sums (`pq_adc_topk`'s codebooks) instead of full-vector math — the
-    cell pruning bounds WORK, the codes bound MEMORY. Non-residual:
-    codes quantize the raw vectors, not (v - centroid) residuals; the
-    residual refinement halves quantization error at the cost of
-    per-cell codebooks and is the documented production extension.
-
-    Scale notes (100 TB): per query the plan touches nprobe cells'
-    code postings only — never the corpus — and every trained table
-    (coarse centroids, PQ codebooks, per-query LUT) is bounded and
-    broadcast. The code postings table is PQ_M bytes/vector,
-    cid-partitioned on disk in the materialized form
-    (`write_ann_index` + codes column), so a 100 TB corpus's search
-    tier fits ~400 GB of RAM across executors. The one shuffle is the
-    (query, neighbor) ADC group-by, bounded by nprobe cell sizes."""
+def _ivfpq_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ADC candidate ranking (query_id, neighbor_id, adc_d2,
+    rnk) — everything in `ivf_pq_topk` before the top-k filter; the
+    recall evaluation reads deeper ranks than the search tail keeps."""
     from .similarity import IVF_NPROBE, _kmeans_rank, _train_kmeans
 
     from ..io import load_table
@@ -676,9 +668,169 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(_ADC_TERMS), 4).alias("adc_d2"),
     )
     w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return adc.withColumn("rnk", F.row_number().over(w))
+
+
+@register("ivf_pq_topk", _ivfpq_duck(), headline=True,
+          tags=("similarity", "retrieval"))
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the FAISS IVFPQ composition, non-residual variant):
+    coarse k-means cells prune the candidate set to each query's
+    nprobe nearest cells (`ann_ivf_kmeans_topk`'s trained quantizer,
+    identical rounds), and candidates are scored by PQ-ADC lookup-table
+    sums (`pq_adc_topk`'s codebooks) instead of full-vector math — the
+    cell pruning bounds WORK, the codes bound MEMORY. Non-residual:
+    codes quantize the raw vectors, not (v - centroid) residuals; the
+    residual refinement halves quantization error at the cost of
+    per-cell codebooks and is the documented production extension.
+
+    Scale notes (100 TB): per query the plan touches nprobe cells'
+    code postings only — never the corpus — and every trained table
+    (coarse centroids, PQ codebooks, per-query LUT) is bounded and
+    broadcast. The code postings table is PQ_M bytes/vector,
+    cid-partitioned on disk in the materialized form
+    (`write_ann_index` + codes column), so a 100 TB corpus's search
+    tier fits ~400 GB of RAM across executors. The one shuffle is the
+    (query, neighbor) ADC group-by, bounded by nprobe cell sizes."""
     return (
-        adc.withColumn("rnk", F.row_number().over(w))
+        _ivfpq_ranked(spark, sf_dir)
         .where(F.col("rnk") <= PQ_TOPK)
         .select("query_id", "rnk", "neighbor_id", "adc_d2")
         .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# retrieval-quality evaluation: recall@k and MRR of IVF-PQ vs exact
+# ---------------------------------------------------------------------------
+
+
+def _recall_duck() -> str:
+    from .similarity import _D2_DUCK
+
+    d2 = _D2_DUCK.replace("vv", "q.v").replace("cv", "c.v")
+    return f"""
+WITH {_ivfpq_ctes()},
+exact AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         round({d2}, 4) AS dd
+  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {PQ_NQ}
+),
+exact_rank AS (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY dd, nid) AS ern
+  FROM exact
+),
+truth AS (SELECT qid, nid FROM exact_rank WHERE ern <= {PQ_TOPK}),
+hits AS (
+  SELECT t.qid, count(r.neighbor_id) AS n_hit
+  FROM truth t LEFT JOIN ranked r
+    ON r.query_id = t.qid AND r.neighbor_id = t.nid AND r.rnk <= {PQ_TOPK}
+  GROUP BY t.qid
+),
+nn AS (SELECT qid, nid FROM exact_rank WHERE ern = 1),
+rr AS (
+  SELECT nn.qid,
+         coalesce(max(cast(1 AS DOUBLE) / r.rnk), cast(0 AS DOUBLE)) AS rrv
+  FROM nn LEFT JOIN ranked r
+    ON r.query_id = nn.qid AND r.neighbor_id = nn.nid
+  GROUP BY nn.qid
+)
+SELECT h.qid AS query_id, cast(h.n_hit AS BIGINT) AS n_hit,
+       round(cast(h.n_hit AS DOUBLE) / {PQ_TOPK}, 4) AS recall_at_k,
+       round(rr.rrv, 4) AS reciprocal_rank
+FROM hits h JOIN rr ON h.qid = rr.qid
+ORDER BY query_id
+"""
+
+
+@register("ann_recall_eval", _recall_duck(), tags=("similarity", "retrieval"))
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation as a first-class QUERY: recall@{k}
+    and reciprocal rank of the IVF-PQ search against the exact
+    squared-L2 ground truth, per query vector — the recall ladder
+    PERF.md records from scripts, now oracle-gated and
+    driver-visible. n_hit counts ground-truth top-{k} neighbors the
+    approximate search returned in ITS top-{k}; reciprocal_rank is
+    1/rank of the TRUE nearest neighbor in the full ADC candidate
+    ranking (0 when cell pruning dropped it entirely — the honest
+    failure mode of nprobe too low).
+
+    Scale notes (100 TB): the exact arm is O(queries x corpus) BY
+    DESIGN — it is the evaluation label, never the serving path, and
+    the query set is a bounded sample (the same labeled-baseline
+    precedent as `ann_bruteforce`). Production runs this nightly on a
+    fixed query panel to alarm on recall regressions after index
+    merges (`update_ann_index`)."""
+    from .similarity import _D2_SPARK
+
+    from ..io import load_table
+    from pyspark.sql import Window
+
+    ranked = _ivfpq_ranked(spark, sf_dir).localCheckpoint(eager=False)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v"),
+    )
+    q = vecs.where(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v")
+    )
+    c = vecs.select(F.col("vec_id").alias("nid"), F.col("v").alias("cv"))
+    exact = (
+        F.broadcast(q)
+        .join(c, F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(F.expr(_D2_SPARK), 4).alias("dd"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy("dd", "nid")
+    exact_rank = exact.withColumn("ern", F.row_number().over(wq))
+    truth = exact_rank.where(F.col("ern") <= PQ_TOPK).select("qid", "nid")
+    hits = (
+        truth.join(
+            ranked.where(F.col("rnk") <= PQ_TOPK).select(
+                F.col("query_id").alias("qid"),
+                F.col("neighbor_id").alias("nid"),
+                F.lit(1).alias("hit"),
+            ),
+            ["qid", "nid"],
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("hit").alias("n_hit"))
+    )
+    nn = exact_rank.where(F.col("ern") == 1).select("qid", "nid")
+    rr = (
+        nn.join(
+            ranked.select(
+                F.col("query_id").alias("qid"),
+                F.col("neighbor_id").alias("nid"),
+                "rnk",
+            ),
+            ["qid", "nid"],
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.coalesce(
+                F.max(F.lit(1).cast("double") / F.col("rnk")),
+                F.lit(0).cast("double"),
+            ).alias("rrv")
+        )
+    )
+    return (
+        hits.join(rr, "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.round(F.col("n_hit").cast("double") / PQ_TOPK, 4).alias(
+                "recall_at_k"
+            ),
+            F.round("rrv", 4).alias("reciprocal_rank"),
+        )
+        .orderBy("query_id")
     )

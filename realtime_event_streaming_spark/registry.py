@@ -90,6 +90,7 @@ DRIVER_QUERIES: tuple[str, ...] = (
     #    accuracy contract.
     "bm25_topk",
     "ivf_pq_topk",
+    "ann_recall_eval",
     "dup_cluster_powerlaw",
     "ngram_novelty_rate",
     "hybrid_rrf_retrieval",
@@ -142,7 +143,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "recent_activity",
     "rollup_5min",
     "rollup_cascade_5min",
-    "rollup_hourly",
     # -- Yielded this round (proof cumulative; every yielded query
     #    remains locally gated by tests/test_oracle_parity.py): the
     #    whole r5 window, embedding_near_dup / multimodal_features /
@@ -151,8 +151,9 @@ DRIVER_QUERIES: tuple[str, ...] = (
     #    round-2 cohort (approx_distinct_accuracy,
     #    approx_quantile_accuracy, data_freshness, dedup_incremental,
     #    user_sessions — all green r2 and re-confirmed since), and
-    #    rows_per_minute / throughput_summary / top_customers (green
-    #    r1, yielded to the third-wave debuts: IVF-PQ, power-law
+    #    rows_per_minute / throughput_summary / top_customers /
+    #    rollup_hourly (green r1, rollup_hourly re-benched r5; yielded
+    #    to the third-wave debuts: IVF-PQ, recall eval, power-law
     #    census, n-gram novelty).
 )
 
