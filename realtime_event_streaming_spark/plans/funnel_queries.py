@@ -65,3 +65,74 @@ def view_purchase_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/enrich.py) runs the same join with watermarked state."""
     register_views(spark, sf_dir, tables=("events",))
     return spark.sql(_CONV_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# multi-touch time-decay attribution
+# ---------------------------------------------------------------------------
+
+#: attribution window and the decay: weight = 1 / (1 + minutes-before)
+#: — a RATIONAL decay chosen over exp(-dt/tau) deliberately: both
+#: engines compute it as one integer-derived division (bit-identical),
+#: where libm exp() may differ in the last ulp across platforms.
+_ATTR_WINDOW_MS = 30 * 60 * 1000
+
+_ATTR_BODY = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events
+),
+touch AS (
+  SELECT p.event_id AS pid, t.event_type AS touch_type,
+         (p.ms - t.ms) // 60000 AS mins
+  FROM ev p JOIN ev t
+    ON t.user_id = p.user_id
+   AND t.ms < p.ms AND p.ms - t.ms <= {_ATTR_WINDOW_MS}
+  WHERE p.event_type = 'purchase'
+    AND t.event_type IN ('view', 'click')
+),
+w AS (
+  SELECT pid, touch_type,
+         cast(1 AS DOUBLE) / (1 + mins) AS w
+  FROM touch
+),
+norm AS (
+  SELECT pid, touch_type,
+         w / sum(w) OVER (PARTITION BY pid) AS share
+  FROM w
+)
+SELECT touch_type,
+       cast(count(*) AS BIGINT) AS n_touches,
+       cast(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+       round(sum(share), 4) AS total_credit,
+       round(avg(share), 4) AS avg_share
+FROM norm
+GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+_ATTR_SPARK = _ATTR_BODY.replace(
+    "epoch_ms(ts)", "unix_millis(cast(ts AS TIMESTAMP))"
+).replace(
+    "(p.ms - t.ms) // 60000", "(p.ms - t.ms) div 60000"
+)
+
+
+@register("time_decay_attribution", _ATTR_BODY, tags=("behavior",))
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch time-decay attribution: every view/click by the
+    same user in the 30 minutes before a purchase earns credit
+    1/(1+minutes-before), normalized so each purchase distributes
+    exactly 1.0 of credit across its touches; rolled up per touch
+    type. The last-touch/first-touch single-winner models are
+    degenerate cases of this shape; the decay is rational (not
+    exp()) so both engines compute bit-identical weights — see
+    _ATTR_WINDOW_MS note.
+
+    Scale notes (100 TB): the touch join is equi-keyed on user_id
+    with a pushed time-band predicate — each purchase matches only
+    its own user's recent events (skew-safe unless one user is a bot,
+    which `join_skew_diagnostics` exists to catch); the per-purchase
+    normalization window partitions by purchase id, bounded by
+    touches-per-purchase. Rollup is 2 rows out."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_ATTR_SPARK)

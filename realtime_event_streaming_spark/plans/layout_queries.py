@@ -131,3 +131,100 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution scan: mergeSchema read across table generations
+# ---------------------------------------------------------------------------
+
+#: One two-generation snapshot per (sf_dir) per process — same
+#: build-once convention as the Z-order copy above.
+_EVOLVE_CACHE: dict[str, str] = {}
+
+
+def _evolved_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write the events table as two parquet generations with
+    different schemas into ONE directory: generation 1 (every month
+    before the last) lacks the ``props_len`` column; generation 2
+    (the last month) carries it. This is what a 100 TB table looks
+    like after a mid-life column addition — old files never get
+    rewritten."""
+    path = _EVOLVE_CACHE.get(sf_dir)
+    if path and os.path.isdir(path):
+        return path
+    import atexit
+    import shutil
+
+    path = tempfile.mkdtemp(prefix="rtes_evolved_events_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        cut = ev.agg(
+            F.date_trunc("month", F.max("ts")).alias("c")
+        ).collect()[0]["c"]  # 1-row layout-job bound, not a hot path
+        base = ev.select("event_id", "ts", "user_id", "event_type", "value")
+        gen1 = base.where(F.col("ts") < F.lit(cut))
+        gen2 = ev.where(F.col("ts") >= F.lit(cut)).select(
+            "event_id", "ts", "user_id", "event_type", "value",
+            F.length("props").cast("int").alias("props_len"),
+        )
+        gen1.coalesce(4).write.mode("overwrite").parquet(path)
+        gen2.coalesce(4).write.mode("append").parquet(path)
+    except BaseException:
+        shutil.rmtree(path, ignore_errors=True)
+        raise
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    _EVOLVE_CACHE[sf_dir] = path
+    return path
+
+
+_EVOLVE_DUCK = """
+WITH ev AS (
+  SELECT event_type, ts, length(props) AS pl FROM events
+),
+cut AS (SELECT date_trunc('month', max(ts)) AS c FROM ev)
+SELECT event_type,
+       cast(count(*) AS BIGINT) AS n_rows,
+       cast(sum(CASE WHEN ts >= cut.c THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_evolved,
+       round(avg(CASE WHEN ts >= cut.c THEN cast(pl AS DOUBLE) END), 4)
+         AS avg_props_len
+FROM ev CROSS JOIN cut
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("schema_evolution_scan", _EVOLVE_DUCK, tags=("layout",))
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution round trip: the events table written as two
+    parquet generations in one directory — the last month's files
+    carry an added ``props_len`` column the older files lack — read
+    back through ``mergeSchema=true`` and aggregated per event type.
+    The oracle recomputes the census from the RAW table (old rows
+    must surface as NULL in the added column, new rows must carry the
+    derived value), so the value hash proves the merged read
+    reconstructed both generations correctly — the footer-union
+    semantics a long-lived table depends on after every ALTER TABLE
+    ADD COLUMN.
+
+    Scale notes (100 TB): schema merge is a FOOTER operation — the
+    read unions file schemas at planning time and never rewrites old
+    data; the scan itself stays column-pruned (only the 3 needed
+    columns are read from each generation's files, asserted in the
+    plan test). The alternative — rewriting 100 TB to backfill a
+    column — is exactly what this path exists to avoid."""
+    path = _evolved_events_path(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(F.col("props_len").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_evolved"),
+            F.round(F.avg(F.col("props_len").cast("double")), 4).alias(
+                "avg_props_len"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -600,3 +600,24 @@ def test_novelty_probe_is_anti_join_shaped(spark, reg):
     plan = _formatted_plan(reg["ngram_novelty_rate"].spark_fn(spark, SF), spark)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_schema_evolution_read_prunes_columns(spark, reg):
+    """The mergeSchema read must still column-prune: only the 2
+    columns the census needs reach the scan of the evolved table."""
+    plan = _formatted_plan(
+        reg["schema_evolution_scan"].spark_fn(spark, SF), spark
+    )
+    m = re.search(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert m and "props_len" in m.group(1)
+    assert "value" not in m.group(1), "unneeded column read after merge"
+
+
+def test_attribution_join_is_user_keyed(spark, reg):
+    """The touch join must be equi-keyed on user_id with the time band
+    as a post-join filter — a pure theta join here is O(n^2)."""
+    plan = _formatted_plan(
+        reg["time_decay_attribution"].spark_fn(spark, SF), spark
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
