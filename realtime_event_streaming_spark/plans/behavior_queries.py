@@ -238,3 +238,108 @@ def concurrent_session_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition)."""
     register_views(spark, sf_dir, tables=("events",))
     return spark.sql(_CONC_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# robust (median/MAD) outlier census — the Hampel filter shape
+# ---------------------------------------------------------------------------
+
+#: Hampel threshold: |x - median| > _MAD_K * (1.4826 * MAD). 1.4826
+#: scales MAD to sigma-equivalent under normality.
+_MAD_K = 3.0
+
+_MAD_BODY = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, med.med,
+         abs(e.value - med.med) AS ad
+  FROM events e JOIN med ON e.event_type = med.event_type
+  WHERE e.value IS NOT NULL
+),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev
+  GROUP BY event_type
+)
+SELECT dev.event_type,
+       cast(count(*) AS BIGINT) AS n_rows,
+       round(max(dev.med), 4) AS median_value,
+       round(max(mad.mad), 4) AS mad_value,
+       cast(sum(CASE WHEN dev.ad > {_MAD_K} * 1.4826 * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+GROUP BY dev.event_type
+ORDER BY dev.event_type
+"""
+
+_MAD_SPARK = _MAD_BODY.replace("quantile_cont(value, 0.5)",
+                               "percentile(value, 0.5)").replace(
+    "quantile_cont(ad, 0.5)", "percentile(ad, 0.5)"
+)
+
+
+@register("robust_mad_outliers", _MAD_BODY, tags=("anomaly",))
+def robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type — the Hampel filter
+    (median + MAD) that the z-score detectors (`anomaly_zscore_batch`,
+    the streaming Welford state) cannot replace when the contamination
+    itself inflates the mean/stddev: median and MAD have a 50%
+    breakdown point vs 0% for the moment estimators. Flags values
+    with |x - median| > {k} * 1.4826 * MAD. Exact interpolated medians
+    on both engines (Spark `percentile` == DuckDB `quantile_cont`,
+    the `latency_stats` precedent).
+
+    Scale notes (100 TB): two grouped exact medians = two shuffles on
+    the (bounded-cardinality) event_type key; at true 100 TB the exact
+    median swaps for the mergeable histogram sketch
+    (`histogram_quantile_rollup`) with identical downstream algebra —
+    the census shape is unchanged. The median/MAD tables are
+    K-row broadcasts into the scan-side join.""".format(k=_MAD_K)
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_MAD_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# user-path transition mining (event-type Markov bigrams)
+# ---------------------------------------------------------------------------
+
+_TRANS_BODY = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+tot AS (SELECT prev_type, sum(n) AS tn FROM trans GROUP BY prev_type)
+SELECT trans.prev_type, trans.next_type,
+       cast(trans.n AS BIGINT) AS n_transitions,
+       round(cast(trans.n AS DOUBLE) / tot.tn, 4) AS p_next
+FROM trans JOIN tot ON trans.prev_type = tot.prev_type
+ORDER BY trans.prev_type, trans.next_type
+"""
+
+
+@register("event_transition_matrix", _TRANS_BODY, tags=("behavior",))
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lag() per user in (ts, event_id) order — the
+    deterministic total order both engines share — then transition
+    counts and row-normalized probabilities. The user-journey mining
+    primitive behind funnel discovery (where `view_purchase_conversions`
+    checks ONE known path, this surfaces ALL paths and their odds).
+
+    Scale notes (100 TB): the lag window partitions by user_id
+    (bounded by events-per-user — the natural key the raw table is
+    already bucketed on in `write_bucketed_table`); the transition
+    rollup is |event_types|^2 rows. No corpus-wide window, no skew
+    beyond the bot-user case the diagnostics cover."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_TRANS_BODY)

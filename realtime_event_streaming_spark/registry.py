@@ -93,6 +93,8 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "ann_recall_eval",
     "schema_evolution_scan",
     "time_decay_attribution",
+    "robust_mad_outliers",
+    "event_transition_matrix",
     "dup_cluster_powerlaw",
     "ngram_novelty_rate",
     "hybrid_rrf_retrieval",
@@ -138,11 +140,9 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "label_centroid_norms",
     "minhash_signature_sample",
     "order_priority_count",
-    "page_activity_5min",
     "parts_above_type_avg",
     "promo_revenue_share",
     "reagg_from_minute",
-    "rollup_5min",
     # -- Yielded this round (proof cumulative; every yielded query
     #    remains locally gated by tests/test_oracle_parity.py): the
     #    whole r5 window, embedding_near_dup / multimodal_features /
@@ -152,7 +152,8 @@ DRIVER_QUERIES: tuple[str, ...] = (
     #    approx_quantile_accuracy, data_freshness, dedup_incremental,
     #    user_sessions — all green r2 and re-confirmed since), and
     #    rows_per_minute / throughput_summary / top_customers /
-    #    rollup_hourly / rollup_cascade_5min / recent_activity (green
+    #    rollup_hourly / rollup_cascade_5min / recent_activity /
+    #    page_activity_5min / rollup_5min (green
     #    r1, rollup_hourly re-benched r5; yielded to the third-wave
     #    debuts: IVF-PQ, recall eval, power-law census, n-gram
     #    novelty, schema-evolution scan, time-decay attribution).
