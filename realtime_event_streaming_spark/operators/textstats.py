@@ -515,3 +515,83 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# language-ID confusion matrix (classifier eval census)
+# ---------------------------------------------------------------------------
+
+_LANG_CONF_DUCK = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         {_hits_sql('en')} AS en_hits, {_hits_sql('es')} AS es_hits,
+         {_hits_sql('de')} AS de_hits, {_hits_sql('fr')} AS fr_hits
+  FROM t
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0 THEN 'und'
+              WHEN en_hits >= greatest(es_hits, de_hits, fr_hits) THEN 'en'
+              WHEN es_hits >= greatest(de_hits, fr_hits) THEN 'es'
+              WHEN de_hits >= fr_hits THEN 'de'
+              ELSE 'fr' END AS predicted_lang
+  FROM s
+),
+conf AS (
+  SELECT lang, predicted_lang, count(*) AS n FROM pred
+  GROUP BY lang, predicted_lang
+),
+tot AS (SELECT lang, sum(n) AS tn FROM conf GROUP BY lang)
+SELECT conf.lang, conf.predicted_lang,
+       cast(conf.n AS BIGINT) AS n_docs,
+       round(cast(conf.n AS DOUBLE) / tot.tn, 4) AS frac
+FROM conf JOIN tot ON conf.lang = tot.lang
+ORDER BY conf.lang, conf.predicted_lang
+"""
+
+
+@register("langid_confusion_matrix", _LANG_CONF_DUCK, tags=("text",))
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-normalized confusion matrix of the marker-token language
+    classifier against the labeled `lang` column — the
+    classifier-evaluation census (`ann_recall_eval`'s pattern applied
+    to lang-ID): per (true, predicted) cell count and the
+    within-true-language fraction. On the shared-vocabulary fixture
+    this honestly documents the heuristic's en/und skew; on real
+    crawl text the same census is the regression gate run after every
+    marker-list change.
+
+    Scale notes (100 TB): one scan with four constant-list filters
+    (codegen'd), a |langs|x|langs|-bounded rollup, and a broadcast of
+    the |langs|-row totals. Nothing corpus-sized past the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "lang",
+        F.expr(_hits_spark("en")).alias("en_hits"),
+        F.expr(_hits_spark("es")).alias("es_hits"),
+        F.expr(_hits_spark("de")).alias("de_hits"),
+        F.expr(_hits_spark("fr")).alias("fr_hits"),
+    )
+    pred = F.expr(
+        "CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0 THEN 'und' "
+        "WHEN en_hits >= greatest(es_hits, de_hits, fr_hits) THEN 'en' "
+        "WHEN es_hits >= greatest(de_hits, fr_hits) THEN 'es' "
+        "WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END"
+    )
+    conf = (
+        s.select("lang", pred.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = conf.groupBy("lang").agg(F.sum("n").alias("tn"))
+    return (
+        conf.join(tot, "lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.round(F.col("n").cast("double") / F.col("tn"), 4).alias("frac"),
+        )
+        .orderBy("lang", "predicted_lang")
+    )

@@ -136,3 +136,69 @@ def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches-per-purchase. Rollup is 2 rows out."""
     register_views(spark, sf_dir, tables=("events",))
     return spark.sql(_ATTR_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# 3-step strict-order funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+_F3_WINDOW_MS = 30 * 60 * 1000
+
+_F3_BODY = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events
+),
+v AS (SELECT event_id AS vid, user_id, ms AS vms FROM ev
+      WHERE event_type = 'view'),
+step2 AS (
+  SELECT v.vid, v.user_id, v.vms, min(c.ms) AS cms
+  FROM v JOIN ev c
+    ON c.user_id = v.user_id AND c.event_type = 'click'
+   AND c.ms > v.vms AND c.ms <= v.vms + {_F3_WINDOW_MS}
+  GROUP BY v.vid, v.user_id, v.vms
+),
+step3 AS (
+  SELECT s.vid, min(p.ms) AS pms, max(s.vms) AS vms
+  FROM step2 s JOIN ev p
+    ON p.user_id = s.user_id AND p.event_type = 'purchase'
+   AND p.ms > s.cms AND p.ms <= s.vms + {_F3_WINDOW_MS}
+  GROUP BY s.vid
+),
+counts AS (
+  SELECT (SELECT count(*) FROM v) AS n_views,
+         (SELECT count(*) FROM step2) AS n_clicked,
+         (SELECT count(*) FROM step3) AS n_purchased,
+         (SELECT avg(cast((pms - vms) // 60000 AS DOUBLE)) FROM step3)
+           AS avg_mins_to_purchase
+)
+SELECT cast(n_views AS BIGINT) AS n_views,
+       cast(n_clicked AS BIGINT) AS n_clicked,
+       cast(n_purchased AS BIGINT) AS n_purchased,
+       round(cast(n_clicked AS DOUBLE) / n_views, 4) AS rate_clicked,
+       round(cast(n_purchased AS DOUBLE) / n_views, 4) AS rate_purchased,
+       round(avg_mins_to_purchase, 4) AS avg_mins_to_purchase
+FROM counts
+"""
+
+_F3_SPARK = _F3_BODY.replace(
+    "epoch_ms(ts)", "unix_millis(cast(ts AS TIMESTAMP))"
+).replace("(pms - vms) // 60000", "(pms - vms) div 60000")
+
+
+@register("funnel_three_step", _F3_BODY, tags=("behavior",))
+def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order 3-step funnel: view -> first subsequent click ->
+    first purchase AFTER that click, all inside 30 minutes of the
+    view. The ordering constraint (purchase must follow the CLICK,
+    not just the view) is what separates funnel analysis from plain
+    co-occurrence — `view_purchase_conversions` is the 2-step
+    degenerate case. One summary row: step counts, conversion rates,
+    mean minutes-to-purchase (integer minute grain).
+
+    Scale notes (100 TB): both step joins are user-keyed equi-joins
+    with pushed time bands (each view matches only its user's events
+    in a 30-minute slice); the min() reductions keep state one row
+    per funnel entry. The scalar-subquery tail is a 1-row gather —
+    the same bounded pattern as `throughput_summary`."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_F3_SPARK)

@@ -95,6 +95,8 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "time_decay_attribution",
     "robust_mad_outliers",
     "event_transition_matrix",
+    "langid_confusion_matrix",
+    "funnel_three_step",
     "dup_cluster_powerlaw",
     "ngram_novelty_rate",
     "hybrid_rrf_retrieval",
@@ -140,8 +142,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "label_centroid_norms",
     "minhash_signature_sample",
     "order_priority_count",
-    "parts_above_type_avg",
-    "promo_revenue_share",
     "reagg_from_minute",
     # -- Yielded this round (proof cumulative; every yielded query
     #    remains locally gated by tests/test_oracle_parity.py): the
@@ -153,7 +153,8 @@ DRIVER_QUERIES: tuple[str, ...] = (
     #    user_sessions — all green r2 and re-confirmed since), and
     #    rows_per_minute / throughput_summary / top_customers /
     #    rollup_hourly / rollup_cascade_5min / recent_activity /
-    #    page_activity_5min / rollup_5min (green
+    #    page_activity_5min / rollup_5min / parts_above_type_avg /
+    #    promo_revenue_share (green
     #    r1, rollup_hourly re-benched r5; yielded to the third-wave
     #    debuts: IVF-PQ, recall eval, power-law census, n-gram
     #    novelty, schema-evolution scan, time-decay attribution).
