@@ -8,9 +8,10 @@ val/test never leak into train across pipeline re-runs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..io import register_views
+from ..io import load_table, register_views
 from ..registry import register
 
 #: fraction of the 16-bit hash space per split: 80 / 10 / 10.
@@ -186,3 +187,87 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k (per-partition heaps, no global sort)."""
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_weighted_sql("STRING"))
+
+
+# ---------------------------------------------------------------------------
+# cluster-capped sampling (bounded duplicates instead of full dedup)
+# ---------------------------------------------------------------------------
+
+#: keep at most this many copies per exact-duplicate cluster. Capping
+#: (rather than keeping one survivor) preserves the natural-duplication
+#: frequency signal pretraining mixes sometimes want, while bounding
+#: the worst clusters.
+_CAP_M = 2
+
+_CAP_DUCK = f"""
+WITH h AS (
+  SELECT doc_id, source, md5(text) AS content_hash FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, content_hash,
+         row_number() OVER (PARTITION BY content_hash
+                            ORDER BY doc_id) AS occ,
+         count(*) OVER (PARTITION BY content_hash) AS csize
+  FROM h
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(CASE WHEN occ <= {_CAP_M} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       cast(sum(CASE WHEN occ > {_CAP_M} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       cast(count(DISTINCT CASE WHEN csize > {_CAP_M}
+                                THEN content_hash END) AS BIGINT)
+         AS clusters_over_cap
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("cluster_cap_sample", _CAP_DUCK, tags=("sampling", "dedup"))
+def cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-capped duplicate sampling: keep at most {m} copies
+    per exact-content cluster (lowest doc_ids — deterministic),
+    instead of the single survivor `dedup_survivors` keeps. The
+    capping policy preserves a bounded duplication-frequency signal
+    (docs that naturally recur a few times stay duplicated; the
+    thousand-copy boilerplate cluster is clamped) — a standard
+    pretraining-mix middle ground. Census per source: kept, dropped,
+    and how many clusters hit the cap.
+
+    Scale notes (100 TB): one shuffle on the 128-bit content hash
+    (carrying the hash, not the text); the rank/size windows are
+    cluster-bounded. The same plan serves any cap, and the production
+    form writes the keep-list back as the admission filter — the
+    `dedup_survivors` endpoint with occ <= M instead of rn = 1.""".format(
+        m=_CAP_M
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "source", F.md5("text").alias("content_hash"))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    wc = Window.partitionBy("content_hash")
+    ranked = h.select(
+        "source",
+        "content_hash",
+        F.row_number().over(w).alias("occ"),
+        F.count("*").over(wc).alias("csize"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("occ") <= _CAP_M, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("occ") > _CAP_M, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.countDistinct(
+                F.when(F.col("csize") > _CAP_M, F.col("content_hash"))
+            )
+            .cast("bigint")
+            .alias("clusters_over_cap"),
+        )
+        .orderBy("source")
+    )

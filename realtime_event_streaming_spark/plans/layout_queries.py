@@ -228,3 +228,88 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# compaction round trip: value preservation through the maintenance job
+# ---------------------------------------------------------------------------
+
+_COMPACT_CACHE: dict[str, str] = {}
+
+
+def _compacted_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write a deliberately fragmented month-partitioned copy of the
+    events table (24 files per month — a streaming sink's debris),
+    then run `io.compact_partition` over every month. Build-once per
+    process, like the Z-order and evolved copies above."""
+    path = _COMPACT_CACHE.get(sf_dir)
+    if path and os.path.isdir(path):
+        return path
+    import atexit
+    import shutil
+
+    from ..io import compact_partition
+
+    path = tempfile.mkdtemp(prefix="rtes_compacted_events_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        frag = ev.withColumn(
+            "month", F.date_format(F.col("ts"), "yyyyMM")
+        ).repartition(24)
+        frag.write.mode("overwrite").partitionBy("month").parquet(path)
+        months = [
+            d.split("=", 1)[1]
+            for d in os.listdir(path)
+            if d.startswith("month=")
+        ]
+        for m in sorted(months):
+            compact_partition(spark, path, m, target_file_mb=128)
+    except BaseException:
+        shutil.rmtree(path, ignore_errors=True)
+        raise
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    _COMPACT_CACHE[sf_dir] = path
+    return path
+
+
+_COMPACT_DUCK = """
+SELECT strftime(date_trunc('month', ts), '%Y%m') AS month,
+       cast(count(*) AS BIGINT) AS n_rows,
+       cast(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY month
+"""
+
+
+@register("compaction_roundtrip", _COMPACT_DUCK, tags=("layout",))
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction as a VERIFIED maintenance job: the
+    events table is written as a fragmented month-partitioned copy
+    (24 files/month — exactly the debris a 10 s streaming trigger
+    leaves), every month is compacted through `io.compact_partition`
+    (crash-safe two-rename swap, ts-sorted output files), and the
+    census per month is value-hashed against the RAW table — row
+    counts, distinct users, and the value sum must all survive the
+    rewrite bit-for-bit. `tests/test_maintenance.py` pins the file
+    counts and crash recovery; this query makes data integrity through
+    the maintenance path driver-visible.
+
+    Scale notes (100 TB): compaction is partition-scoped (one month
+    rewritten at a time, readers of other months unaffected) and the
+    job's cost is one read+write of the partition — the background
+    merge discipline every MergeTree/Delta deployment runs. Without
+    it, a year of 10 s micro-batches is ~3 M files and the NameNode /
+    listing cost dominates every scan."""
+    path = _compacted_events_path(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("month").cast("string").alias("month"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("month")
+    )

@@ -97,6 +97,8 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "event_transition_matrix",
     "langid_confusion_matrix",
     "funnel_three_step",
+    "compaction_roundtrip",
+    "cluster_cap_sample",
     "dup_cluster_powerlaw",
     "ngram_novelty_rate",
     "hybrid_rrf_retrieval",
@@ -140,8 +142,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "event_growth_daily",
     "events_by_country_pivot",
     "label_centroid_norms",
-    "minhash_signature_sample",
-    "order_priority_count",
     "reagg_from_minute",
     # -- Yielded this round (proof cumulative; every yielded query
     #    remains locally gated by tests/test_oracle_parity.py): the
@@ -154,7 +154,8 @@ DRIVER_QUERIES: tuple[str, ...] = (
     #    rows_per_minute / throughput_summary / top_customers /
     #    rollup_hourly / rollup_cascade_5min / recent_activity /
     #    page_activity_5min / rollup_5min / parts_above_type_avg /
-    #    promo_revenue_share (green
+    #    promo_revenue_share / order_priority_count /
+    #    minhash_signature_sample (green
     #    r1, rollup_hourly re-benched r5; yielded to the third-wave
     #    debuts: IVF-PQ, recall eval, power-law census, n-gram
     #    novelty, schema-evolution scan, time-decay attribution).
