@@ -487,14 +487,14 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: PQ CTE block with a name prefix, so the coarse k-means CTEs
 #: (c0..c2 from similarity._KMEANS_CTES) and the PQ codebook CTEs can
 #: coexist in ONE oracle without collisions.
-def _pq_duck_ctes(prefix: str) -> str:
+def _pq_duck_ctes(prefix: str, src: str = "vecs") -> str:
     p = prefix
     return f"""
 {p}subs AS (
   SELECT vec_id, s,
          list_transform(generate_series(1, {PQ_SUBDIM}),
                         i -> v[(s - 1) * {PQ_SUBDIM} + i]) AS sv
-  FROM vecs, UNNEST(generate_series(1, {PQ_M})) AS g(s)
+  FROM {src}, UNNEST(generate_series(1, {PQ_M})) AS g(s)
 ),
 {p}c0 AS (SELECT s, vec_id AS cid, sv AS cv FROM {p}subs
           WHERE vec_id < {PQ_K}),
@@ -833,4 +833,202 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrv", 4).alias("reciprocal_rank"),
         )
         .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# residual IVF-PQ: PQ codebooks trained on (v - cell centroid) residuals
+# ---------------------------------------------------------------------------
+
+
+def _residual_ivfpq_duck() -> str:
+    from .similarity import _KMEANS_CTES, _duck_kmeans_round, IVF_NPROBE
+
+    sub16 = (
+        f"list_transform(generate_series(1, {PQ_SUBDIM}), "
+        f"i -> vecs.v[(s - 1) * {PQ_SUBDIM} + i] "
+        f"- c2.cv[(s - 1) * {PQ_SUBDIM} + i])"
+    )
+    return f"""
+WITH {_KMEANS_CTES},
+{_duck_kmeans_round(3, "c2")},
+qprobe AS (
+  SELECT vec_id AS qid, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+    FROM dist3 WHERE vec_id < {PQ_NQ}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+rvecs AS (
+  SELECT vecs.vec_id,
+         list_transform(generate_series(1, {PQ_M * PQ_SUBDIM}),
+                        i -> vecs.v[i] - c2.cv[i]) AS v
+  FROM vecs JOIN a3 ON vecs.vec_id = a3.vec_id
+       JOIN c2 ON a3.cid = c2.cid
+),
+{_pq_duck_ctes("r", src="rvecs")},
+qres AS (
+  SELECT qp.qid, qp.cid AS cell, s, {sub16} AS sv
+  FROM qprobe qp
+  JOIN vecs ON vecs.vec_id = qp.qid
+  JOIN c2 ON c2.cid = qp.cid,
+       UNNEST(generate_series(1, {PQ_M})) AS g(s)
+),
+rlut2 AS (
+  SELECT q.qid, q.cell, q.s, rc1.cid,
+         round({_PQD2_DUCK.format(a="q.sv", b="rc1.cv")}, 4) AS dd
+  FROM qres q JOIN rc1 ON q.s = rc1.s
+),
+pair AS (
+  SELECT rlut2.qid, rcodes.vec_id AS nid, rlut2.s, rlut2.dd
+  FROM rcodes
+  JOIN a3 cell ON cell.vec_id = rcodes.vec_id
+  JOIN rlut2 ON rlut2.cell = cell.cid
+            AND rlut2.s = rcodes.s AND rlut2.cid = rcodes.cid
+  WHERE rcodes.vec_id <> rlut2.qid
+),
+parts AS (
+  SELECT qid, nid,
+         {_ADC_CASES_SQL}
+  FROM pair GROUP BY qid, nid
+),
+adc AS (
+  SELECT qid AS query_id, nid AS neighbor_id,
+         round({_ADC_TERMS}, 4) AS adc_d2
+  FROM parts
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2, neighbor_id) AS rnk
+  FROM adc
+)
+SELECT query_id, rnk, neighbor_id, adc_d2
+FROM ranked WHERE rnk <= {PQ_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
+@register("residual_ivf_pq_topk", _residual_ivfpq_duck(),
+          tags=("similarity", "retrieval"))
+def residual_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (full FAISS IVFPQ): PQ codebooks are trained on
+    the RESIDUALS (v - assigned cell centroid) instead of raw vectors
+    — residual magnitudes are much smaller than vector magnitudes, so
+    the same codebook budget quantizes them with roughly half the
+    error (the `ivf_pq_topk` docstring's documented extension, now
+    implemented). The query-side LUT becomes cell-dependent: for each
+    probed cell the query's residual against THAT cell's centroid is
+    quantized, so the LUT is (query x nprobe x M x K) — still bounded
+    and broadcast.
+
+    Scale notes (100 TB): identical plan skeleton to `ivf_pq_topk`
+    (cell-pruned code postings, all trained tables broadcast); the
+    only extra work is the nprobe-times-larger LUT, still O(queries x
+    nprobe x M x K) — nothing corpus-sized changed. The residual
+    subtraction is one broadcast join against the K-row centroid
+    table at encode time."""
+    from .similarity import IVF_NPROBE, _kmeans_rank, _train_kmeans
+
+    from ..io import load_table
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v"),
+    )
+    cents, _ = _train_kmeans(vecs)
+    cents = F.broadcast(cents)
+    ranked_cells = _kmeans_rank(vecs, cents)
+    cells = ranked_cells.where(F.col("rn") == 1).select("vec_id", "cid")
+    qprobe = ranked_cells.where(
+        (F.col("rn") <= IVF_NPROBE) & (F.col("vec_id") < PQ_NQ)
+    ).select(F.col("vec_id").alias("qid"), "cid")
+
+    # residual encode: v - centroid(assigned cell)
+    rvecs = (
+        vecs.join(cells, "vec_id")
+        .join(cents, "cid")
+        .select(
+            "vec_id",
+            F.expr("zip_with(v, cv, (x, y) -> x - y)").alias("v"),
+        )
+    )
+    rsubs = _pq_subvectors(rvecs)
+    rc0 = rsubs.where(F.col("vec_id") < PQ_K).select(
+        "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    ra1 = _pq_assign(rsubs, rc0)
+    rm1 = (
+        ra1.join(rsubs, ["vec_id", "s"])
+        .select("s", "cid", F.posexplode("sv").alias("i0", "x"))
+        .groupBy("s", "cid", "i0")
+        .agg(F.round(F.avg("x"), 4).alias("m"))
+    )
+    rc1 = rm1.groupBy("s", "cid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i0, m))), e -> e.m)"
+        ).alias("cv")
+    )
+    rcodes = _pq_assign(rsubs, rc1)
+
+    # cell-dependent query residual subvectors -> LUT
+    qres = (
+        qprobe.withColumnRenamed("cid", "cell")
+        .join(vecs.select(F.col("vec_id").alias("qid"), "v"), "qid")
+        .join(
+            cents.select(F.col("cid").alias("cell"), "cv"), "cell"
+        )
+        .select(
+            "qid",
+            "cell",
+            F.expr("zip_with(v, cv, (x, y) -> x - y)").alias("v"),
+        )
+    )
+    # subvectors at the (qid, cell) grain — _pq_subvectors keys by
+    # vec_id only, so rebuild the explode inline with both keys kept
+    parts_q = F.array(
+        *[
+            F.struct(
+                F.lit(sub + 1).alias("s"),
+                F.slice("v", sub * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+            )
+            for sub in range(PQ_M)
+        ]
+    )
+    qres_subs = qres.select(
+        "qid", "cell", F.explode(parts_q).alias("e")
+    ).select("qid", "cell", "e.s", "e.sv")
+    rlut = qres_subs.join(F.broadcast(rc1), "s").select(
+        "qid",
+        "cell",
+        "s",
+        F.col("cid").alias("code"),
+        F.round(F.expr(_PQD2_SPARK.format(a="sv", b="cv")), 4).alias("dd"),
+    )
+
+    pair = (
+        rcodes.withColumnRenamed("cid", "code")
+        .join(cells.withColumnRenamed("cid", "cell"), "vec_id")
+        .join(F.broadcast(rlut), ["cell", "s", "code"])
+        .where(F.col("vec_id") != F.col("qid"))
+    )
+    parts = pair.groupBy("qid", "vec_id").agg(
+        *[
+            F.sum(F.when(F.col("s") == s, F.col("dd"))).alias(f"d{s}")
+            for s in range(1, PQ_M + 1)
+        ]
+    )
+    adc = parts.select(
+        F.col("qid").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(F.expr(_ADC_TERMS), 4).alias("adc_d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= PQ_TOPK)
+        .select("query_id", "rnk", "neighbor_id", "adc_d2")
+        .orderBy("query_id", "rnk")
     )

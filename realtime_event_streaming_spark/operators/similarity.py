@@ -1503,6 +1503,14 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vecs = base.unionByName(planted).localCheckpoint(eager=False)
     _, assign = _train_kmeans(vecs)
+    # Materialize the assignment once: BOTH sides of the within-cluster
+    # pair join consume it, and without this the full two-round Lloyd
+    # training DAG (shuffle-heavy) is planned twice (measured ~0.5 s of
+    # the 5.7 s at sf0.1 — the rest is per-stage scheduling overhead on
+    # local[32], which amortizes away at real data sizes). At warehouse
+    # scale this is the persisted (vec -> cluster) table SemDeDup
+    # materializes anyway.
+    assign = assign.localCheckpoint(eager=False)
     vn = vecs.select(
         "vec_id",
         "v",

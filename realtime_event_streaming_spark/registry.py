@@ -99,6 +99,7 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "funnel_three_step",
     "compaction_roundtrip",
     "cluster_cap_sample",
+    "residual_ivf_pq_topk",
     "dup_cluster_powerlaw",
     "ngram_novelty_rate",
     "hybrid_rrf_retrieval",
@@ -137,7 +138,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "daily_moving_avg",
     "dedup_exact_summary",
     "dedup_survivors",
-    "device_breakdown",
     "embedding_quantize_int8",
     "event_growth_daily",
     "events_by_country_pivot",
@@ -155,7 +155,7 @@ DRIVER_QUERIES: tuple[str, ...] = (
     #    rollup_hourly / rollup_cascade_5min / recent_activity /
     #    page_activity_5min / rollup_5min / parts_above_type_avg /
     #    promo_revenue_share / order_priority_count /
-    #    minhash_signature_sample (green
+    #    minhash_signature_sample / device_breakdown (green
     #    r1, rollup_hourly re-benched r5; yielded to the third-wave
     #    debuts: IVF-PQ, recall eval, power-law census, n-gram
     #    novelty, schema-evolution scan, time-decay attribution).
