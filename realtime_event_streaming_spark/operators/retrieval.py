@@ -914,10 +914,17 @@ ORDER BY query_id, rnk
 def residual_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual IVF-PQ (full FAISS IVFPQ): PQ codebooks are trained on
     the RESIDUALS (v - assigned cell centroid) instead of raw vectors
-    — residual magnitudes are much smaller than vector magnitudes, so
-    the same codebook budget quantizes them with roughly half the
-    error (the `ivf_pq_topk` docstring's documented extension, now
-    implemented). The query-side LUT becomes cell-dependent: for each
+    — when the corpus has real cluster structure, residual magnitudes
+    are much smaller than vector magnitudes and the same codebook
+    budget quantizes them with roughly half the error (the
+    `ivf_pq_topk` docstring's documented extension, now implemented).
+    MEASURED HONESTLY (scripts/pq_recall_compare.py): on THIS fixture
+    the embeddings are near-uniform — the 8 coarse cells barely
+    shrink residual norms — so residual recall@5 (0.08 at sf0.1)
+    actually trails the non-residual variant (0.20); the refinement
+    pays off only where the clustering does. The operator exists to
+    prove the plan shape; the variant choice is a data-dependent
+    deployment decision. The query-side LUT becomes cell-dependent: for each
     probed cell the query's residual against THAT cell's centroid is
     quantized, so the LUT is (query x nprobe x M x K) — still bounded
     and broadcast.
