@@ -1,0 +1,87 @@
+"""Driver-gated query over the Python Data Source (Spark 4 API).
+
+`sources/clickgen_source.ClickGenDataSource` packages the synthetic
+generator as ``spark.read.format("clickgen")``. This query makes the
+custom data source itself ORACLE-GATED: its md5-derived columns are
+restated exactly in DuckDB over ``generate_series``, so the value hash
+proves the whole chain — Python Data Source registration, partitioned
+read, schema, and every derived distribution — not just "it returned
+rows".
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..sources.clickgen import COUNTRIES, PAGES
+from ..sources.clickgen_source import register as register_source
+
+#: fixed read size for the gated query (the source ignores sf_dir —
+#: it IS the data).
+_N = 20_000
+_N_USERS = 500
+
+
+def _duck_case(salt: str, choices) -> str:
+    """CASE ladder over the md5 hash bucket — single source of truth
+    with the Python reader's `_weighted`."""
+    bucket = f"(('0x' || substr(md5('{salt}:' || i), 1, 14))::BIGINT % 100)"
+    parts, cum = [], 0
+    for value, weight in choices[:-1]:
+        cum += weight
+        parts.append(f"WHEN {bucket} < {cum} THEN '{value}'")
+    return f"CASE {' '.join(parts)} ELSE '{choices[-1][0]}' END"
+
+
+_SRC_DUCK = f"""
+WITH g AS (SELECT unnest(generate_series(0, {_N - 1})) AS i),
+d AS (
+  SELECT i,
+         ('0x' || substr(md5('usr:' || i), 1, 14))::BIGINT % {_N_USERS} AS u,
+         {_duck_case("page", PAGES)} AS page,
+         {_duck_case("country", COUNTRIES)} AS country
+  FROM g
+)
+SELECT page, country,
+       cast(count(*) AS BIGINT) AS n_events,
+       cast(count(DISTINCT u) AS BIGINT) AS n_users
+FROM d
+GROUP BY page, country
+ORDER BY page, country
+"""
+
+
+@register("clickgen_source_histogram", _SRC_DUCK, tags=("source",))
+def clickgen_source_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page x country histogram read through the REGISTERED Python
+    Data Source (``spark.read.format("clickgen")``, Spark 4 Python
+    Data Source API) — the oracle regenerates the identical md5-derived
+    rows in DuckDB, so this query value-pins the custom source
+    end-to-end: registration, partition planning (8 range partitions),
+    schema, and the weighted page/country/user derivations. The
+    reference ships its generator as a standalone script
+    (producer/produce.py); here it is a first-class source any Spark
+    user can `.read` without imports.
+
+    Scale notes (100 TB): partitions carve the id range — generation
+    parallelizes to any width with zero coordination; the aggregate is
+    a bounded |pages| x |countries| rollup. The Python-row reader is
+    the reference implementation; the documented bulk path yields
+    Arrow RecordBatches from the same arithmetic."""
+    register_source(spark)
+    src = (
+        spark.read.format("clickgen")
+        .option("n_events", _N)
+        .option("n_users", _N_USERS)
+        .load()
+    )
+    return (
+        src.groupBy("page", "country")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("page", "country")
+    )

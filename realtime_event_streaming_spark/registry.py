@@ -100,6 +100,7 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "compaction_roundtrip",
     "cluster_cap_sample",
     "residual_ivf_pq_topk",
+    "clickgen_source_histogram",
     "dup_cluster_powerlaw",
     "ngram_novelty_rate",
     "hybrid_rrf_retrieval",
@@ -138,7 +139,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "daily_moving_avg",
     "dedup_exact_summary",
     "dedup_survivors",
-    "embedding_quantize_int8",
     "event_growth_daily",
     "events_by_country_pivot",
     "label_centroid_norms",
@@ -155,7 +155,8 @@ DRIVER_QUERIES: tuple[str, ...] = (
     #    rollup_hourly / rollup_cascade_5min / recent_activity /
     #    page_activity_5min / rollup_5min / parts_above_type_avg /
     #    promo_revenue_share / order_priority_count /
-    #    minhash_signature_sample / device_breakdown (green
+    #    minhash_signature_sample / device_breakdown /
+    #    embedding_quantize_int8 (green
     #    r1, rollup_hourly re-benched r5; yielded to the third-wave
     #    debuts: IVF-PQ, recall eval, power-law census, n-gram
     #    novelty, schema-evolution scan, time-decay attribution).
@@ -195,6 +196,7 @@ def load_all() -> dict[str, Query]:
     from .plans import layout_queries  # noqa: F401
     from .plans import index_queries  # noqa: F401
     from .plans import diagnostics  # noqa: F401
+    from .plans import source_queries  # noqa: F401
     from .operators import dedup  # noqa: F401
     from .operators import similarity  # noqa: F401
     from .operators import textstats  # noqa: F401

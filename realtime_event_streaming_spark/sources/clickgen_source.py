@@ -1,0 +1,114 @@
+"""Spark 4 Python Data Source: the click generator as a first-class
+``spark.read.format("clickgen")`` source.
+
+The reference's producer (producer/produce.py) is a standalone script;
+`sources/clickgen.generate_clicks` already rebuilt its distributions
+as column expressions. This module goes one step further and packages
+the generator as a REGISTERED DATA SOURCE via the Python Data Source
+API (pyspark.sql.datasource, new in Spark 4): users get partitioned,
+deterministic synthetic load with plain ``spark.read`` — no imports,
+no UDF plumbing — and the engine gets a worked example of the API its
+own connectors would use.
+
+Determinism contract: every column derives from md5(salt ":" i) 56-bit
+integers — the SAME convention the oracle layer uses everywhere else —
+so the source's output is reproducible across runs, partition counts
+and engines, and a DuckDB oracle can restate the generator exactly
+(see ``plans/source_queries.clickgen_source_histogram``). The
+session-chain ``referrer`` column is deliberately NOT generated here:
+it is a per-user window over arrival order (cross-partition state), so
+it stays a downstream transform (`clickgen.generate_clicks` applies
+it after its scan too).
+
+Scale notes (100 TB): partitions carve the [0, n_events) id range, so
+generation parallelizes to any cluster width with zero coordination;
+rows are yielded per partition from pure arithmetic (no I/O, no
+shared state). For bulk loads the Arrow-batch path
+(DataSourceReader.read yielding pa.RecordBatch) is the documented
+upgrade; row-tuples keep this reference implementation simple.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .clickgen import COUNTRIES, DEVICES, PAGES
+
+#: epoch ms of '2024-01-01 00:00:00 UTC' — generate_clicks' default.
+_BASE_MS = 1_704_067_200_000
+
+_SCHEMA = (
+    "event_id string, user_id string, ts long, page string, "
+    "country string, device string"
+)
+
+
+def _h(salt: str, i: int) -> int:
+    """56-bit integer from md5(f'{salt}:{i}') — the repo-wide derived-
+    value convention (matches DuckDB ('0x' || substr(md5(..),1,14))::BIGINT)."""
+    return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:14], 16)
+
+
+def _weighted(salt: str, i: int, choices) -> str:
+    bucket = _h(salt, i) % 100
+    cum = 0
+    for value, weight in choices[:-1]:
+        cum += weight
+        if bucket < cum:
+            return value
+    return choices[-1][0]
+
+
+@dataclass
+class _Range(InputPartition):
+    start: int
+    end: int
+
+
+class ClickGenReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_events = int(options.get("n_events", 10_000))
+        self.n_users = int(options.get("n_users", 500))
+        self.step_ms = max(int(1000.0 / float(options.get("rate_per_sec", 100.0))), 1)
+        self.num_partitions = int(options.get("num_partitions", 8))
+
+    def partitions(self):
+        per = max(1, -(-self.n_events // self.num_partitions))
+        return [
+            _Range(lo, min(lo + per, self.n_events))
+            for lo in range(0, self.n_events, per)
+        ]
+
+    def read(self, partition: _Range):
+        n_users, step_ms = self.n_users, self.step_ms
+        for i in range(partition.start, partition.end):
+            yield (
+                hashlib.md5(f"evt{i}".encode()).hexdigest(),
+                "u%06d" % (_h("usr", i) % n_users),
+                _BASE_MS + i * step_ms + _h("jit", i) % step_ms,
+                _weighted("page", i, PAGES),
+                _weighted("country", i, COUNTRIES),
+                _weighted("device", i, DEVICES),
+            )
+
+
+class ClickGenDataSource(DataSource):
+    """``spark.read.format("clickgen").option("n_events", 50000).load()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "clickgen"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> ClickGenReader:
+        return ClickGenReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent session registration (re-registering replaces)."""
+    spark.dataSource.register(ClickGenDataSource)
