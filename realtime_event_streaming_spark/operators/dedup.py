@@ -1788,3 +1788,124 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# golden-record entity resolution (fuzzy edges -> components -> canonical)
+# ---------------------------------------------------------------------------
+
+#: stricter edge threshold than the pair census — ER links only on
+#: strong evidence (transitive closure amplifies any false edge).
+_ER_MAX_DIST = 6
+_ER_MAX_ROUNDS = 50
+
+_ER_DUCK = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source, substr(text, 1, {_FUZZY_TITLE}) AS title,
+         substr(text, 1, {_FUZZY_BLOCK}) AS blk
+  FROM documents
+),
+e AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE levenshtein(a.title, b.title) <= {_ER_MAX_DIST}
+),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM e
+  UNION SELECT doc_b, doc_a FROM e
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und) t2
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN und e2 ON r.v = e2.u
+),
+comp AS (SELECT u AS doc_id, min(v) AS entity_id FROM reach GROUP BY u),
+members AS (
+  SELECT comp.entity_id, comp.doc_id, t.source, t.title
+  FROM comp JOIN t ON comp.doc_id = t.doc_id
+)
+SELECT entity_id,
+       cast(count(*) AS BIGINT) AS n_members,
+       cast(count(DISTINCT source) AS BIGINT) AS n_sources,
+       max(CASE WHEN doc_id = entity_id THEN title END) AS canonical_title
+FROM members
+GROUP BY entity_id
+HAVING count(*) >= 2
+ORDER BY entity_id
+"""
+
+
+@register("golden_record_entities", _ER_DUCK, tags=("dedup", "er"))
+def golden_record_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: prefix-blocked edit-distance
+    edges (<= {d}, stricter than `fuzzy_title_pairs` because
+    transitive closure amplifies false links), connected components
+    via min-label propagation (the `dedup_survivors_cc` engine over a
+    different edge relation), and a GOLDEN RECORD per multi-member
+    entity — canonical id (min member), member count, source spread,
+    canonical title. This is the master-data-management pipeline shape
+    (block -> match -> cluster -> canonicalize) on the same primitives
+    the dedup family proved.
+
+    Scale notes (100 TB): edges are block-bounded (the fuzzy-pair
+    analysis); label propagation runs over the EDGE graph only (~1e2
+    edges per 5e2 docs here, and sub-linear in corpus generally since
+    most docs are singletons and drop out of the loop); the golden
+    rollup is one group-by over component members. Diameter-bounded
+    rounds, each a join + group-by with checkpointed lineage.""".format(
+        d=_ER_MAX_DIST
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.substring("text", 1, _FUZZY_TITLE).alias("title"),
+        F.substring("text", 1, _FUZZY_BLOCK).alias("blk"),
+    ).localCheckpoint(eager=False)
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("title").alias("ta"), "blk")
+    b = t.select(F.col("doc_id").alias("doc_b"), F.col("title").alias("tb"), "blk")
+    edges = (
+        a.join(b, "blk")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(F.levenshtein("ta", "tb") <= _ER_MAX_DIST)
+        .select("doc_a", "doc_b")
+    )
+    und = (
+        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(edges.select("doc_b", "doc_a"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = und.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(_ER_MAX_ROUNDS):
+        nbr_min = (
+            und.join(labels.select(F.col("u").alias("v"), "label"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = labels.join(nbr_min, "u").select(
+            "u", "label", F.least("label", "nbr_label").alias("new_label")
+        )
+        n_changed = stepped.where(
+            F.col("new_label") != F.col("label")
+        ).count()
+        labels = stepped.select(
+            "u", F.col("new_label").alias("label")
+        ).localCheckpoint()
+        if n_changed == 0:
+            break
+    members = labels.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("entity_id")
+    ).join(t, "doc_id")
+    return (
+        members.groupBy("entity_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.max(
+                F.when(F.col("doc_id") == F.col("entity_id"), F.col("title"))
+            ).alias("canonical_title"),
+        )
+        .where(F.col("n_members") >= 2)
+        .orderBy("entity_id")
+    )

@@ -343,3 +343,129 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the bot-user case the diagnostics cover."""
     register_views(spark, sf_dir, tables=("events",))
     return spark.sql(_TRANS_BODY)
+
+
+# ---------------------------------------------------------------------------
+# offline CUSUM change-point estimation per day
+# ---------------------------------------------------------------------------
+
+_CUSUM_BODY = """
+WITH minutes AS (
+  SELECT date_trunc('day', ts) AS day,
+         date_trunc('minute', ts) AS minute,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT day, round(avg(cast(cnt AS DOUBLE)), 4) AS day_mean
+  FROM minutes GROUP BY day
+),
+cum AS (
+  SELECT m.day, m.minute, m.cnt,
+         sum(cast(m.cnt AS DOUBLE) - s.day_mean)
+           OVER (PARTITION BY m.day ORDER BY m.minute) AS s_i
+  FROM minutes m JOIN stats s ON m.day = s.day
+),
+peak AS (
+  SELECT day, minute, s_i,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY round(abs(s_i), 4) DESC, minute)
+           AS rn,
+         max(s_i) OVER (PARTITION BY day) AS s_max,
+         min(s_i) OVER (PARTITION BY day) AS s_min
+  FROM cum
+),
+cp AS (
+  SELECT day, minute AS change_minute,
+         round(s_max - s_min, 4) AS cusum_range
+  FROM peak WHERE rn = 1
+),
+sides AS (
+  SELECT c.day, cp.change_minute, cp.cusum_range,
+         round(avg(CASE WHEN c.minute <= cp.change_minute
+                        THEN cast(c.cnt AS DOUBLE) END), 4) AS mean_before,
+         round(avg(CASE WHEN c.minute > cp.change_minute
+                        THEN cast(c.cnt AS DOUBLE) END), 4) AS mean_after,
+         cast(count(*) AS BIGINT) AS n_minutes
+  FROM cum c JOIN cp ON c.day = cp.day
+  GROUP BY c.day, cp.change_minute, cp.cusum_range
+)
+SELECT cast(day AS DATE) AS day, n_minutes, change_minute,
+       cusum_range, mean_before, mean_after
+FROM sides ORDER BY day
+"""
+
+
+@register("cusum_change_points", _CUSUM_BODY, tags=("anomaly",))
+def cusum_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM change-point estimation per day: S_i = running
+    sum of (minute count - day mean); the estimated change minute is
+    argmax |S_i| (the classic CUSUM estimator) and the CUSUM range
+    max(S)-min(S) is the shift-evidence statistic; before/after means
+    quantify the level shift. Where the Welford/z detectors flag
+    SINGLE anomalous windows, this locates a SUSTAINED level change —
+    the deploy-went-wrong signal.
+
+    Deterministic: the running sum folds 4dp-rounded deviations in
+    minute order inside a day partition (same order both engines);
+    the argmax tie-breaks on (rounded |S|, minute).
+
+    Scale notes (100 TB): everything is keyed by day — the cumulative
+    window is partition-bounded at 1440 rows, the rollup emits one row
+    per day. The minute pre-aggregation is the only corpus-sized
+    shuffle (shared shape with every rollup query)."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_CUSUM_BODY)
+
+
+# ---------------------------------------------------------------------------
+# SLO burn-rate (multiwindow) over the value measure
+# ---------------------------------------------------------------------------
+
+_SLO_BAD = 80.0   # value above this breaches the latency SLO
+_SLO_TARGET = 0.95  # 95% of events must be under _SLO_BAD
+
+_BURN_BODY = f"""
+WITH hours AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         count(*) AS n,
+         sum(CASE WHEN value > {_SLO_BAD} THEN 1 ELSE 0 END) AS bad
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+rates AS (
+  SELECT hour, n, bad,
+         cast(bad AS DOUBLE) / n AS frac_1h,
+         cast(sum(bad) OVER w6 AS DOUBLE) / sum(n) OVER w6 AS frac_6h
+  FROM hours
+  WINDOW w6 AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT hour,
+       cast(n AS BIGINT) AS n_events,
+       round(frac_1h, 4) AS bad_frac_1h,
+       round(frac_6h, 4) AS bad_frac_6h,
+       round(frac_1h / {1 - _SLO_TARGET}, 4) AS burn_1h,
+       round(frac_6h / {1 - _SLO_TARGET}, 4) AS burn_6h,
+       CASE WHEN frac_1h / {1 - _SLO_TARGET} > 1.0
+             AND frac_6h / {1 - _SLO_TARGET} > 1.0
+            THEN 1 ELSE 0 END AS page_alert
+FROM rates ORDER BY hour
+"""
+
+
+@register("slo_burn_rate", _BURN_BODY, tags=("anomaly", "reference"))
+def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn rate (the SRE-workbook alerting shape the
+    reference's Grafana/Prometheus stack would carry): per hour, the
+    fraction of events breaching value > {bad} over the 1-hour and
+    trailing-6-hour windows, each divided by the {eb:.0%} error budget;
+    page when BOTH windows burn above 1x — the fast window gives
+    reaction speed, the slow window suppresses blips. Pure integer
+    counts into rational divisions: bit-deterministic.
+
+    Scale notes (100 TB): one scan -> hour-keyed partial counts; the
+    6-hour lookback is a 6-row ROWS frame over the tiny hourly series.
+    Burn-rate alerting costs nothing more than the rollup the
+    dashboard already maintains.""".format(bad=_SLO_BAD, eb=1 - _SLO_TARGET)
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_BURN_BODY)

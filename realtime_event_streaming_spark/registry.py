@@ -101,6 +101,9 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "cluster_cap_sample",
     "residual_ivf_pq_topk",
     "clickgen_source_histogram",
+    "golden_record_entities",
+    "cusum_change_points",
+    "slo_burn_rate",
     "dup_cluster_powerlaw",
     "ngram_novelty_rate",
     "hybrid_rrf_retrieval",
@@ -134,12 +137,9 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "streaming_rollup_replay",
     # -- stalest re-confirmations: the full cohort whose last green
     #    row is round 1 ...
-    "ann_lsh_topk",
     "audience_set_ops",
-    "daily_moving_avg",
     "dedup_exact_summary",
     "dedup_survivors",
-    "event_growth_daily",
     "events_by_country_pivot",
     "label_centroid_norms",
     "reagg_from_minute",
@@ -156,7 +156,8 @@ DRIVER_QUERIES: tuple[str, ...] = (
     #    page_activity_5min / rollup_5min / parts_above_type_avg /
     #    promo_revenue_share / order_priority_count /
     #    minhash_signature_sample / device_breakdown /
-    #    embedding_quantize_int8 (green
+    #    embedding_quantize_int8 / ann_lsh_topk / daily_moving_avg /
+    #    event_growth_daily (green
     #    r1, rollup_hourly re-benched r5; yielded to the third-wave
     #    debuts: IVF-PQ, recall eval, power-law census, n-gram
     #    novelty, schema-evolution scan, time-decay attribution).
