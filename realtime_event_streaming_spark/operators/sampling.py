@@ -271,3 +271,186 @@ def cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup-aware split leakage audit (train/test contamination via dups)
+# ---------------------------------------------------------------------------
+
+_LEAK_DUCK = f"""
+WITH {{shingle_ctes}},
+bands AS (
+  SELECT doc_id, seed // 2 AS band_idx,
+         min(h) * {{mh_shift}} + max(h) AS band_hash
+  FROM sig GROUP BY doc_id, seed // 2
+),
+assigned AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         {_SPLIT_SQL.replace("h <", "hh <")} AS split
+  FROM (SELECT doc_id, text, {_H16.format(t='VARCHAR')} AS hh FROM documents)
+),
+clusters AS (
+  SELECT content_hash, count(*) AS n,
+         count(DISTINCT split) AS n_splits,
+         sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+         sum(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS n_eval
+  FROM assigned GROUP BY content_hash
+),
+exact_stats AS (
+  SELECT cast(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_clusters,
+         cast(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS leaky_clusters,
+         cast(sum(CASE WHEN n_train > 0 AND n_eval > 0 THEN n_eval
+                       ELSE 0 END) AS BIGINT) AS exact_contaminated_eval
+  FROM clusters
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+cross_pairs AS (
+  SELECT c.doc_a, c.doc_b, sa.split AS split_a, sb.split AS split_b
+  FROM cand c
+  JOIN assigned sa ON sa.doc_id = c.doc_a
+  JOIN assigned sb ON sb.doc_id = c.doc_b
+  WHERE sa.split <> sb.split
+),
+near_stats AS (
+  SELECT cast(count(*) AS BIGINT) AS neardup_cross_pairs,
+         cast(count(DISTINCT CASE
+             WHEN split_a = 'train' AND split_b <> 'train' THEN doc_b
+             WHEN split_b = 'train' AND split_a <> 'train' THEN doc_a
+           END) AS BIGINT) AS neardup_contaminated_eval
+  FROM cross_pairs
+)
+SELECT dup_clusters, leaky_clusters, exact_contaminated_eval,
+       neardup_cross_pairs, neardup_contaminated_eval
+FROM exact_stats, near_stats
+"""
+
+
+def _leak_duck() -> str:
+    from .dedup import _DUCK_SHINGLES, _DUCK_SIG, MH_SHIFT
+
+    return _LEAK_DUCK.format(
+        shingle_ctes=f"{_DUCK_SHINGLES}, {_DUCK_SIG}".replace("WITH ", ""),
+        mh_shift=MH_SHIFT,
+    )
+
+
+@register("split_leakage_audit", _leak_duck(), tags=("sampling", "dedup"))
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware split audit: does the hash-based train/val/test
+    assignment leak (near-)duplicate content across the split
+    boundary? Exact grain: content-hash clusters spanning >1 split,
+    and eval docs whose verbatim copy sits in train. Near grain:
+    MinHash band-collision pairs whose endpoints land in different
+    splits, and eval docs with a train-side near-dup. This is the
+    internal-contamination audit (the sibling of
+    `benchmark_contamination`, which checks EXTERNAL eval sets) —
+    the known failure mode of doc-id-hash splitting, which
+    distributes a duplicate CLUSTER independently per member.
+    Production fix: split by content-hash or by dedup-cluster id
+    (`dedup_survivors` keep-list) instead of doc id; this census is
+    the evidence that motivates it.
+
+    Scale notes (100 TB): exact grain is one content-hash group-by;
+    near grain reuses the banded candidate generation (never
+    all-pairs); both audits are census tails over bounded stats."""
+    from .dedup import band_table_of, minhash_signature_arrays
+
+    docs = load_table(spark, sf_dir, "documents")
+    split_expr = F.expr(
+        "CASE WHEN hh < 52429 THEN 'train' WHEN hh < 58982 THEN 'val' "
+        "ELSE 'test' END"
+    )
+    assigned = (
+        docs.select(
+            "doc_id",
+            F.md5("text").alias("content_hash"),
+            F.expr(_H16.format(t="STRING")).alias("hh"),
+        )
+        .select("doc_id", "content_hash", split_expr.alias("split"))
+        .localCheckpoint(eager=False)
+    )
+    clusters = assigned.groupBy("content_hash").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("split").alias("n_splits"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "n_train"
+        ),
+        F.sum(F.when(F.col("split") != "train", 1).otherwise(0)).alias(
+            "n_eval"
+        ),
+    )
+    exact_stats = clusters.agg(
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dup_clusters"),
+        F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("leaky_clusters"),
+        F.sum(
+            F.when(
+                (F.col("n_train") > 0) & (F.col("n_eval") > 0),
+                F.col("n_eval"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("exact_contaminated_eval"),
+    )
+    bands = band_table_of(
+        minhash_signature_arrays(spark, sf_dir).localCheckpoint(eager=False)
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    cross = (
+        cand.join(
+            assigned.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            assigned.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+    )
+    near_stats = cross.agg(
+        F.count("*").cast("bigint").alias("neardup_cross_pairs"),
+        F.countDistinct(
+            F.when(
+                (F.col("split_a") == "train") & (F.col("split_b") != "train"),
+                F.col("doc_b"),
+            ).when(
+                (F.col("split_b") == "train") & (F.col("split_a") != "train"),
+                F.col("doc_a"),
+            )
+        )
+        .cast("bigint")
+        .alias("neardup_contaminated_eval"),
+    )
+    return exact_stats.crossJoin(near_stats).select(
+        "dup_clusters",
+        "leaky_clusters",
+        "exact_contaminated_eval",
+        "neardup_cross_pairs",
+        "neardup_contaminated_eval",
+    )

@@ -129,3 +129,53 @@ def parts_above_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-execution)."""
     register_views(spark, sf_dir, tables=("part",))
     return spark.sql(_CORR_BODY)
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window: per-event trailing 15-minute user activity
+# ---------------------------------------------------------------------------
+
+_RANGE_WIN_MS = 15 * 60 * 1000
+
+_RANGEF_BODY = f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
+),
+rated AS (
+  SELECT user_id, ms,
+         count(*) OVER (PARTITION BY user_id ORDER BY ms
+                        RANGE BETWEEN {_RANGE_WIN_MS} PRECEDING
+                              AND CURRENT ROW) AS n_15m
+  FROM ev
+)
+SELECT user_id,
+       cast(max(n_15m) AS BIGINT) AS peak_15m,
+       cast(count(*) AS BIGINT) AS n_events,
+       round(avg(cast(n_15m AS DOUBLE)), 4) AS avg_15m
+FROM rated
+GROUP BY user_id
+ORDER BY peak_15m DESC, user_id
+LIMIT 20
+"""
+
+_RANGEF_SPARK = _RANGEF_BODY.replace(
+    "epoch_ms(ts)", "unix_millis(cast(ts AS TIMESTAMP))"
+)
+
+
+@register("trailing_rate_range_frame", _RANGEF_BODY, tags=("sql-surface",))
+def trailing_rate_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window aggregation — the frame type the ROWS-frame
+    queries (`daily_moving_avg`'s 7 ROWS) cannot substitute when rows
+    are irregularly spaced: each event's trailing count includes every
+    event of the same user within 15 MINUTES, however many rows that
+    is. Census: the 20 users with the highest 15-minute burst (the
+    rate-limiter / bot-detection primitive). Frame bounds are integer
+    epoch-ms offsets, so both engines resolve the identical window.
+
+    Scale notes (100 TB): the window partitions by user_id (the
+    bucketing key) and orders by time within the partition — state is
+    one frame per user, never global; the rollup tail is bounded by
+    the user count and the top-20 is a TakeOrderedAndProject."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_RANGEF_SPARK)

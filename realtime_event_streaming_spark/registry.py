@@ -104,6 +104,8 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "golden_record_entities",
     "cusum_change_points",
     "slo_burn_rate",
+    "split_leakage_audit",
+    "trailing_rate_range_frame",
     "dup_cluster_powerlaw",
     "ngram_novelty_rate",
     "hybrid_rrf_retrieval",
@@ -137,10 +139,8 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "streaming_rollup_replay",
     # -- stalest re-confirmations: the full cohort whose last green
     #    row is round 1 ...
-    "audience_set_ops",
     "dedup_exact_summary",
     "dedup_survivors",
-    "events_by_country_pivot",
     "label_centroid_norms",
     "reagg_from_minute",
     # -- Yielded this round (proof cumulative; every yielded query
@@ -157,7 +157,8 @@ DRIVER_QUERIES: tuple[str, ...] = (
     #    promo_revenue_share / order_priority_count /
     #    minhash_signature_sample / device_breakdown /
     #    embedding_quantize_int8 / ann_lsh_topk / daily_moving_avg /
-    #    event_growth_daily (green
+    #    event_growth_daily / events_by_country_pivot / audience_set_ops
+    #    (green
     #    r1, rollup_hourly re-benched r5; yielded to the third-wave
     #    debuts: IVF-PQ, recall eval, power-law census, n-gram
     #    novelty, schema-evolution scan, time-decay attribution).
