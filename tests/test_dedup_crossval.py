@@ -77,3 +77,21 @@ def test_simhash_recalls_exact_jaccard_pairs(pairs):
     # simhash on low-diversity text, not a bug.
     assert sh, "simhash should flag the planted near-identical docs"
     assert len(sh & ex) / max(len(ex), 1) >= 0.8, (len(ex), len(sh & ex))
+
+
+def test_golden_record_invariants(spark):
+    """Structural contracts of the ER output: the canonical member is
+    real (its title survives the CASE), source spread never exceeds
+    membership, and components are genuinely multi-member."""
+    from realtime_event_streaming_spark.registry import load_all
+
+    rows = (
+        load_all()["golden_record_entities"]
+        .spark_fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows, "fixture should resolve at least one multi-member entity"
+    for r in rows:
+        assert r.n_members >= 2
+        assert 1 <= r.n_sources <= r.n_members
+        assert r.canonical_title is not None and len(r.canonical_title) > 0

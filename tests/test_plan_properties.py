@@ -621,3 +621,36 @@ def test_attribution_join_is_user_keyed(spark, reg):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_slo_and_cusum_windows_are_partition_bounded(spark, reg):
+    """Both time-series censuses must avoid a single global window —
+    CUSUM partitions by day, the burn-rate 6h frame runs over the tiny
+    hourly series (post-aggregation)."""
+    for name in ("cusum_change_points", "slo_burn_rate"):
+        plan = _formatted_plan(reg[name].spark_fn(spark, SF), spark)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_range_frame_census_is_user_partitioned(spark, reg):
+    plan = _formatted_plan(
+        reg["trailing_rate_range_frame"].spark_fn(spark, SF), spark
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_leakage_audit_reuses_banded_candidates(spark, reg):
+    """The near-dup arm must stay band-blocked — an all-pairs join
+    here defeats the audit's own scale story. One nested-loop node is
+    expected and allowed: the 1-row x 1-row exact/near stats
+    combiner at the very end."""
+    plan = _formatted_plan(
+        reg["split_leakage_audit"].spark_fn(spark, SF), spark
+    )
+    assert "CartesianProduct" not in plan
+    # formatted mode prints each node twice (tree + details): <= 2
+    # string hits == at most ONE nested-loop node
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # the candidate/pair joins themselves must be hash-keyed
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 2
