@@ -595,3 +595,76 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "predicted_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution drift: per-source unigram KL divergence vs the corpus
+# ---------------------------------------------------------------------------
+
+#: add-one smoothing keeps KL finite when a source lacks a corpus token.
+_KL_SMOOTH = 1
+
+_KL_DUCK = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT DISTINCT tok FROM toks),
+corpus AS (
+  SELECT tok, count(*) AS cn FROM toks GROUP BY tok
+),
+ctot AS (SELECT sum(cn) AS t, count(*) AS v FROM corpus),
+per_src AS (
+  SELECT s.source, v.tok, coalesce(x.sn, 0) AS sn
+  FROM (SELECT DISTINCT source FROM toks) s
+  CROSS JOIN vocab v
+  LEFT JOIN (
+    SELECT source, tok, count(*) AS sn FROM toks GROUP BY source, tok
+  ) x ON x.source = s.source AND x.tok = v.tok
+),
+stot AS (SELECT source, sum(sn) AS st FROM per_src GROUP BY source),
+kl AS (
+  SELECT p.source,
+         sum(
+           (cast(p.sn + {_KL_SMOOTH} AS DOUBLE) / (stot.st + ctot.v))
+           * ln(
+               (cast(p.sn + {_KL_SMOOTH} AS DOUBLE) / (stot.st + ctot.v))
+               / (cast(c.cn + {_KL_SMOOTH} AS DOUBLE) / (ctot.t + ctot.v))
+             )
+         ) AS kl_bits
+  FROM per_src p
+  JOIN corpus c ON p.tok = c.tok
+  JOIN stot ON p.source = stot.source
+  CROSS JOIN ctot
+  GROUP BY p.source
+)
+SELECT source, round(kl_bits, 4) AS kl_nats
+FROM kl ORDER BY source
+"""
+
+_KL_SPARK = _KL_DUCK.replace(
+    "unnest(string_split(text, ' '))", "explode(split(text, ' '))"
+)
+
+
+@register("unigram_kl_drift", _KL_DUCK, tags=("text", "curation"))
+def unigram_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift census: KL(source || corpus) over smoothed
+    unigram distributions, per source — the drift detector a corpus
+    pipeline runs on every new crawl slice before mixing it in (a
+    source whose token distribution diverges is contaminated, template
+    spam, or mislabeled-language; on the uniform fixture all KLs are
+    near zero, which IS the calibration baseline). Add-one smoothing
+    over the shared vocabulary keeps the divergence finite.
+
+    Determinism: terms are ratios of exact integers passed through
+    ln() and summed per source — the same ln-then-round-4dp contract
+    as `bigram_lm_perplexity`/`bm25_topk` (summation-order ulp noise
+    is orders below the rounding grain on this vocabulary size).
+
+    Scale notes (100 TB): two vocabulary-bounded group-bys plus a
+    (sources x vocab) dense grid — bounded by |V|, NOT corpus size
+    (the grid exists so absent tokens contribute their smoothed mass;
+    production keeps |V| to the top-k vocabulary, same plan). The
+    token explosion is the one corpus-sized pass."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_KL_SPARK)

@@ -469,3 +469,55 @@ def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard already maintains.""".format(bad=_SLO_BAD, eb=1 - _SLO_TARGET)
     register_views(spark, sf_dir, tables=("events",))
     return spark.sql(_BURN_BODY)
+
+
+# ---------------------------------------------------------------------------
+# top-k turnover: day-over-day churn of the heavy-hitter set
+# ---------------------------------------------------------------------------
+
+_TURNOVER_K = 10
+
+_TURN_BODY = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, user_id, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT day, user_id,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY n DESC, user_id) AS rn
+  FROM daily
+),
+topk AS (SELECT day, user_id FROM ranked WHERE rn <= {_TURNOVER_K}),
+days AS (SELECT DISTINCT day FROM topk),
+pairs AS (
+  SELECT d.day,
+         (SELECT count(*) FROM topk a JOIN topk b
+           ON a.user_id = b.user_id
+          AND a.day = d.day - INTERVAL 1 DAY AND b.day = d.day) AS kept
+  FROM days d
+  WHERE EXISTS (SELECT 1 FROM topk p
+                WHERE p.day = d.day - INTERVAL 1 DAY)
+)
+SELECT cast(day AS DATE) AS day,
+       cast(kept AS BIGINT) AS kept,
+       cast({_TURNOVER_K} - kept AS BIGINT) AS churned,
+       round(cast(kept AS DOUBLE) / {_TURNOVER_K}, 4) AS stability
+FROM pairs ORDER BY day
+"""
+
+
+@register("topk_turnover_daily", _TURN_BODY, tags=("behavior",))
+def topk_turnover_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day churn of the top-{k} heaviest users: how much of
+    yesterday's heavy-hitter set survives into today (kept / churned /
+    stability). A stable set is organic load; sudden full turnover is
+    a bot cohort or an instrumentation change — the drift twin of
+    `cms_heavy_hitters`' point-in-time view.
+
+    Scale notes (100 TB): per-day top-k comes from a day-partitioned
+    window over the (day, user) rollup; the day-to-day comparison
+    joins two {k}-row sets per day. Nothing beyond the rollup is
+    corpus-sized.""".format(k=_TURNOVER_K)
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_TURN_BODY)

@@ -76,6 +76,10 @@ def register(
 #: (their proof is cumulative across rounds, and every one of them
 #: remains oracle-gated locally by tests/test_oracle_parity.py, which
 #: checks the FULL registry at every run).
+#: Round-6 late debuts NOT in this round's window (it already holds
+#: 46 never-rowed debuts; these two run beyond the 50-row gate under
+#: the same contract, stay locally oracle-gated, and lead the round-7
+#: rotation): unigram_kl_drift, topk_turnover_daily.
 DRIVER_QUERIES: tuple[str, ...] = (
     # -- round-6 debuts, never rowed: the post-r5-snapshot work
     #    (TPC-H Q6/Q9/Q12/Q17/Q20/Q22 analogs, index MAINTENANCE
