@@ -37,7 +37,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from .clickgen import COUNTRIES, DEVICES, PAGES
@@ -244,3 +246,82 @@ def register_all(spark) -> None:
     spark.dataSource.register(ClickGenDataSource)
     spark.dataSource.register(ClickGenArrowDataSource)
     spark.dataSource.register(ClickGenStreamingDataSource)
+    spark.dataSource.register(WireDumpDataSource)
+
+
+# ---------------------------------------------------------------------------
+# wire-dump WRITER: the Kafka-wire JSON sink as a Python Data Source
+# ---------------------------------------------------------------------------
+
+
+class _WireCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class WireDumpWriter(DataSourceWriter):
+    """Per-task JSON-lines writer with the commit/abort protocol the
+    reference's Kafka producer cannot give its file fallback: each
+    task writes a uniquely-named part file and reports it in its
+    commit message; the DRIVER-side commit writes a ``_SUCCESS``
+    manifest listing exactly the committed parts (readers ignore
+    stragglers), and abort removes this task's partial file. That is
+    the standard output-commit contract (what FileOutputCommitter
+    does for parquet) reproduced for a custom wire format."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wiredump requires .option('path', ...)")
+
+    def write(self, rows):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        part = f"part-{tc.partitionId():05d}-{uuid.uuid4().hex}.jsonl"
+        full = os.path.join(self.path, part)
+        n = 0
+        with open(full, "w", encoding="utf-8") as f:
+            for row in rows:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _WireCommit(part, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "parts": sorted(m.path for m in messages),
+            "rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.path))
+                except FileNotFoundError:
+                    pass
+
+
+class WireDumpDataSource(DataSource):
+    """``df.write.format("wiredump").option("path", dir).save()`` —
+    JSON-lines wire dump with a committed-parts manifest."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "wiredump"
+
+    def writer(self, schema, overwrite: bool) -> WireDumpWriter:
+        return WireDumpWriter(self.options)

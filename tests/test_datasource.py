@@ -86,3 +86,33 @@ def test_streaming_source_emits_offset_managed_batches(spark, tmp_path):
     assert n >= 1000 and n % 500 == 0, n
     # deterministic: ids are the md5 of the contiguous sequence
     assert got.select("event_id").distinct().count() == n
+
+
+def test_wiredump_writer_commit_protocol(spark, tmp_path):
+    import json
+    import os
+
+    from realtime_event_streaming_spark.sources.clickgen_source import (
+        register_all,
+    )
+
+    register_all(spark)
+    out = str(tmp_path / "wire")
+    df = (
+        spark.read.format("clickgen").option("n_events", 300)
+        .option("num_partitions", 4).load()
+    )
+    df.write.format("wiredump").option("path", out).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["rows"] == 300
+    parts = sorted(
+        p for p in os.listdir(out) if p.startswith("part-")
+    )
+    assert parts == manifest["parts"]
+    # round trip: the dumped wire JSON reloads to the same rows
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == 300
+    orig = {r.event_id for r in df.select("event_id").collect()}
+    got = {r.event_id for r in back.select("event_id").collect()}
+    assert got == orig
