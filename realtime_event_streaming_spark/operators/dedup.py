@@ -1909,3 +1909,125 @@ def golden_record_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_members") >= 2)
         .orderBy("entity_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph containment pairs (asymmetric overlap detection)
+# ---------------------------------------------------------------------------
+
+#: pairs must share at least this many distinct paragraphs; paragraphs
+#: occurring in more than _CONT_DF_CAP docs are excluded from pair
+#: generation (boilerplate posting-list blowup — the rare-shingle
+#: blocking idea at paragraph grain).
+_CONT_MIN_SHARED = 2
+_CONT_DF_CAP = 10
+_CONT_TOP = 20
+
+_CONTAIN_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+chunks AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(c), 1, 14))::BIGINT AS cid
+  FROM toks,
+       UNNEST(list_transform(
+         generate_series(0, (len(tk) - 1) // {PARA_TOKENS}),
+         i -> array_to_string(
+           tk[i * {PARA_TOKENS} + 1 : i * {PARA_TOKENS} + {PARA_TOKENS}],
+           ' '))) AS u(c)
+),
+nchunks AS (SELECT doc_id, count(*) AS np FROM chunks GROUP BY doc_id),
+freq AS (SELECT cid, count(*) AS df FROM chunks GROUP BY cid),
+rare AS (
+  SELECT chunks.doc_id, chunks.cid FROM chunks
+  JOIN freq ON chunks.cid = freq.cid WHERE freq.df <= {_CONT_DF_CAP}
+),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM rare a JOIN rare b ON a.cid = b.cid AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {_CONT_MIN_SHARED}
+)
+SELECT s.doc_a, s.doc_b,
+       cast(s.n_shared AS BIGINT) AS n_shared,
+       round(cast(s.n_shared AS DOUBLE) / least(na.np, nb.np), 4)
+         AS containment
+FROM shared s
+JOIN nchunks na ON na.doc_id = s.doc_a
+JOIN nchunks nb ON nb.doc_id = s.doc_b
+ORDER BY n_shared DESC, doc_a, doc_b
+LIMIT {_CONT_TOP}
+"""
+
+
+@register("paragraph_containment_pairs", _CONTAIN_DUCK, tags=("dedup",))
+def paragraph_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment detection (Broder's containment, not resemblance):
+    doc pairs sharing >= {m} distinct paragraphs, scored by
+    shared/|smaller doc| — the ASYMMETRIC overlap whole-doc MinHash
+    under-weights (a 10-paragraph memo fully quoted inside a
+    100-paragraph report has Jaccard ~0.1 but containment 1.0, and
+    quote-inclusion is exactly what a copyright/provenance pass must
+    catch). Paragraph fingerprints with df <= {cap} generate pairs
+    (boilerplate exclusion, the rare-shingle blocking idea); top-{t}
+    pairs by shared mass.
+
+    Scale notes (100 TB): pair generation is a posting-list self-join
+    over RARE fingerprints only — bounded by df cap like
+    `dedup_ngram_jaccard`; the shuffle carries 16 B fingerprints. The
+    containment division joins two |docs|-bounded count tables.""".format(
+        m=_CONT_MIN_SHARED, cap=_CONT_DF_CAP, t=_CONT_TOP
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    chunk_expr = (
+        f"transform(sequence(0, cast(floor((size(tk) - 1) / {PARA_TOKENS}) "
+        f"as int)), i -> concat_ws(' ', slice(tk, i * {PARA_TOKENS} + 1, "
+        f"{PARA_TOKENS})))"
+    )
+    chunks = (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .select("doc_id", F.explode(F.expr(chunk_expr)).alias("c"))
+        .select(
+            "doc_id",
+            F.expr(
+                "cast(conv(substr(md5(c), 1, 14), 16, 10) as bigint)"
+            ).alias("cid"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nchunks = chunks.groupBy("doc_id").agg(F.count("*").alias("np"))
+    freq = chunks.groupBy("cid").agg(F.count("*").alias("df"))
+    rare = chunks.join(
+        freq.where(F.col("df") <= _CONT_DF_CAP).select("cid"), "cid"
+    )
+    a = rare.select(F.col("doc_id").alias("doc_a"), "cid")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "cid")
+    shared = (
+        a.join(b, "cid")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= _CONT_MIN_SHARED)
+    )
+    return (
+        shared.join(
+            nchunks.select(F.col("doc_id").alias("doc_a"), F.col("np").alias("na")),
+            "doc_a",
+        )
+        .join(
+            nchunks.select(F.col("doc_id").alias("doc_b"), F.col("np").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double") / F.least("na", "nb"), 4
+            ).alias("containment"),
+        )
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+        .limit(_CONT_TOP)
+    )

@@ -521,3 +521,49 @@ def topk_turnover_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized.""".format(k=_TURNOVER_K)
     register_views(spark, sf_dir, tables=("events",))
     return spark.sql(_TURN_BODY)
+
+
+# ---------------------------------------------------------------------------
+# tail-latency trend: OLS slope of hourly p95
+# ---------------------------------------------------------------------------
+
+_P95_TREND_BODY = """
+WITH hours AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         round(quantile_cont(value, 0.95), 4) AS p95
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+idx AS (
+  SELECT p95,
+         row_number() OVER (ORDER BY hour) - 1 AS h_idx
+  FROM hours
+)
+SELECT cast(count(*) AS BIGINT) AS n_hours,
+       round(min(p95), 4) AS min_p95,
+       round(max(p95), 4) AS max_p95,
+       round(regr_slope(p95, cast(h_idx AS DOUBLE)), 4)
+         AS p95_slope_per_hour,
+       round(regr_r2(p95, cast(h_idx AS DOUBLE)), 4) AS r2
+FROM idx
+"""
+
+_P95_TREND_SPARK = _P95_TREND_BODY.replace(
+    "quantile_cont(value, 0.95)", "percentile(value, 0.95)"
+)
+
+
+@register("p95_trend", _P95_TREND_BODY, tags=("anomaly", "reference"))
+def p95_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is tail latency degrading? OLS slope of the hourly p95 series
+    over hour index (native regr_slope/regr_r2, the
+    `dup_cluster_powerlaw` precedent) — the capacity-planning trend
+    the point-in-time `latency_stats` can't see. One row: series
+    length, p95 range, slope/hour, fit quality.
+
+    Scale notes (100 TB): the exact grouped percentile is the only
+    corpus-sized aggregation (hour-keyed; swaps for the mergeable
+    histogram sketch at true scale); the regression runs over the
+    tiny hourly series."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_P95_TREND_SPARK)

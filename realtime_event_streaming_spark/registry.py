@@ -79,7 +79,8 @@ def register(
 #: Round-6 late debuts NOT in this round's window (it already holds
 #: 46 never-rowed debuts; these two run beyond the 50-row gate under
 #: the same contract, stay locally oracle-gated, and lead the round-7
-#: rotation): unigram_kl_drift, topk_turnover_daily.
+#: rotation): unigram_kl_drift, topk_turnover_daily, p95_trend,
+#: paragraph_containment_pairs.
 DRIVER_QUERIES: tuple[str, ...] = (
     # -- round-6 debuts, never rowed: the post-r5-snapshot work
     #    (TPC-H Q6/Q9/Q12/Q17/Q20/Q22 analogs, index MAINTENANCE
