@@ -1561,3 +1561,132 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# margin-scored mutual nearest neighbors (bitext-mining shape)
+# ---------------------------------------------------------------------------
+
+#: neighborhood size for the margin denominator (Artetxe & Schwenk use
+#: k=4 in both directions).
+MARGIN_K = 4
+_MARGIN_TOP = 20
+
+_MARGIN_DUCK = f"""
+WITH {_DUCK_VECTORS},
+cos AS (
+  SELECT q.vec_id AS a, c.vec_id AS b,
+         round({_COS_DUCK}, 4) AS cs
+  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT a, b, cs,
+         row_number() OVER (PARTITION BY a ORDER BY cs DESC, b) AS rn
+  FROM cos
+),
+knn_avg AS (
+  SELECT a, avg(cs) AS nn_avg FROM ranked WHERE rn <= {MARGIN_K}
+  GROUP BY a
+),
+best AS (SELECT a, b, cs FROM ranked WHERE rn = 1),
+mutual AS (
+  SELECT x.a AS va, x.b AS vb, x.cs
+  FROM best x JOIN best y ON x.b = y.a AND y.b = x.a
+  WHERE x.a < x.b
+),
+scored AS (
+  SELECT m.va, m.vb, m.cs,
+         round(m.cs / ((ka.nn_avg + kb.nn_avg) / 2), 4) AS margin
+  FROM mutual m
+  JOIN knn_avg ka ON ka.a = m.va
+  JOIN knn_avg kb ON kb.a = m.vb
+)
+SELECT va, vb, cs AS cosine, margin
+FROM scored
+ORDER BY margin DESC, va
+LIMIT {_MARGIN_TOP}
+"""
+
+
+@register("margin_mutual_nn", _MARGIN_DUCK, tags=("similarity", "retrieval"))
+def margin_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-scored mutual nearest neighbors — the bitext/alignment
+    mining criterion (Artetxe & Schwenk 2019 ratio margin): a pair
+    qualifies when each vector is the other's top-1 neighbor, and its
+    score is cos(a,b) divided by the mean of both sides' top-{k}
+    neighborhood similarities — pairs that merely sit in dense
+    regions score ~1, genuine alignments score well above. Top-{t}
+    mutual pairs by margin. This is the mining pass that builds
+    parallel/aligned training corpora from two embedded pools.
+
+    Scale notes (100 TB): the all-pairs cosine here is the
+    labeled-baseline form (the `ann_bruteforce` precedent — the
+    fixture pool is bounded); production swaps candidate generation
+    for the IVF probe (`probe_ann_index`) and keeps the identical
+    margin tail, which is two bounded window/group-bys and a self-join
+    on top-1 rows — O(pool), not O(pool^2).""".format(
+        k=MARGIN_K, t=_MARGIN_TOP
+    )
+    vecs = _vectors(spark, sf_dir).select("vec_id", "v", "norm")
+    q = vecs.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    cos = (
+        q.join(c, F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.expr(_DOT.format(a="qv", b="cv"))
+                / (F.col("qn") * F.col("cn")),
+                4,
+            ).alias("cs"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cs"), "b")
+    ranked = cos.withColumn("rn", F.row_number().over(w))
+    knn_avg = (
+        ranked.where(F.col("rn") <= MARGIN_K)
+        .groupBy("a")
+        .agg(F.avg("cs").alias("nn_avg"))
+    )
+    best = ranked.where(F.col("rn") == 1).select("a", "b", "cs")
+    x, y = best.alias("x"), best.alias("y")
+    mutual = (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.a")) & (F.col("y.b") == F.col("x.a")),
+        )
+        .where(F.col("x.a") < F.col("x.b"))
+        .select(
+            F.col("x.a").alias("va"),
+            F.col("x.b").alias("vb"),
+            F.col("x.cs").alias("cs"),
+        )
+    )
+    return (
+        mutual.join(
+            knn_avg.select(F.col("a").alias("va"), F.col("nn_avg").alias("ka")),
+            "va",
+        )
+        .join(
+            knn_avg.select(F.col("a").alias("vb"), F.col("nn_avg").alias("kb")),
+            "vb",
+        )
+        .select(
+            "va",
+            "vb",
+            F.col("cs").alias("cosine"),
+            F.round(
+                F.col("cs") / ((F.col("ka") + F.col("kb")) / 2), 4
+            ).alias("margin"),
+        )
+        .orderBy(F.desc("margin"), "va")
+        .limit(_MARGIN_TOP)
+    )
