@@ -567,3 +567,96 @@ def p95_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny hourly series."""
     register_views(spark, sf_dir, tables=("events",))
     return spark.sql(_P95_TREND_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / stickiness trend (sliding exact distinct)
+# ---------------------------------------------------------------------------
+
+_WAU_BODY = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM du),
+dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+wau AS (
+  SELECT d.day, count(DISTINCT u.user_id) AS wau
+  FROM days d JOIN du u
+    ON u.day > d.day - INTERVAL 7 DAY AND u.day <= d.day
+  GROUP BY d.day
+)
+SELECT cast(dau.day AS DATE) AS day,
+       cast(dau.dau AS BIGINT) AS dau,
+       cast(wau.wau AS BIGINT) AS wau,
+       round(cast(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+ORDER BY day
+"""
+
+
+@register("wau_stickiness_trend", _WAU_BODY, tags=("behavior", "reference"))
+def wau_stickiness_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU/WAU) per day — the
+    product-health trio on every growth dashboard. Sliding EXACT
+    distinct cannot ride a window frame (distinct doesn't decompose),
+    so the trailing week is a day-to-days interval join over the
+    deduplicated (day, user) table — the standard exact form; the
+    approximate form merges the per-day HLL sketches
+    (`reagg_sketch_hourly`'s algebra) for O(1) per window.
+
+    Scale notes (100 TB): everything downstream of the (day, user)
+    dedup is bounded by days x active users; the interval join
+    expands each user-day into at most 7 window rows — a constant
+    fan-out, shuffled on day."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_WAU_BODY)
+
+
+# ---------------------------------------------------------------------------
+# activity streaks (gaps-and-islands over user-days)
+# ---------------------------------------------------------------------------
+
+_STREAK_BODY = """
+WITH du AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+grp AS (
+  SELECT user_id, day,
+         datediff('day', DATE '1970-01-01', day)
+         - row_number() OVER (PARTITION BY user_id ORDER BY day) AS anchor
+  FROM du
+),
+streaks AS (
+  SELECT user_id, count(*) AS streak_len
+  FROM grp GROUP BY user_id, anchor
+),
+longest AS (
+  SELECT user_id, max(streak_len) AS best FROM streaks GROUP BY user_id
+)
+SELECT cast(best AS BIGINT) AS streak_days,
+       cast(count(*) AS BIGINT) AS n_users
+FROM longest
+GROUP BY best
+ORDER BY streak_days
+"""
+
+
+_STREAK_SPARK = _STREAK_BODY.replace(
+    "datediff('day', DATE '1970-01-01', day)",
+    "datediff(day, DATE '1970-01-01')",
+)
+
+
+@register("activity_streak_histogram", _STREAK_BODY, tags=("behavior",))
+def activity_streak_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, histogrammed
+    — the canonical gaps-and-islands window pattern (consecutive days
+    share the day-minus-rank anchor) at user grain; the engagement
+    distribution behind streak-based retention features.
+
+    Scale notes (100 TB): the island window partitions by user
+    (bounded by active days per user); streak and histogram rollups
+    are user- then streak-bounded. One dedup shuffle on (user, day)
+    is the only corpus-sized step."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_STREAK_SPARK)
