@@ -280,3 +280,70 @@ def props_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays inside codegen (`get_json_object`); no UDF."""
     register_views(spark, sf_dir, tables=("events",))
     return spark.sql(_PROPS_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit census (forensic screening)
+# ---------------------------------------------------------------------------
+
+#: first significant digit via a RANGE LADDER (value spans ~(0, 1000)
+#: in the fixture) — deliberately no log10(): libm log10 can return
+#: 2.9999999999999996 for 1000.0, flipping the digit on exact powers;
+#: range comparisons on doubles are bit-deterministic.
+_BENFORD_DIGIT = """
+CASE
+  WHEN value >= 1000 THEN cast(floor(value / 1000) AS INT)
+  WHEN value >= 100 THEN cast(floor(value / 100) AS INT)
+  WHEN value >= 10 THEN cast(floor(value / 10) AS INT)
+  WHEN value >= 1 THEN cast(floor(value) AS INT)
+  WHEN value >= 0.1 THEN cast(floor(value * 10) AS INT)
+  WHEN value >= 0.01 THEN cast(floor(value * 100) AS INT)
+  ELSE NULL
+END
+"""
+
+#: Benford expected frequencies log10(1 + 1/d), fixed 4dp literals so
+#: neither engine computes a log at query time.
+_BENFORD_EXP = {
+    1: 0.3010, 2: 0.1761, 3: 0.1249, 4: 0.0969, 5: 0.0792,
+    6: 0.0669, 7: 0.0580, 8: 0.0512, 9: 0.0458,
+}
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_EXP.items()
+) + " END"
+
+_BENFORD_BODY = f"""
+WITH digits AS (
+  SELECT {_BENFORD_DIGIT} AS digit
+  FROM events WHERE value IS NOT NULL AND value > 0
+),
+counts AS (
+  SELECT digit, count(*) AS n FROM digits
+  WHERE digit IS NOT NULL GROUP BY digit
+),
+tot AS (SELECT sum(n) AS t FROM counts)
+SELECT digit,
+       cast(n AS BIGINT) AS n,
+       round(cast(n AS DOUBLE) / tot.t, 4) AS observed_frac,
+       {_BENFORD_CASE} AS benford_frac,
+       round(abs(cast(n AS DOUBLE) / tot.t - {_BENFORD_CASE}), 4)
+         AS abs_dev
+FROM counts CROSS JOIN tot
+ORDER BY digit
+"""
+
+
+@register("benford_digit_census", _BENFORD_BODY, tags=("anomaly",))
+def benford_digit_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over the value measure — the
+    forensic-accounting test for fabricated or truncated numeric
+    data: organic multiplicative processes follow P(d) = log10(1+1/d);
+    uniform synthetic data (this fixture) deviates maximally, which
+    the census shows honestly in abs_dev. Digit extraction is a
+    RANGE LADDER, not log10 — see _BENFORD_DIGIT for the libm
+    boundary hazard; Benford expectations are fixed 4dp literals.
+
+    Scale notes (100 TB): one scan, a 9-row group-by, a 1-row total
+    broadcast. The cheapest fraud screen a warehouse can run."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_BENFORD_BODY)

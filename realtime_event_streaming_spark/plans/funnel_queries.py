@@ -202,3 +202,71 @@ def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same bounded pattern as `throughput_summary`."""
     register_views(spark, sf_dir, tables=("events",))
     return spark.sql(_F3_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# attribution model comparison (first / last / time-decay side-by-side)
+# ---------------------------------------------------------------------------
+
+_ATTRCMP_BODY = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events
+),
+touch AS (
+  SELECT p.event_id AS pid, t.event_type AS touch_type, t.ms,
+         (p.ms - t.ms) // 60000 AS mins
+  FROM ev p JOIN ev t
+    ON t.user_id = p.user_id
+   AND t.ms < p.ms AND p.ms - t.ms <= {_ATTR_WINDOW_MS}
+  WHERE p.event_type = 'purchase'
+    AND t.event_type IN ('view', 'click')
+),
+marked AS (
+  SELECT pid, touch_type, mins,
+         row_number() OVER (PARTITION BY pid ORDER BY ms, touch_type)
+           AS rn_first,
+         row_number() OVER (PARTITION BY pid ORDER BY ms DESC, touch_type)
+           AS rn_last,
+         cast(1 AS DOUBLE) / (1 + mins) AS w
+  FROM touch
+),
+scored AS (
+  SELECT pid, touch_type,
+         CASE WHEN rn_first = 1 THEN cast(1 AS DOUBLE)
+              ELSE cast(0 AS DOUBLE) END AS credit_first,
+         CASE WHEN rn_last = 1 THEN cast(1 AS DOUBLE)
+              ELSE cast(0 AS DOUBLE) END AS credit_last,
+         w / sum(w) OVER (PARTITION BY pid) AS credit_decay
+  FROM marked
+)
+SELECT touch_type,
+       round(sum(credit_first), 4) AS first_touch,
+       round(sum(credit_last), 4) AS last_touch,
+       round(sum(credit_decay), 4) AS time_decay
+FROM scored
+GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+_ATTRCMP_SPARK = _ATTRCMP_BODY.replace(
+    "epoch_ms(ts)", "unix_millis(cast(ts AS TIMESTAMP))"
+).replace("(p.ms - t.ms) // 60000", "(p.ms - t.ms) div 60000")
+
+
+@register("attribution_model_compare", _ATTRCMP_BODY, tags=("behavior",))
+def attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three attribution models over the identical touch set, side by
+    side: first-touch (the earliest view/click gets the whole credit),
+    last-touch (the latest does), and the rational time-decay shares
+    of `time_decay_attribution` — per touch type, each column summing
+    to the same purchase total, so the table directly shows HOW MUCH
+    the model choice moves budget between channels (the argument every
+    marketing-analytics meeting has). Single/first/last winners via
+    deterministic (ms, type)-ordered row_numbers.
+
+    Scale notes (100 TB): identical join/window shape to the decay
+    query — one user-keyed touch join, per-purchase windows; the
+    three models are three expressions over the SAME shuffles, which
+    is the point: comparing models costs one plan, not three."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_ATTRCMP_SPARK)
