@@ -668,3 +668,70 @@ def unigram_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     token explosion is the one corpus-sized pass."""
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_KL_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# cross-source quality-score calibration (rank normalization)
+# ---------------------------------------------------------------------------
+
+_CALIB_BODY = f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         round(least(1.0, ln(1 + len(tk)) / 5)
+               * (len(list_distinct(tk)) / cast(len(tk) AS DOUBLE))
+               * (1 - len(list_filter(tk, x -> x IN ({{sw}})))
+                      / cast(len(tk) AS DOUBLE)), 4) AS score
+  FROM t
+),
+pct AS (
+  SELECT source, score,
+         percent_rank() OVER (ORDER BY score, doc_id) AS pct_global
+  FROM scored
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       round(avg(score), 4) AS mean_score,
+       round(avg(pct_global), 4) AS mean_pct,
+       round(abs(avg(pct_global) - 0.5), 4) AS calib_gap
+FROM pct
+GROUP BY source
+ORDER BY source
+"""
+
+
+def _calib_duck() -> str:
+    return _CALIB_BODY.format(sw=_SW_LIST)
+
+
+def _calib_spark() -> str:
+    return (
+        _CALIB_BODY.format(sw=_SW_LIST)
+        .replace("string_split(text, ' ')", "split(text, ' ')")
+        .replace("list_distinct", "array_distinct")
+        .replace("list_filter", "filter")
+        .replace("len(", "size(")
+    )
+
+
+@register("quality_rank_calibration", _calib_duck(), tags=("text", "curation"))
+def quality_rank_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration: each document's composite
+    quality score (the `doc_quality` formula) mapped to its GLOBAL
+    percentile (percent_rank with a deterministic (score, doc_id)
+    tie order), rolled up per source — a calibrated source has mean
+    percentile ~0.5; `calib_gap` quantifies how far a per-source
+    threshold would drift from a global one. This is the check run
+    BEFORE `quality_quartile_mix`-style stratified policies: rank
+    normalization is exactly how incomparable per-source score scales
+    are made mixable.
+
+    Scale notes (100 TB): the global percent_rank is one total-order
+    window — the single intentionally-global sort in the engine's
+    corpus-prep family (a sample-based quantile map replaces it at
+    extreme scale, same downstream algebra); everything else is
+    source-bounded."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_calib_spark())
