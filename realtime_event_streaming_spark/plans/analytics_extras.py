@@ -347,3 +347,72 @@ def benford_digit_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. The cheapest fraud screen a warehouse can run."""
     register_views(spark, sf_dir, tables=("events",))
     return spark.sql(_BENFORD_BODY)
+
+
+# ---------------------------------------------------------------------------
+# corpus datacard: one long-format summary across the family stats
+# ---------------------------------------------------------------------------
+
+_DATACARD_BODY = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+doc_stats AS (
+  SELECT cast(count(*) AS DOUBLE) AS n_docs,
+         cast(sum(len(tk)) AS DOUBLE) AS n_tokens,
+         round(avg(cast(len(tk) AS DOUBLE)), 4) AS mean_tokens
+  FROM toks
+),
+langs AS (SELECT cast(count(DISTINCT lang) AS DOUBLE) AS v FROM documents),
+sources AS (
+  SELECT cast(count(DISTINCT source) AS DOUBLE) AS v FROM documents
+),
+vocab AS (
+  SELECT cast(count(DISTINCT tok) AS DOUBLE) AS v
+  FROM (SELECT unnest(tk) AS tok FROM toks)
+),
+dup AS (
+  SELECT cast(count(*) - count(DISTINCT md5(text)) AS DOUBLE) AS v
+  FROM documents
+),
+emb AS (SELECT cast(count(*) AS DOUBLE) AS v FROM embeddings),
+ev AS (SELECT cast(count(*) AS DOUBLE) AS v FROM events)
+SELECT stat, round(value, 4) AS value FROM (
+  SELECT 'n_docs' AS stat, n_docs AS value FROM doc_stats
+  UNION ALL SELECT 'n_tokens', n_tokens FROM doc_stats
+  UNION ALL SELECT 'mean_tokens_per_doc', mean_tokens FROM doc_stats
+  UNION ALL SELECT 'n_languages', v FROM langs
+  UNION ALL SELECT 'n_sources', v FROM sources
+  UNION ALL SELECT 'vocab_size', v FROM vocab
+  UNION ALL SELECT 'exact_dup_docs', v FROM dup
+  UNION ALL SELECT 'n_embeddings', v FROM emb
+  UNION ALL SELECT 'n_events', v FROM ev
+)
+ORDER BY stat
+"""
+
+_DATACARD_SPARK = _DATACARD_BODY.replace(
+    "string_split(text, ' ')", "split(text, ' ')"
+).replace(
+    "SELECT unnest(tk) AS tok FROM toks", "SELECT explode(tk) AS tok FROM toks"
+).replace("len(tk)", "size(tk)")
+
+
+@register("corpus_datacard", _DATACARD_BODY, tags=("curation",))
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-query dataset card: the long-format (stat, value) summary a
+    dataset release ships — document/token/vocabulary masses, language
+    and source spread, exact-duplicate mass, table sizes. Each stat is
+    a single bounded aggregate; the card is their UNION (9 rows),
+    computed in one plan so a release pipeline gets its datacard with
+    one job. The per-family DEEP stats stay in their own queries
+    (dedup censuses, quality distributions, drift) — this is the
+    cover page.
+
+    Scale notes (100 TB): one pass per base table; the token explode
+    feeds both token mass and vocabulary in a shared scan (Spark
+    reuses the exchange); output is O(stats)."""
+    register_views(
+        spark, sf_dir, tables=("documents", "embeddings", "events")
+    )
+    return spark.sql(_DATACARD_SPARK)
