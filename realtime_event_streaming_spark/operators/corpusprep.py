@@ -1250,3 +1250,81 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# span-corruption planning census (T5-style denoising spans)
+# ---------------------------------------------------------------------------
+
+#: per-position corruption probability (T5 uses 15%); positions are
+#: selected by the repo-standard md5 derivation so the plan is
+#: reproducible across runs, shards and engines.
+_SPAN_NOISE_PCT = 15
+
+_SPANPLAN_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+),
+pos AS (
+  SELECT doc_id, i
+  FROM toks, UNNEST(generate_series(1, n)) AS g(i)
+),
+masked AS (
+  SELECT doc_id, i
+  FROM pos
+  WHERE ('0x' || substr(md5('mask:' || doc_id || ':' || i), 1, 14))::BIGINT
+        % 100 < {_SPAN_NOISE_PCT}
+),
+grp AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS anchor
+  FROM masked
+),
+spans AS (
+  SELECT doc_id, count(*) AS span_len
+  FROM grp GROUP BY doc_id, anchor
+),
+tot AS (SELECT count(*) AS n_spans_total FROM spans)
+SELECT cast(span_len AS BIGINT) AS span_len,
+       cast(count(*) AS BIGINT) AS n_spans,
+       round(cast(count(*) AS DOUBLE) / tot.n_spans_total, 4) AS frac
+FROM spans CROSS JOIN tot
+GROUP BY span_len, tot.n_spans_total
+ORDER BY span_len
+"""
+
+_SPANPLAN_SPARK = (
+    _SPANPLAN_DUCK.replace(
+        "len(string_split(text, ' '))", "size(split(text, ' '))"
+    )
+    .replace(
+        "FROM toks, UNNEST(generate_series(1, n)) AS g(i)",
+        "FROM toks LATERAL VIEW explode(sequence(1, n)) g AS i",
+    )
+    .replace(
+        "('0x' || substr(md5('mask:' || doc_id || ':' || i), 1, 14))::BIGINT",
+        "cast(conv(substr(md5(concat('mask:', cast(doc_id AS STRING), ':', "
+        "cast(i AS STRING))), 1, 14), 16, 10) AS BIGINT)",
+    )
+)
+
+
+@register("span_corruption_plan", _SPANPLAN_DUCK, tags=("text", "corpusprep"))
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption PLANNING census: select {p}% of token
+    positions with the deterministic md5 derivation, merge adjacent
+    selections into spans (the gaps-and-islands anchor at token
+    grain), and histogram the resulting span lengths — the
+    noise-density/mean-span statistics a denoising-pretraining config
+    must verify BEFORE burning GPU time (independent per-position
+    sampling yields geometric-ish span lengths; T5's span-length-3
+    target needs the explicit span sampler, and this census is what
+    shows that difference on real data).
+
+    Scale notes (100 TB): one token-position explode (map-only), the
+    island window partitioned per doc (bounded by doc length), and a
+    span-length-bounded histogram. The mask derivation is per-(doc,
+    position) hash — shard-stable, so re-planning on a re-partitioned
+    corpus yields byte-identical spans.""".format(p=_SPAN_NOISE_PCT)
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_SPANPLAN_SPARK)

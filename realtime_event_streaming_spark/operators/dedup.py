@@ -2031,3 +2031,102 @@ def paragraph_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
         .limit(_CONT_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup threshold sweep (dedup policy tuning curve)
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = (0.5, 0.625, 0.75, 0.875, 1.0)
+
+_SWEEP_CASES = ",\n       ".join(
+    f"cast(sum(CASE WHEN est_j >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS ge_{str(t).replace('.', '_')}"
+    for t in _SWEEP_THRESHOLDS
+)
+
+_SWEEP_DUCK = f"""
+WITH {_DUCK_SHINGLES}, {_DUCK_SIG},
+bands AS (
+  SELECT doc_id, seed // 2 AS band_idx,
+         min(h) * {MH_SHIFT} + max(h) AS band_hash
+  FROM sig GROUP BY doc_id, seed // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         round(avg(CASE WHEN sa.h = sb.h THEN 1.0 ELSE 0.0 END), 4) AS est_j
+  FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b AND sa.seed = sb.seed
+  GROUP BY doc_a, doc_b
+)
+SELECT cast(count(*) AS BIGINT) AS n_candidates,
+       {_SWEEP_CASES}
+FROM est
+"""
+
+
+@register("dedup_threshold_sweep", _SWEEP_DUCK, tags=("dedup",))
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup policy tuning curve in one pass: how many candidate pairs
+    survive each Jaccard threshold in {ts} — the number every dedup
+    rollout decision needs ("how much do we delete at 0.75 vs 0.875?")
+    computed as conditional sums over the SAME estimate table, so the
+    whole curve costs one banded-candidate pass, not one run per
+    threshold.
+
+    Scale notes (100 TB): identical candidate-bounded shape to
+    `minhash_estimate_accuracy`; the sweep adds zero shuffles — just
+    more aggregate expressions over the same rows.""".format(
+        ts=_SWEEP_THRESHOLDS
+    )
+    sig_arr = minhash_signature_arrays(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    bands = band_table_of(sig_arr)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    est_expr = F.expr(
+        "round(size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) "
+        f"/ cast({N_HASHES} AS DOUBLE), 4)"
+    )
+    est = (
+        cand.join(
+            sig_arr.select(
+                F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sig_arr.select(
+                F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(est_expr.alias("est_j"))
+    )
+    aggs = [F.count("*").cast("bigint").alias("n_candidates")]
+    for t in _SWEEP_THRESHOLDS:
+        aggs.append(
+            F.sum(F.when(F.col("est_j") >= t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"ge_{str(t).replace('.', '_')}")
+        )
+    return est.agg(*aggs)

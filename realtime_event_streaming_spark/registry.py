@@ -83,7 +83,8 @@ def register(
 #: paragraph_containment_pairs, margin_mutual_nn,
 #: wau_stickiness_trend, activity_streak_histogram,
 #: attribution_model_compare, benford_digit_census,
-#: quality_rank_calibration, corpus_datacard.
+#: quality_rank_calibration, corpus_datacard,
+#: dedup_threshold_sweep, span_corruption_plan.
 DRIVER_QUERIES: tuple[str, ...] = (
     # -- round-6 debuts, never rowed: the post-r5-snapshot work
     #    (TPC-H Q6/Q9/Q12/Q17/Q20/Q22 analogs, index MAINTENANCE
