@@ -433,24 +433,34 @@ WITH hours AS (
   FROM events WHERE value IS NOT NULL
   GROUP BY 1
 ),
+-- 4dp fractions via INTEGER half-up rounding: these are exact
+-- integer ratios, which DO land on decimal midpoints (163/800 =
+-- .20375) where double round() differs across engines; f4 =
+-- floor((2*bad*10^4 + n) / (2*n)) is midpoint-free by construction.
 rates AS (
   SELECT hour, n, bad,
-         cast(bad AS DOUBLE) / n AS frac_1h,
-         cast(sum(bad) OVER w6 AS DOUBLE) / sum(n) OVER w6 AS frac_6h
+         (2 * bad * 10000 + n) // (2 * n) AS f4_1h,
+         (2 * sum(bad) OVER w6 * 10000 + sum(n) OVER w6)
+           // (2 * sum(n) OVER w6) AS f4_6h
   FROM hours
   WINDOW w6 AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
 )
 SELECT hour,
        cast(n AS BIGINT) AS n_events,
-       round(frac_1h, 4) AS bad_frac_1h,
-       round(frac_6h, 4) AS bad_frac_6h,
-       round(frac_1h / {1 - _SLO_TARGET}, 4) AS burn_1h,
-       round(frac_6h / {1 - _SLO_TARGET}, 4) AS burn_6h,
-       CASE WHEN frac_1h / {1 - _SLO_TARGET} > 1.0
-             AND frac_6h / {1 - _SLO_TARGET} > 1.0
+       cast(f4_1h AS DOUBLE) / 10000 AS bad_frac_1h,
+       cast(f4_6h AS DOUBLE) / 10000 AS bad_frac_6h,
+       round(cast(f4_1h AS DOUBLE) / {int((1 - _SLO_TARGET) * 10000)}, 4)
+         AS burn_1h,
+       round(cast(f4_6h AS DOUBLE) / {int((1 - _SLO_TARGET) * 10000)}, 4)
+         AS burn_6h,
+       CASE WHEN f4_1h > {int((1 - _SLO_TARGET) * 10000)}
+             AND f4_6h > {int((1 - _SLO_TARGET) * 10000)}
             THEN 1 ELSE 0 END AS page_alert
 FROM rates ORDER BY hour
 """
+
+
+_BURN_SPARK = _BURN_BODY.replace("//", "div")
 
 
 @register("slo_burn_rate", _BURN_BODY, tags=("anomaly", "reference"))
@@ -468,7 +478,7 @@ def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Burn-rate alerting costs nothing more than the rollup the
     dashboard already maintains.""".format(bad=_SLO_BAD, eb=1 - _SLO_TARGET)
     register_views(spark, sf_dir, tables=("events",))
-    return spark.sql(_BURN_BODY)
+    return spark.sql(_BURN_SPARK)
 
 
 # ---------------------------------------------------------------------------
@@ -542,7 +552,7 @@ idx AS (
 SELECT cast(count(*) AS BIGINT) AS n_hours,
        round(min(p95), 4) AS min_p95,
        round(max(p95), 4) AS max_p95,
-       round(regr_slope(p95, cast(h_idx AS DOUBLE)), 4)
+       round(regr_slope(p95, cast(h_idx AS DOUBLE)), 4) + 0
          AS p95_slope_per_hour,
        round(regr_r2(p95, cast(h_idx AS DOUBLE)), 4) AS r2
 FROM idx
