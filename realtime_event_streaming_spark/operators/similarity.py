@@ -983,7 +983,7 @@ neg AS (
   ) WHERE rn = 1
 )
 SELECT pos.a_id AS anchor_id, pos_id, pos_cos, neg_id, neg_cos,
-       round(pos_cos - neg_cos, 4) AS margin
+       round(pos_cos - neg_cos, 4) + 0 AS margin
 FROM pos JOIN neg ON pos.a_id = neg.a_id
 ORDER BY anchor_id
 """
@@ -1051,7 +1051,8 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos_cos",
             "neg_id",
             "neg_cos",
-            F.round(F.col("pos_cos") - F.col("neg_cos"), 4).alias("margin"),
+            (F.round(F.col("pos_cos") - F.col("neg_cos"), 4)
+             + F.lit(0.0)).alias("margin"),
         )
         .orderBy("anchor_id")
     )
@@ -1113,7 +1114,7 @@ v0 AS (
 {_duck_pca_round(1, "v0")},
 {_duck_pca_round(2, "v1")}
 SELECT i AS dim,
-       round((SELECT v FROM v2)[i], 4) AS loading,
+       round((SELECT v FROM v2)[i], 4) + 0 AS loading,
        (SELECT ev FROM v2) AS eigenvalue
 FROM UNNEST(generate_series(1, {_DIM})) AS g(i)
 ORDER BY dim
@@ -1196,7 +1197,8 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims.crossJoin(v_cur)
         .select(
             "dim",
-            F.round(F.expr("element_at(v, dim)"), 4).alias("loading"),
+            (F.round(F.expr("element_at(v, dim)"), 4)
+             + F.lit(0.0)).alias("loading"),
             F.col("ev").alias("eigenvalue"),
         )
         .orderBy("dim")
@@ -1284,7 +1286,7 @@ centered0 AS MATERIALIZED (
     + "\nSELECT component, dim, loading, eigenvalue FROM (\n"
     + "\n  UNION ALL\n".join(
         f"""  SELECT {c} AS component, i AS dim,
-         round((SELECT v FROM k{c}v{PCA_ITERS})[i], 4) AS loading,
+         round((SELECT v FROM k{c}v{PCA_ITERS})[i], 4) + 0 AS loading,
          (SELECT ev FROM k{c}v{PCA_ITERS}) AS eigenvalue
   FROM UNNEST(generate_series(1, {_DIM})) AS g(i)"""
         for c in range(1, PCA_TOPK + 1)
@@ -1385,7 +1387,8 @@ def pca_topk_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             dims.crossJoin(v_fin).select(
                 F.lit(c).alias("component"),
                 "dim",
-                F.round(F.expr("element_at(v, dim)"), 4).alias("loading"),
+                (F.round(F.expr("element_at(v, dim)"), 4)
+             + F.lit(0.0)).alias("loading"),
                 F.col("ev").alias("eigenvalue"),
             )
         )

@@ -637,7 +637,7 @@ kl AS (
   CROSS JOIN ctot
   GROUP BY p.source
 )
-SELECT source, round(kl_bits, 4) AS kl_nats
+SELECT source, round(kl_bits, 4) + 0 AS kl_nats
 FROM kl ORDER BY source
 """
 
