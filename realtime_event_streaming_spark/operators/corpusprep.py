@@ -1147,25 +1147,32 @@ bi AS (
   WHERE w2 IS NOT NULL GROUP BY w1, w2
 ),
 model AS (
+  -- NLL in INTEGER micro-nats: all downstream averages then use
+  -- integer half-up rounding, which cannot land on the decimal
+  -- midpoints where double round() differs across engines (the
+  -- sf1-parity catch documented in PERF.md)
   SELECT b.w1, b.w2,
-         round(-ln({LM2_LAMBDA} * (b.c2 / cast(u1.c1 AS DOUBLE))
-                   + (1 - {LM2_LAMBDA}) * (u2.c1 / nt.n)), 6) AS nll
+         cast(round(-ln({LM2_LAMBDA} * (b.c2 / cast(u1.c1 AS DOUBLE))
+                        + (1 - {LM2_LAMBDA}) * (u2.c1 / nt.n))
+                    * 1000000) AS BIGINT) AS nll_u
   FROM bi b
   JOIN uni u1 ON u1.w = b.w1
   JOIN uni u2 ON u2.w = b.w2, nt
 ),
 scored AS (
   SELECT p.doc_id, p.source,
-         round(avg(m.nll), 4) AS avg_nll
+         (2 * sum(m.nll_u) + 100 * count(*))
+           // (200 * count(*)) AS f4
   FROM pairs p JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
   WHERE p.w2 IS NOT NULL
   GROUP BY p.doc_id, p.source
 )
 SELECT source,
        cast(count(*) AS BIGINT) AS n_docs,
-       round(avg(avg_nll), 4) AS avg_nll,
-       round(min(avg_nll), 4) AS min_nll,
-       round(max(avg_nll), 4) AS max_nll
+       cast((2 * sum(f4) + count(*)) // (2 * count(*)) AS DOUBLE)
+         / 10000 AS avg_nll,
+       cast(min(f4) AS DOUBLE) / 10000 AS min_nll,
+       cast(max(f4) AS DOUBLE) / 10000 AS max_nll
 FROM scored
 GROUP BY source
 ORDER BY source
@@ -1183,8 +1190,10 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     source: docs, mean/min/max per-doc average negative
     log-likelihood over transitions.
 
-    Every seen bigram's NLL is rounded to 6 dp IN THE MODEL TABLE,
-    per-doc averages to 4 dp, so both engines sum identical values;
+    Every seen bigram's NLL is stored as an INTEGER count of
+    micro-nats in the model table and every average uses integer
+    half-up rounding — both engines sum identical integers and no
+    average can land on a decimal midpoint (the sf1-parity catch);
     unseen bigrams cannot occur (the model is trained on the corpus
     being scored — held-out scoring would add a back-off CASE on the
     same join).
@@ -1230,23 +1239,35 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     LM2_LAMBDA
                     * (F.col("c2") / F.col("c1a").cast("double"))
                     + (1 - LM2_LAMBDA) * (F.col("c1b") / F.col("n"))
-                ),
-                6,
-            ).alias("nll"),
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("nll_u"),
         )
     )
+    # integer half-up averages in micro-nat units — midpoint-free on
+    # both engines (see the oracle comment / PERF.md sf1 catch)
     scored = (
         pairs.join(model, ["w1", "w2"])
         .groupBy("doc_id", "source")
-        .agg(F.round(F.avg("nll"), 4).alias("avg_nll"))
+        .agg(
+            F.expr(
+                "(2 * sum(nll_u) + 100 * count(*)) div (200 * count(*))"
+            ).alias("f4")
+        )
     )
     return (
         scored.groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            F.round(F.avg("avg_nll"), 4).alias("avg_nll"),
-            F.round(F.min("avg_nll"), 4).alias("min_nll"),
-            F.round(F.max("avg_nll"), 4).alias("max_nll"),
+            (
+                F.expr("(2 * sum(f4) + count(*)) div (2 * count(*))")
+                .cast("double")
+                / 10000
+            ).alias("avg_nll"),
+            (F.min("f4").cast("double") / 10000).alias("min_nll"),
+            (F.max("f4").cast("double") / 10000).alias("max_nll"),
         )
         .orderBy("source")
     )
