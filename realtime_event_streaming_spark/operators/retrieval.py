@@ -1039,3 +1039,217 @@ def residual_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rnk", "neighbor_id", "adc_d2")
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ re-ranking tail: ADC shortlist -> exact-distance refinement
+# ---------------------------------------------------------------------------
+
+#: ADC candidates kept for exact refinement — the FAISS ``refine``
+#: convention of k' = 10x the final k (IVFPQR / IndexRefineFlat).
+RERANK_SHORTLIST = 50
+
+
+def _rerank_duck() -> str:
+    from .similarity import _D2_DUCK
+
+    d2 = _D2_DUCK.replace("vv", "q.v").replace("cv", "c.v")
+    return f"""
+WITH {_ivfpq_ctes()},
+short AS (
+  SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {RERANK_SHORTLIST}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, round({d2}, 4) AS exact_d2
+  FROM short s
+  JOIN vecs q ON q.vec_id = s.query_id
+  JOIN vecs c ON c.vec_id = s.neighbor_id
+),
+rr AS (
+  SELECT query_id, neighbor_id, exact_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY exact_d2, neighbor_id) AS rnk
+  FROM rer
+)
+SELECT query_id, rnk, neighbor_id, exact_d2
+FROM rr WHERE rnk <= {PQ_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
+def _reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, exact_d2, rnk): the IVF-PQ ADC shortlist
+    re-ranked by exact full-vector squared L2 — shared by the search
+    query and its recall evaluation."""
+    from .similarity import _D2_SPARK
+
+    from ..io import load_table
+    from pyspark.sql import Window
+
+    short = (
+        _ivfpq_ranked(spark, sf_dir)
+        .where(F.col("rnk") <= RERANK_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v"),
+    )
+    # the shortlist is (queries x shortlist) rows — bounded, broadcast
+    # into the corpus scan so only shortlisted full vectors are read
+    rer = (
+        vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+        .join(F.broadcast(short), "neighbor_id")
+        .join(
+            F.broadcast(
+                vecs.where(F.col("vec_id") < PQ_NQ).select(
+                    F.col("vec_id").alias("query_id"), "v"
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(_D2_SPARK), 4).alias("exact_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("exact_d2", "neighbor_id")
+    return rer.withColumn("rnk", F.row_number().over(w))
+
+
+@register("pq_rerank_topk", _rerank_duck(), headline=True,
+          tags=("similarity", "retrieval"))
+def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search with an exact re-ranking tail (the standard FAISS
+    deployment pattern, IndexRefineFlat / IVFPQR): the ADC ranking
+    keeps a {s}-candidate shortlist per query (10x the final k), the
+    shortlist joins back to the FULL vectors, and the final top-{k} is
+    ranked by exact squared L2 — closing the honest recall gap the
+    round-6 measurements documented (ADC-only recall@5 0.08-0.24 vs
+    IVF-full-vector 0.86 on this near-uniform fixture): compression
+    decides what you SCAN, refinement decides what you RETURN.
+
+    Scale notes (100 TB): the expensive arm (ADC over nprobe cells'
+    byte codes) is unchanged; the refinement reads only queries x {s}
+    full vectors — a broadcast-shortlist semi-join into the vector
+    table (id-pruned point reads against the cid-partitioned postings
+    in the materialized form), never a corpus scan. Exactly the
+    memory/recall trade FAISS ships: codes in RAM, full vectors on
+    flash, touched {s} rows per query.""".format(
+        s=RERANK_SHORTLIST, k=PQ_TOPK
+    )
+    return (
+        _reranked(spark, sf_dir)
+        .where(F.col("rnk") <= PQ_TOPK)
+        .select("query_id", "rnk", "neighbor_id", "exact_d2")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _rerank_recall_duck() -> str:
+    from .similarity import _D2_DUCK
+
+    d2s = _D2_DUCK.replace("vv", "q.v").replace("cv", "c.v")
+    return f"""
+WITH {_ivfpq_ctes()},
+short AS (
+  SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {RERANK_SHORTLIST}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, round({d2s}, 4) AS exact_d2
+  FROM short s
+  JOIN vecs q ON q.vec_id = s.query_id
+  JOIN vecs c ON c.vec_id = s.neighbor_id
+),
+rr AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY exact_d2, neighbor_id) AS rnk
+  FROM rer
+),
+exact AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid, round({d2s}, 4) AS dd
+  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {PQ_NQ}
+),
+exact_rank AS (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY dd, nid) AS ern
+  FROM exact
+),
+truth AS (SELECT qid, nid FROM exact_rank WHERE ern <= {PQ_TOPK}),
+hits AS (
+  SELECT t.qid, count(r.neighbor_id) AS n_hit
+  FROM truth t LEFT JOIN rr r
+    ON r.query_id = t.qid AND r.neighbor_id = t.nid AND r.rnk <= {PQ_TOPK}
+  GROUP BY t.qid
+)
+SELECT qid AS query_id, cast(n_hit AS BIGINT) AS n_hit,
+       round(cast(n_hit AS DOUBLE) / {PQ_TOPK}, 4) AS recall_at_k
+FROM hits ORDER BY query_id
+"""
+
+
+@register("pq_rerank_recall", _rerank_recall_duck(),
+          tags=("similarity", "retrieval"))
+def pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_recall_eval` extended to the re-ranked path: recall@{k} of
+    `pq_rerank_topk` against the exact ground truth, per query. Because
+    the refinement ranks the shortlist by EXACT distance, any remaining
+    recall loss isolates the candidate-generation stages (cell pruning
+    + ADC shortlist order) — the number a deployment tunes nprobe and
+    shortlist size against.
+
+    Scale notes (100 TB): the exact arm is the bounded evaluation panel
+    (`ann_recall_eval`'s precedent); the production arm adds only the
+    queries x {s} refinement reads.""".format(
+        k=PQ_TOPK, s=RERANK_SHORTLIST
+    )
+    from .similarity import _D2_SPARK
+
+    from ..io import load_table
+    from pyspark.sql import Window
+
+    rr = _reranked(spark, sf_dir).localCheckpoint(eager=False)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v"),
+    )
+    q = vecs.where(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v")
+    )
+    c = vecs.select(F.col("vec_id").alias("nid"), F.col("v").alias("cv"))
+    exact = (
+        F.broadcast(q)
+        .join(c, F.col("nid") != F.col("qid"))
+        .select("qid", "nid", F.round(F.expr(_D2_SPARK), 4).alias("dd"))
+    )
+    wq = Window.partitionBy("qid").orderBy("dd", "nid")
+    truth = (
+        exact.withColumn("ern", F.row_number().over(wq))
+        .where(F.col("ern") <= PQ_TOPK)
+        .select("qid", "nid")
+    )
+    hits = (
+        truth.join(
+            rr.where(F.col("rnk") <= PQ_TOPK).select(
+                F.col("query_id").alias("qid"),
+                F.col("neighbor_id").alias("nid"),
+                F.lit(1).alias("hit"),
+            ),
+            ["qid", "nid"],
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("hit").alias("n_hit"))
+    )
+    return hits.select(
+        F.col("qid").alias("query_id"),
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        F.round(F.col("n_hit").cast("double") / PQ_TOPK, 4).alias(
+            "recall_at_k"
+        ),
+    ).orderBy("query_id")

@@ -14,7 +14,12 @@ sys.path.insert(0, ".")
 from realtime_event_streaming_spark.registry import load_all
 from realtime_event_streaming_spark.session import get_spark
 
-VARIANTS = ["pq_adc_topk", "ivf_pq_topk", "residual_ivf_pq_topk"]
+VARIANTS = [
+    "pq_adc_topk",
+    "ivf_pq_topk",
+    "residual_ivf_pq_topk",
+    "pq_rerank_topk",
+]
 NQ, K = 10, 5
 
 
