@@ -183,3 +183,121 @@ def start_corpus_admission(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# streaming EMBEDDING admission: the ANN-index twin of the hash loop
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import ArrayType, DoubleType  # noqa: E402
+
+#: wire schema for one embedded item (JSON lines)
+VEC_WIRE_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("v", ArrayType(DoubleType())),
+        StructField("ingest_ts", LongType()),  # epoch milliseconds
+    ]
+)
+
+#: admission cosine ceiling: a probe hit at or above this against ANY
+#: indexed vector marks the arrival a semantic duplicate (exact
+#: re-sends score 1.0 — `merge_ann_index` guarantees an exact copy
+#: lands in its source's cell, so the probe always sees it).
+SEMANTIC_DUP_COSINE = 0.995
+
+
+def parse_vectors(raw: DataFrame) -> DataFrame:
+    """JSON -> typed (vec_id, v, ingest_ts) rows, malformed dropped."""
+    return (
+        raw.select(
+            F.from_json(F.col("value").cast("string"), VEC_WIRE_SCHEMA).alias(
+                "d"
+            )
+        )
+        .where(
+            F.col("d").isNotNull()
+            & F.col("d.vec_id").isNotNull()
+            & (F.size("d.v") > 0)
+        )
+        .select(
+            "d.vec_id",
+            "d.v",
+            F.timestamp_millis(F.col("d.ingest_ts")).alias("ingest_ts"),
+        )
+    )
+
+
+def start_embedding_admission(
+    spark: SparkSession,
+    src_path: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    dup_cosine: float = SEMANTIC_DUP_COSINE,
+    max_files_per_trigger: int | None = 1,
+    available_now: bool = True,
+):
+    """`start_corpus_admission`'s ANN twin: the embedding stream
+    composes with the MATERIALIZED IVF index
+    (`operators/similarity.write_ann_index`). Each micro-batch
+
+    1. PROBES the index with the batch vectors
+       (`probe_ann_index`: rank the broadcast centroids, read the
+       nprobe nearest cells' postings only) and rejects arrivals whose
+       best indexed neighbor scores >= ``dup_cosine`` (semantic
+       near-duplicates, however old — the history the within-stream
+       horizon cannot cover);
+    2. APPENDS the admitted vectors to the corpus table AND into the
+       index postings (`merge_ann_index`: assign to nearest EXISTING
+       centroid, cid-partitioned append) — so the NEXT batch's probes
+       see them: read-your-writes admission, exactly the
+       content-hash loop with cosine in place of equality.
+
+    Same recovery discipline as the hash loop: a replayed batch
+    re-probes an index its first run already updated, and its own
+    vectors score 1.0 there — re-sends collapse instead of
+    double-admitting (the append does add duplicate posting rows for
+    the replayed batch itself; the probe tail's top-k ranking is
+    insensitive to posting multiplicity, and compaction
+    (`io.compact_index_table`) folds them — documented at
+    `start_corpus_admission`).
+
+    Scale notes (100 TB): per batch the corpus appears ONLY as nprobe
+    cells' postings per query vector (cid-partition-pruned reads);
+    the append is O(batch) rows into the touched cells. Centroids are
+    K rows, broadcast twice (probe + assign). Nothing rescans, nothing
+    retrains — retraining is the periodic `write_ann_index` rebuild,
+    exactly the FAISS add-after-train maintenance split."""
+    from ..operators.similarity import merge_ann_index, probe_ann_index
+
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    candidates = parse_vectors(reader.load(src_path))
+
+    def _admit(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        batch = batch_df.localCheckpoint()  # probed AND written below
+        hits = (
+            probe_ann_index(
+                sess,
+                index_path,
+                batch.select(F.col("vec_id").alias("query_id"), "v"),
+                topk=1,
+            )
+            .where(F.col("cosine") >= dup_cosine)
+            .select(F.col("query_id").alias("vec_id"))
+            .distinct()
+        )
+        fresh = batch.join(hits, "vec_id", "left_anti").localCheckpoint()
+        fresh.write.mode("append").parquet(out_path)
+        merge_ann_index(sess, index_path, fresh.select("vec_id", "v"))
+
+    writer = (
+        candidates.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -162,3 +162,68 @@ def test_admission_against_materialized_index_rejects_history(spark, tmp_path):
     # the index grew by exactly the admitted hashes
     grown = spark.read.parquet(f"{index}/content_hash")
     assert grown.count() == 500 + 2
+
+
+def _vec(vec_id, v, off_s):
+    return json.dumps(
+        {"vec_id": vec_id, "v": v, "ingest_ts": BASE_MS + off_s * 1000}
+    )
+
+
+def test_embedding_admission_read_your_writes(spark, tmp_path):
+    """The ANN twin of the hash loop: an exact copy of an INDEXED
+    vector is rejected by the batch-1 probe (history), and a vector
+    admitted in batch 1 rejects its own batch-2 re-send because
+    `merge_ann_index` appended it in between — batch-1 vectors are
+    retrievable by batch-2 probes."""
+    from realtime_event_streaming_spark.io import load_table
+    from realtime_event_streaming_spark.operators.similarity import (
+        write_ann_index,
+    )
+    from realtime_event_streaming_spark.streaming.corpus_ingest import (
+        start_embedding_admission,
+    )
+
+    index = str(tmp_path / "ann_index")
+    write_ann_index(spark, "/root/testdata/sf0.001", index)
+    corpus_v = [
+        float(x)
+        for x in load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .where("vec_id = 5")
+        .collect()[0]
+        .embedding
+    ]
+    fresh_a = [1.0 if i % 2 == 0 else 0.5 for i in range(64)]
+    fresh_d = [0.25 if i % 3 == 0 else -1.0 for i in range(64)]
+
+    batches = [
+        [
+            _vec(10001, fresh_a, 0),     # fresh -> admitted
+            _vec(10002, corpus_v, 1),    # exact indexed copy -> reject
+            "not json at all",
+        ],
+        [
+            _vec(10003, fresh_a, 100),   # re-send of batch-1 admit -> reject
+            _vec(10004, fresh_d, 101),   # fresh -> admitted
+        ],
+    ]
+    src = str(tmp_path / "vecs")
+    _write_batches(src, batches)
+
+    q = start_embedding_admission(
+        spark,
+        src,
+        index,
+        str(tmp_path / "vec_out"),
+        str(tmp_path / "vec_ckpt"),
+    )
+    q.awaitTermination(300)
+
+    admitted = spark.read.parquet(str(tmp_path / "vec_out"))
+    assert {r.vec_id for r in admitted.collect()} == {10001, 10004}
+    # the index grew by exactly the admitted vectors, probe-visible
+    post = spark.read.parquet(f"{index}/postings")
+    assert post.count() == 500 + 2
+    assert {
+        r.vec_id for r in post.where("vec_id >= 10000").collect()
+    } == {10001, 10004}
