@@ -456,3 +456,143 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in evals[1:]:
         out = out.unionAll(e)
     return out.orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# ROC AUC of a quality score against the planted labels (rank-sum form)
+# ---------------------------------------------------------------------------
+
+#: fixed-point output scale shared with the rest of the registry
+_AUC_DP = 10000
+
+
+_AUC_DUCK = f"""
+WITH docs0 AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS tk FROM documents
+),
+lab AS (
+  SELECT m.doc_id, m.n_chars,
+         CASE WHEN m.n < {_TRAIN_MIN_TOKENS}
+                OR round(t.mc / cast(m.n AS DOUBLE), 4)
+                   > {_TRAIN_TOPWORD_FRAC}
+              THEN 1 ELSE -1 END AS y
+  FROM (SELECT doc_id, n_chars, len(tk) AS n FROM docs0) m
+  JOIN (SELECT doc_id, max(c) AS mc FROM (
+          SELECT doc_id, x, count(*) AS c
+          FROM docs0, UNNEST(tk) AS u(x) GROUP BY doc_id, x)
+        GROUP BY doc_id) t ON m.doc_id = t.doc_id
+),
+g AS (
+  SELECT n_chars AS s,
+         cast(count(*) AS BIGINT) AS n_all,
+         cast(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_good
+  FROM lab GROUP BY n_chars
+),
+r AS (
+  SELECT s, n_all, n_good,
+         coalesce(sum(n_all) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM g
+),
+tot AS (
+  SELECT cast(sum(n_good) AS BIGINT) AS ng,
+         cast(sum(n_all - n_good) AS BIGINT) AS nb,
+         cast(sum(n_good * (2 * cum_before + n_all + 1)) AS BIGINT)
+           AS mr2sum
+  FROM r
+)
+SELECT ng AS n_good, nb AS n_bad,
+       cast(((mr2sum - ng * (ng + 1)) * {2 * _AUC_DP} + 2 * ng * nb)
+            // (4 * ng * nb) AS DOUBLE) / {_AUC_DP} AS auc
+FROM tot
+"""
+
+
+@register("quality_score_auc", _AUC_DUCK, tags=("inference", "curation"))
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of a cheap quality score (document length, ``n_chars``)
+    against the planted low-quality labels the classifier trainer uses
+    (`quality_classifier_train`: token count < {mt} OR top-word
+    occupancy > {tw}) — the evaluation row every quality gate needs
+    before its threshold goes to production. AUC is computed in its
+    Mann-Whitney RANK-SUM form with midrank tie handling:
+    AUC = (R_good - ng*(ng+1)/2) / (ng*nb) where R_good is the sum of
+    the good docs' midranks in the score ordering.
+
+    Determinism contract: scores are grouped per distinct value, so
+    ties never depend on row order; twice-the-midrank
+    (2*cum_before + n_all + 1) is an exact integer, making the rank
+    sum, the numerator and the denominator all BIGINT; the single
+    4-dp division uses integer half-up rounding on non-negative
+    integers (midpoint-free, the PERF.md sf1-catch pattern). Both
+    engines hash bit-identical output by construction.
+
+    Scale notes (100 TB): one token-explode pass for the label (shared
+    shape with the trainer), then the entire AUC runs on the
+    per-distinct-score table — bounded by |distinct n_chars|, a few
+    thousand rows regardless of corpus size; the one ordered window
+    runs on that bounded table, never on the corpus. Rank-sum AUC is
+    exactly how you grade a classifier distributively — no per-doc
+    sort ever leaves the score histogram.""".format(
+        mt=_TRAIN_MIN_TOKENS, tw=_TRAIN_TOPWORD_FRAC
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.split("text", " ").alias("tk")
+    )
+    top = (
+        docs.select("doc_id", F.explode("tk").alias("x"))
+        .groupBy("doc_id", "x")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mc"))
+    )
+    lab = (
+        docs.select("doc_id", "n_chars", F.size("tk").alias("n"))
+        .join(top, "doc_id")
+        .select(
+            "n_chars",
+            F.when(
+                (F.col("n") < _TRAIN_MIN_TOKENS)
+                | (
+                    F.round(F.col("mc") / F.col("n").cast("double"), 4)
+                    > _TRAIN_TOPWORD_FRAC
+                ),
+                1,
+            )
+            .otherwise(-1)
+            .alias("y"),
+        )
+    )
+    g = lab.groupBy(F.col("n_chars").alias("s")).agg(
+        F.count("*").cast("bigint").alias("n_all"),
+        F.sum((F.col("y") == -1).cast("bigint")).alias("n_good"),
+    )
+    # bounded window: g has one row per DISTINCT score value
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "n_all",
+        "n_good",
+        F.coalesce(F.sum("n_all").over(w), F.lit(0)).alias("cum_before"),
+    )
+    tot = r.agg(
+        F.sum("n_good").alias("ng"),
+        F.sum(F.col("n_all") - F.col("n_good")).alias("nb"),
+        F.sum(
+            F.col("n_good")
+            * (2 * F.col("cum_before") + F.col("n_all") + 1)
+        ).alias("mr2sum"),
+    )
+    return tot.select(
+        F.col("ng").alias("n_good"),
+        F.col("nb").alias("n_bad"),
+        (
+            F.expr(
+                f"cast(((mr2sum - ng * (ng + 1)) * {2 * _AUC_DP} "
+                "+ 2 * ng * nb) div (4 * ng * nb) AS DOUBLE)"
+            )
+            / _AUC_DP
+        ).alias("auc"),
+    )

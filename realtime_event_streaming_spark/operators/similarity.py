@@ -1693,3 +1693,120 @@ def margin_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("margin"), "va")
         .limit(_MARGIN_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-space QA audit: norms, dead dimensions, anisotropy
+# ---------------------------------------------------------------------------
+
+#: a dimension is DEAD when its variance across the corpus collapses
+#: (constant output unit — the classic symptom of a degenerate
+#: projection head). Threshold far below any live dimension's variance
+#: so float summation-order drift can never flip the count.
+_DEAD_VAR_EPS = 1e-6
+
+
+_EMB_AUDIT_DUCK = f"""
+WITH dims AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS v
+  FROM embeddings, UNNEST(generate_series(1, {_DIM})) AS g(i)
+),
+perdim AS (
+  SELECT i, avg(v) AS m, avg(v * v) AS m2 FROM dims GROUP BY i
+),
+pervec AS (
+  SELECT vec_id, sum(v * v) AS norm2 FROM dims GROUP BY vec_id
+),
+dimstats AS (
+  SELECT cast(count(*) AS BIGINT) AS n_dims,
+         cast(sum(CASE WHEN m2 - m * m < {_DEAD_VAR_EPS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS dead_dims,
+         sum(m * m) AS mean_sq
+  FROM perdim
+),
+vecstats AS (
+  SELECT cast(count(*) AS BIGINT) AS n_vecs,
+         avg(sqrt(norm2)) AS avg_norm,
+         min(sqrt(norm2)) AS min_norm,
+         max(sqrt(norm2)) AS max_norm,
+         avg(norm2) AS avg_norm2
+  FROM pervec
+)
+SELECT v.n_vecs, d.n_dims, d.dead_dims,
+       round(v.avg_norm, 4) AS avg_norm,
+       round(v.min_norm, 4) AS min_norm,
+       round(v.max_norm, 4) AS max_norm,
+       round(d.mean_sq / v.avg_norm2, 4) AS anisotropy
+FROM vecstats v CROSS JOIN dimstats d
+"""
+
+
+@register("embedding_space_audit", _EMB_AUDIT_DUCK, tags=("similarity",))
+def embedding_space_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row QA audit of the embedding column — the health check a
+    pipeline runs BEFORE spending compute on ANN indexing or semantic
+    dedup over a new embedding drop: vector count, dimensionality,
+    DEAD dimensions (variance < {eps} — a collapsed projection unit),
+    norm distribution (avg/min/max — catches unnormalized mixtures),
+    and the ANISOTROPY ratio ||mean vector||^2 / E[||v||^2] (Ethayarajh
+    2019: contextual embedding spaces are anisotropic; a ratio near 1
+    means all vectors share a dominant direction and cosine similarity
+    is meaningless, near 0 means the space is centered).
+
+    Plan: ONE explode of the corpus into (vec_id, dim, value) rows
+    feeds both marginal aggregations — per-dimension (mean, mean-sq:
+    dimension count bounded at {d}) and per-vector (norm), then a
+    1-row x 1-row cross join assembles the audit. No pairwise
+    computation anywhere: the anisotropy identity
+    E[cos-ish mass] = ||E v||^2 / E ||v||^2 turns the quadratic
+    mean-pairwise-similarity probe into two linear scans.
+
+    Scale notes (100 TB): both group-bys are partial-aggregated
+    map-side (dims: {d} keys; vecs: corpus-sized but each reduces 64
+    rows to 1); output is one row. Float determinism: 4-dp rounding
+    over sums whose operand magnitudes are O(1); the dead-dim
+    threshold sits orders of magnitude below any live variance so
+    summation-order drift cannot flip the integer count.""".format(
+        eps=_DEAD_VAR_EPS, d=_DIM
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "vf")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).alias("i"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    perdim = dims.groupBy("i").agg(
+        F.avg("v").alias("m"), F.avg(F.col("v") * F.col("v")).alias("m2")
+    )
+    pervec = dims.groupBy("vec_id").agg(
+        F.sum(F.col("v") * F.col("v")).alias("norm2")
+    )
+    dimstats = perdim.agg(
+        F.count("*").cast("bigint").alias("n_dims"),
+        F.sum(
+            (
+                (F.col("m2") - F.col("m") * F.col("m")) < _DEAD_VAR_EPS
+            ).cast("bigint")
+        ).alias("dead_dims"),
+        F.sum(F.col("m") * F.col("m")).alias("mean_sq"),
+    )
+    vecstats = pervec.agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.avg(F.sqrt("norm2")).alias("avg_norm"),
+        F.min(F.sqrt("norm2")).alias("min_norm"),
+        F.max(F.sqrt("norm2")).alias("max_norm"),
+        F.avg("norm2").alias("avg_norm2"),
+    )
+    return vecstats.crossJoin(F.broadcast(dimstats)).select(
+        "n_vecs",
+        "n_dims",
+        "dead_dims",
+        F.round("avg_norm", 4).alias("avg_norm"),
+        F.round("min_norm", 4).alias("min_norm"),
+        F.round("max_norm", 4).alias("max_norm"),
+        F.round(F.col("mean_sq") / F.col("avg_norm2"), 4).alias(
+            "anisotropy"
+        ),
+    )

@@ -735,3 +735,140 @@ def quality_rank_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-bounded."""
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_calib_spark())
+
+
+# ---------------------------------------------------------------------------
+# skip-gram PMI co-occurrence (word-association mining)
+# ---------------------------------------------------------------------------
+
+#: skip-gram window (offsets 1..2) and minimum pair support — PMI is
+#: unstable on singleton pairs (Church & Hanks 1990), so rank only
+#: pairs seen at least MINC times.
+_PMI_WINDOW = 2
+_PMI_MINC = 5
+_PMI_TOPK = 30
+
+_PMI_DUCK = f"""
+WITH docs0 AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+toks AS (
+  SELECT doc_id, i AS pos, tk[i] AS w
+  FROM docs0, UNNEST(generate_series(1, len(tk))) AS g(i)
+),
+pairs AS (
+  SELECT w AS w1,
+         lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+  UNION ALL
+  SELECT w,
+         lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+  FROM toks
+),
+pc AS (
+  SELECT w1, w2, cast(count(*) AS BIGINT) AS c_ab
+  FROM pairs WHERE w2 IS NOT NULL GROUP BY w1, w2
+),
+uni AS (
+  SELECT w, cast(count(*) AS BIGINT) AS c FROM toks GROUP BY w
+),
+nt AS (SELECT cast(sum(c) AS BIGINT) AS n FROM uni),
+tt AS (SELECT cast(sum(c_ab) AS BIGINT) AS t FROM pc),
+scored AS (
+  SELECT p.w1, p.w2, p.c_ab,
+         cast(round(ln((p.c_ab * 1.0 / tt.t)
+                       * (nt.n * 1.0 / u1.c)
+                       * (nt.n * 1.0 / u2.c)) * 1000000)
+              AS BIGINT) AS pmi_micro
+  FROM pc p
+  JOIN uni u1 ON u1.w = p.w1
+  JOIN uni u2 ON u2.w = p.w2
+  CROSS JOIN nt CROSS JOIN tt
+  WHERE p.c_ab >= {_PMI_MINC}
+)
+SELECT w1, w2, c_ab, pmi_micro
+FROM scored
+ORDER BY pmi_micro DESC, w1, w2
+LIMIT {_PMI_TOPK}
+"""
+
+
+@register("token_pmi_topk", _PMI_DUCK, tags=("text",))
+def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} token pairs by pointwise mutual information over a
+    +/-{w}-offset skip-gram window (Church & Hanks 1990) — the
+    word-association statistic behind collocation mining, phrase
+    detection and word2vec's implicit factorization (Levy & Goldberg
+    2014: SGNS factorizes the shifted PMI matrix). Pairs need >=
+    {mc} occurrences (PMI is degenerate on singletons).
+
+    PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ), reported as INTEGER
+    micro-nats (the bigram-LM model-table pattern: one ln per
+    DISTINCT pair computed from exact integer counts via an
+    identically-written double expression, rounded to 1e-6 — every
+    downstream comparison and the ORDER BY run on exact integers with
+    (w1, w2) tie-breaks, so the top-k cut is deterministic on both
+    engines).
+
+    Plan: pair generation is two `lead()` offsets per token (NO
+    self-join of positions — the window is fixed, so lateral offsets
+    beat an O(window) range join), one group-by collapses the
+    corpus-sized pair stream to distinct pairs, and the unigram table
+    joins in twice. Scale notes (100 TB): the pair group-by is the
+    map-side-combining shuffle (distinct-bigram-bounded, same key its
+    census uses); the unigram join is vocabulary-sized (broadcast
+    here; at web-corpus vocab it degrades to a shuffle join on the
+    SAME w1/w2 keys); the final top-k is TakeOrderedAndProject —
+    nothing corpus-sized is ever sorted.""".format(
+        k=_PMI_TOPK, w=_PMI_WINDOW, mc=_PMI_MINC
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode("tk").alias("pos", "w")
+    ).localCheckpoint(eager=False)
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = None
+    for off in range(1, _PMI_WINDOW + 1):
+        p = toks.select(
+            F.col("w").alias("w1"),
+            F.lead("w", off).over(wd).alias("w2"),
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    pc = (
+        pairs.where(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+    )
+    uni = toks.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+    nt = uni.agg(F.sum("c").alias("n"))
+    tt = pc.agg(F.sum("c_ab").alias("t"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    return (
+        pc.where(F.col("c_ab") >= _PMI_MINC)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * 1.0 / F.col("t"))
+                    * (F.col("n") * 1.0 / F.col("ca"))
+                    * (F.col("n") * 1.0 / F.col("cb"))
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), "w1", "w2")
+        .limit(_PMI_TOPK)
+    )

@@ -1,0 +1,144 @@
+"""Graph analytics over the click-stream: bounded-iteration PageRank.
+
+The reference's click-stream carries an implicit PAGE GRAPH — each
+user's consecutive events are a page transition (the producer simulates
+exactly this: referrer chains and per-session page hops,
+producer/produce.py:64-125; `event_transition_matrix` already exposes
+the event-TYPE Markov matrix). PageRank over that transition graph is
+the canonical "which pages matter" signal a content pipeline feeds back
+into crawl scheduling and training-data source weighting (the original
+use: Page et al. 1999, "The PageRank Citation Ranking").
+
+Spark-first shape — PageRank WITHOUT GraphX/RDDs, as a relational
+plan with a fixed number of unrolled iterations:
+
+- the corpus-sized work happens ONCE: a per-user `lag()` window turns
+  the event log into hop pairs, and one group-by collapses them to a
+  WEIGHTED EDGE LIST bounded by |pages|^2 (the page domain is bounded —
+  100 ids here; a real site's URL space still collapses by orders of
+  magnitude when aggregated to weighted edges);
+- each iteration is then one join + group-by ON THE BOUNDED EDGE LIST
+  (rank table keyed by page joins edges on src, contributions group by
+  dst) — at 1000-executor scale the rank and node tables BROADCAST and
+  no iteration ever reshuffles the raw events;
+- iterations are UNROLLED (3 rounds), the same bounded-rounds
+  discipline as the k-means / BPE / perceptron families: Catalyst sees
+  one static DAG, no driver-side loop over collected state.
+
+Determinism contract (cross-engine value hash): ranks are INTEGERS in
+units of 1e-12 of total rank mass. rank_0 = SCALE // N; each round
+moves `(r * 85) // (100 * wout) * w` along every edge (integer floor
+per SOURCE, then an exact integer multiply by the edge weight and an
+order-independent integer sum) plus the teleport term
+`(SCALE * 15) // (100 * N)`. Spark `div` and DuckDB `//` agree on the
+non-negative dividends used throughout, so both engines iterate
+bit-identical rank vectors — no float summation order, no midpoint
+rounding, ever. Dangling-node mass (pages with no outgoing hop) is
+dropped rather than redistributed — the standard simplification; the
+teleport term keeps every node's rank positive. Self-loops (reload of
+the same page) are kept: they are real transitions in a click model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import dialect as D
+from ..io import register_views
+from ..registry import register
+
+#: total rank mass in fixed-point units; 1e12 keeps integer-floor
+#: granularity negligible (~1e-12 of mass per edge) while every
+#: intermediate stays far below 2^63: r <= SCALE, so
+#: r * 85 <= 8.5e13 and a node's incoming sum <= 0.85 * SCALE.
+_PR_SCALE = 10**12
+_PR_DAMP_NUM = 85  # damping d = 0.85 as an integer ratio
+_PR_DAMP_DEN = 100
+_PR_ITERS = 3
+_PR_TOPK = 20
+
+
+def _pagerank_sql(idiv: str) -> str:
+    """Full PageRank query; ``idiv`` is 'div' (Spark) or '//' (DuckDB).
+
+    Identical text otherwise, so the two engines run the same plan on
+    the same integers — the simhash/classifier-train dialect pattern.
+    """
+    head = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, {D.PAGE_K_SQL} AS page
+  FROM events
+),
+hops AS (
+  SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS src,
+         page AS dst
+  FROM ev WHERE page IS NOT NULL
+),
+edges AS (
+  SELECT src, dst, cast(count(*) AS BIGINT) AS w
+  FROM hops WHERE src IS NOT NULL
+  GROUP BY src, dst
+),
+outdeg AS (
+  SELECT src, cast(sum(w) AS BIGINT) AS wout FROM edges GROUP BY src
+),
+eo AS (
+  SELECT e.src, e.dst, e.w, o.wout
+  FROM edges e JOIN outdeg o ON e.src = o.src
+),
+nodes AS (
+  SELECT DISTINCT page FROM (
+    SELECT src AS page FROM edges
+    UNION ALL SELECT dst FROM edges) u
+),
+nn AS (SELECT cast(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS (
+  SELECT page, cast({_PR_SCALE} {idiv} nn.n AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn
+)"""
+    steps = []
+    for t in range(_PR_ITERS):
+        steps.append(f""",
+c{t} AS (
+  SELECT eo.dst AS page,
+         cast(sum(((r.r * {_PR_DAMP_NUM})
+                   {idiv} ({_PR_DAMP_DEN} * eo.wout)) * eo.w)
+              AS BIGINT) AS contrib
+  FROM eo JOIN r{t} r ON r.page = eo.src
+  GROUP BY eo.dst
+),
+r{t + 1} AS (
+  SELECT n.page,
+         cast(({_PR_SCALE} * {_PR_DAMP_DEN - _PR_DAMP_NUM})
+                {idiv} ({_PR_DAMP_DEN} * nn.n)
+              + coalesce(c.contrib, 0) AS BIGINT) AS r
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN c{t} c ON c.page = n.page
+)""")
+    tail = f"""
+SELECT page, r AS rank_u
+FROM r{_PR_ITERS}
+ORDER BY rank_u DESC, page
+LIMIT {_PR_TOPK}"""
+    return head + "".join(steps) + tail
+
+
+_PAGERANK_DUCK = _pagerank_sql("//")
+_PAGERANK_SPARK = _pagerank_sql("div")
+
+
+@register("pagerank_pages", _PAGERANK_DUCK, tags=("graph", "behavior"))
+def pagerank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 pages by PageRank over the per-user page-transition
+    graph, 3 unrolled power-iteration rounds in exact fixed-point
+    integer arithmetic (rank_u = rank in 1e-12 units of total mass).
+
+    Plan: one corpus-sized window (lag per user — the sessionizer's
+    partitioning) + one group-by collapses 100 TB of events into a
+    |pages|^2-bounded weighted edge list; every iteration after that
+    joins rank-to-edges on src and re-aggregates by dst on the bounded
+    tables only. See the module doc for the determinism contract and
+    the dangling-mass/self-loop conventions."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_PAGERANK_SPARK)

@@ -588,3 +588,234 @@ def update_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("phase", "query_id", "rank", "neighbor_id", "cosine")
         .orderBy("phase", "query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# materialized-ROLLUP maintenance: upsert-merge of a late delta
+# ---------------------------------------------------------------------------
+
+# The reference's SummingMergeTree keeps per-minute partial rows and
+# merges them lazily on read/compaction (sql/clickhouse_tables.sql:
+# 75-85; `reagg_from_minute` is the merge-on-READ half). This query is
+# the merge-on-WRITE half: a materialized minute rollup (events up to a
+# cutoff at 80% of the time span) absorbs a late delta batch (events
+# after the cutoff) through one full-outer upsert on the minute key —
+# additive counters merge by +, exactly the MV-refresh cycle that keeps
+# a 100 TB rollup current without ever rescanning history.
+
+from ..functions import dialect as D
+
+#: cutoff at (span * NUM) // 10 past min-ts; the 2*WINDOW+1 merged
+#: minutes NEAREST the cutoff are returned (distance-then-minute
+#: ordered — non-empty at every SF, unlike a fixed time window on a
+#: sparse minute grid).
+_RU_CUT_NUM = 8
+_RU_WINDOW_MIN = 5
+
+_RU_EP_SPARK = D.EPOCH_S_SPARK.format(col="ts")
+_RU_EP_DUCK = D.EPOCH_S_DUCK.format(col="ts")
+
+#: value dollars -> exact integer cents via floor: floor() of the same
+#: IEEE double product is bit-identical on both engines REGARDLESS of
+#: decimal midpoints (no round() hazard class at all), and cents then
+#: merge as exact BIGINTs.
+_RU_CENTS_SPARK = "cast(floor(value * 100) AS BIGINT)"
+_RU_CENTS_DUCK = "cast(floor(value * 100) AS BIGINT)"
+
+
+_UPDATE_ROLLUP_DUCK = f"""
+WITH ep AS (
+  SELECT {_RU_EP_DUCK} AS ep, value FROM events
+),
+bounds AS (
+  SELECT min(ep) AS mn, max(ep) AS mx FROM ep
+),
+cut AS (
+  SELECT mn + ((mx - mn) * {_RU_CUT_NUM}) // 10 AS c FROM bounds
+),
+base AS (
+  SELECT ep.ep // 60 AS m_min,
+         cast(count(*) AS BIGINT) AS cnt,
+         cast(sum({_RU_CENTS_DUCK}) AS BIGINT) AS cents
+  FROM ep, cut WHERE ep.ep <= cut.c
+  GROUP BY 1
+),
+delta AS (
+  SELECT ep.ep // 60 AS m_min,
+         cast(count(*) AS BIGINT) AS cnt,
+         cast(sum({_RU_CENTS_DUCK}) AS BIGINT) AS cents
+  FROM ep, cut WHERE ep.ep > cut.c
+  GROUP BY 1
+),
+merged AS (
+  SELECT coalesce(b.m_min, d.m_min) AS m_min,
+         coalesce(b.cnt, 0) AS base_cnt,
+         coalesce(d.cnt, 0) AS delta_cnt,
+         coalesce(b.cnt, 0) + coalesce(d.cnt, 0) AS merged_cnt,
+         coalesce(b.cents, 0) + coalesce(d.cents, 0) AS merged_cents,
+         (b.m_min IS NOT NULL) AS in_base,
+         (d.m_min IS NOT NULL) AS in_delta
+  FROM base b FULL OUTER JOIN delta d ON b.m_min = d.m_min
+),
+census AS (
+  SELECT cast(count(*) AS BIGINT) AS n_minutes_total,
+         cast(sum(CASE WHEN in_base AND NOT in_delta
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_base_only,
+         cast(sum(CASE WHEN in_delta AND NOT in_base
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_only,
+         cast(sum(CASE WHEN in_base AND in_delta
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM merged
+)
+SELECT m_min, base_cnt, delta_cnt, merged_cnt, merged_cents,
+       n_minutes_total, n_base_only, n_delta_only, n_both
+FROM (
+  SELECT m.m_min, m.base_cnt, m.delta_cnt, m.merged_cnt, m.merged_cents,
+         c2.n_minutes_total, c2.n_base_only, c2.n_delta_only, c2.n_both,
+         abs(m.m_min - cut.c // 60) AS cut_dist
+  FROM merged m CROSS JOIN census c2 CROSS JOIN cut
+  ORDER BY cut_dist, m_min
+  LIMIT {2 * _RU_WINDOW_MIN + 1}
+) t
+ORDER BY m_min
+"""
+
+
+def _rollup_cut_col() -> "F.Column":
+    return F.col("mn") + F.expr(f"((mx - mn) * {_RU_CUT_NUM}) div 10")
+
+
+def _build_rollup_base(spark: SparkSession, sf_dir: str, path: str) -> None:
+    ev = load_table(spark, sf_dir, "events")
+    ep = ev.select(
+        F.expr(_RU_EP_SPARK).alias("ep"),
+        F.expr(_RU_CENTS_SPARK).alias("cents"),
+    )
+    bounds = F.broadcast(
+        ep.agg(F.min("ep").alias("mn"), F.max("ep").alias("mx"))
+    )
+    (
+        ep.crossJoin(bounds)
+        .where(F.col("ep") <= _rollup_cut_col())
+        .groupBy(F.expr("ep div 60").alias("m_min"))
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/base")
+    )
+
+
+@register(
+    "update_rollup_incremental", _UPDATE_ROLLUP_DUCK, tags=("maintenance",)
+)
+def update_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized minute-rollup MAINTENANCE: the persisted base
+    rollup (events through the 80%-of-span cutoff, built ONCE per
+    process and read back from parquet) absorbs the late delta batch
+    (events past the cutoff) via one FULL OUTER upsert on the minute
+    key — additive counters (row count, exact integer cents) merge by
+    +. Output: the {w} merged minutes NEAREST the cutoff (the region
+    where base-only, both, and delta-only minutes all occur) with the
+    global merge census on every row. The oracle
+    restates base AND delta from raw events inline, so the value hash
+    proves the materialized base parquet holds exactly the
+    pre-cutoff aggregation state — the `update_dedup_index` /
+    `update_ann_index` probe-merge discipline applied to the
+    reference's SummingMergeTree surface.
+
+    Determinism: minutes are integer epoch-minutes; dollars become
+    cents via floor(value*100) — floor of the identical IEEE product
+    is bit-identical across engines with NO decimal-midpoint hazard
+    class at all — and every merged quantity is an exact BIGINT sum.
+
+    Scale notes (100 TB): the upsert shuffles two MINUTE-grained
+    tables (years of minutes fit in MBs), never events; the delta
+    aggregation reads only the post-cutoff partition range (month
+    partition pruning in the production layout, `io.py`); re-running
+    nightly is O(delta) + O(rollup), never O(history).""".format(
+        w=2 * _RU_WINDOW_MIN + 1
+    )
+    path = _index_path(spark, sf_dir, "rollup_base", _build_rollup_base)
+    base = spark.read.parquet(f"{path}/base")
+    ev = load_table(spark, sf_dir, "events")
+    ep = ev.select(
+        F.expr(_RU_EP_SPARK).alias("ep"),
+        F.expr(_RU_CENTS_SPARK).alias("cents"),
+    )
+    bounds = F.broadcast(
+        ep.agg(F.min("ep").alias("mn"), F.max("ep").alias("mx"))
+    )
+    delta = (
+        ep.crossJoin(bounds)
+        .where(F.col("ep") > _rollup_cut_col())
+        .groupBy(F.expr("ep div 60").alias("m_min"))
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+    b = base.select(
+        F.col("m_min").alias("bm"),
+        F.col("cnt").alias("b_cnt"),
+        F.col("cents").alias("b_cents"),
+    )
+    d = delta.select(
+        F.col("m_min").alias("dm"),
+        F.col("cnt").alias("d_cnt"),
+        F.col("cents").alias("d_cents"),
+    )
+    merged = b.join(d, b.bm == d.dm, "full_outer").select(
+        F.coalesce("bm", "dm").alias("m_min"),
+        F.coalesce("b_cnt", F.lit(0)).alias("base_cnt"),
+        F.coalesce("d_cnt", F.lit(0)).alias("delta_cnt"),
+        (
+            F.coalesce("b_cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))
+        ).alias("merged_cnt"),
+        (
+            F.coalesce("b_cents", F.lit(0))
+            + F.coalesce("d_cents", F.lit(0))
+        ).alias("merged_cents"),
+        F.col("bm").isNotNull().alias("in_base"),
+        F.col("dm").isNotNull().alias("in_delta"),
+    )
+    census = F.broadcast(
+        merged.agg(
+            F.count("*").cast("bigint").alias("n_minutes_total"),
+            F.sum(
+                (F.col("in_base") & ~F.col("in_delta")).cast("bigint")
+            ).alias("n_base_only"),
+            F.sum(
+                (F.col("in_delta") & ~F.col("in_base")).cast("bigint")
+            ).alias("n_delta_only"),
+            F.sum(
+                (F.col("in_base") & F.col("in_delta")).cast("bigint")
+            ).alias("n_both"),
+        )
+    )
+    cutm = F.broadcast(
+        bounds.select(
+            F.expr(f"(mn + ((mx - mn) * {_RU_CUT_NUM}) div 10) div 60")
+            .alias("cut_min")
+        )
+    )
+    return (
+        merged.crossJoin(census)
+        .crossJoin(cutm)
+        .withColumn("cut_dist", F.abs(F.col("m_min") - F.col("cut_min")))
+        .orderBy("cut_dist", "m_min")
+        .limit(2 * _RU_WINDOW_MIN + 1)
+        .select(
+            "m_min",
+            "base_cnt",
+            "delta_cnt",
+            "merged_cnt",
+            "merged_cents",
+            "n_minutes_total",
+            "n_base_only",
+            "n_delta_only",
+            "n_both",
+        )
+        .orderBy("m_min")
+    )

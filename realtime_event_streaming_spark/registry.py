@@ -179,6 +179,7 @@ def load_all() -> dict[str, Query]:
     from .plans import index_queries  # noqa: F401
     from .plans import diagnostics  # noqa: F401
     from .plans import source_queries  # noqa: F401
+    from .plans import graph_queries  # noqa: F401
     from .operators import dedup  # noqa: F401
     from .operators import similarity  # noqa: F401
     from .operators import textstats  # noqa: F401

@@ -703,3 +703,75 @@ def test_fuzzy_snm_candidates_linear_by_construction(spark, reg):
         reg["fuzzy_title_pairs_snm"].spark_fn(spark, SF), spark
     )
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_integer_ranks_and_no_cartesian(spark, reg):
+    """3-round fixed-point PageRank: top-k output is positive,
+    strictly rank-ordered, and the plan joins only on equi-keys (the
+    1-row node-count CROSS JOINs are broadcast nested loops over
+    bounded sides, never a CartesianProduct of two big tables)."""
+    df = reg["pagerank_pages"].spark_fn(spark, SF)
+    plan = _formatted_plan(df, spark)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    ranks = [r.rank_u for r in rows]
+    assert all(isinstance(v, int) and v > 0 for v in ranks)
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_quality_score_auc_contract(spark, reg):
+    """Rank-sum AUC: the length score must genuinely separate the
+    planted short/repetitive label (far above chance), stay a valid
+    probability, and cover every document exactly once."""
+    row = reg["quality_score_auc"].spark_fn(spark, SF).collect()[0]
+    n_docs = load_table(spark, SF, "documents").count()
+    assert row.n_good + row.n_bad == n_docs
+    assert 0.5 < row.auc <= 1.0
+    assert row.auc > 0.9  # length drives the label's first clause
+
+
+def test_embedding_audit_sees_normalized_space(spark, reg):
+    """The fixture embeddings are unit-normalized with no collapsed
+    dimensions — the audit must report exactly that (and any future
+    fixture regression that denormalizes them fails here)."""
+    row = reg["embedding_space_audit"].spark_fn(spark, SF).collect()[0]
+    n_vecs = load_table(spark, SF, "embeddings").count()
+    assert row.n_vecs == n_vecs and row.n_dims == 64
+    assert row.dead_dims == 0
+    assert abs(row.avg_norm - 1.0) < 1e-3
+    assert abs(row.min_norm - 1.0) < 1e-3
+    assert abs(row.max_norm - 1.0) < 1e-3
+    assert 0.0 <= row.anisotropy < 0.5
+
+
+def test_pmi_support_floor_and_topk_plan(spark, reg):
+    """Every reported pair meets the support floor; ordering is the
+    deterministic integer micro-nat sort; the final cut is a top-k
+    plan (TakeOrderedAndProject), not a global sort."""
+    df = reg["token_pmi_topk"].spark_fn(spark, SF)
+    assert "TakeOrderedAndProject" in _formatted_plan(df, spark)
+    rows = df.collect()
+    assert rows, "PMI query returned nothing"
+    assert all(r.c_ab >= 5 for r in rows)
+    pmis = [r.pmi_micro for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_rollup_upsert_merge_is_additive_and_reads_base(spark, reg):
+    """The upsert window rows must be exactly additive (merged =
+    base + delta), the census partition the minute set, and the plan
+    read the MATERIALIZED base (a second parquet scan besides
+    events) rather than recomputing it."""
+    df = reg["update_rollup_incremental"].spark_fn(spark, SF)
+    plan = _formatted_plan(df, spark)
+    assert plan.count("Scan parquet") >= 2, "base rollup not read back"
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.merged_cnt == r.base_cnt + r.delta_cnt
+    c = rows[0]
+    assert (
+        c.n_base_only + c.n_delta_only + c.n_both == c.n_minutes_total
+    )
+    assert c.n_delta_only > 0, "delta side empty — cutoff degenerate"
