@@ -429,3 +429,146 @@ def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS inner-product join-size estimation (AMS/CMS classic)
+# ---------------------------------------------------------------------------
+
+#: wider sketch than the heavy-hitter probe: the inner-product
+#: estimate's additive error is ||R||_1 * ||S||_1 / W (Cormode &
+#: Muthukrishnan 2005, §4.2), so W scales with the key cardinality the
+#: planner expects, not with data volume. D rows take the min.
+_JS_D = 4
+_JS_W = 4096
+
+
+def _js_sketch_duck(src: str, key: str) -> str:
+    return f"""
+  SELECT seed,
+         ('0x' || substr(md5(concat(cast(seed AS VARCHAR), ':',
+                                    cast({key} AS VARCHAR))), 1, 7)
+         )::BIGINT % {_JS_W} AS bucket,
+         cast(count(*) AS BIGINT) AS c
+  FROM {src}, (SELECT unnest(generate_series(0, {_JS_D - 1})) AS seed) sd
+  GROUP BY seed, bucket"""
+
+
+_JOIN_SIZE_DUCK = f"""
+WITH rsk AS ({_js_sketch_duck("events", "user_id")}),
+ssk AS ({_js_sketch_duck("orders", "o_custkey")}),
+est_per_seed AS (
+  SELECT r.seed, cast(sum(r.c * s.c) AS BIGINT) AS ip
+  FROM rsk r JOIN ssk s ON r.seed = s.seed AND r.bucket = s.bucket
+  GROUP BY r.seed
+),
+est AS (SELECT min(ip) AS cms_est FROM est_per_seed),
+exact AS (
+  SELECT cast(sum(r.c * s.c) AS BIGINT) AS exact_join_rows,
+         cast(count(*) AS BIGINT) AS shared_keys
+  FROM (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1) r
+  JOIN (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1) s
+    ON r.k = s.k
+),
+sizes AS (
+  SELECT (SELECT cast(count(*) AS BIGINT) FROM events) AS n_r,
+         (SELECT cast(count(*) AS BIGINT) FROM orders) AS n_s
+)
+SELECT sizes.n_r, sizes.n_s, exact.shared_keys, exact.exact_join_rows,
+       est.cms_est,
+       round((est.cms_est - exact.exact_join_rows) * 100.0
+             / exact.exact_join_rows, 4) AS over_pct,
+       (est.cms_est >= exact.exact_join_rows) AS never_underestimates
+FROM sizes CROSS JOIN exact CROSS JOIN est
+"""
+
+
+@register("join_size_estimate", _JOIN_SIZE_DUCK, headline=True, tags=("sketch",))
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join CARDINALITY ESTIMATION from two count-min sketches —
+    the planner question ("how many rows will events JOIN orders on
+    the customer key produce?") answered WITHOUT running the join:
+    |R ⋈ S| is the inner product of the two key-frequency vectors,
+    and the CMS estimate is min over the D seed rows of the
+    bucketwise product-sum of the two sketches (Cormode &
+    Muthukrishnan 2005; the AMS join-size lineage). CMS inner
+    products never underestimate — the oracle pins that flag along
+    with the exact integer estimates themselves (both engines run the
+    identical md5-derived bucket hash, so even collisions agree).
+
+    Plan: each side is ONE scan + a (seed, bucket) group-by into a
+    <= D*W-row sketch; the estimate joins two bounded sketches; the
+    exact arm (the evaluation label, as in `ann_recall_eval`) joins
+    two per-key count tables. Scale notes (100 TB): the sketches are
+    fixed-size and mergeable (per-partition partial counts add), so
+    the planner stat costs two map-side-combined scans and a
+    broadcast-sized join — this is how a query optimizer prices a
+    1000-executor shuffle join before committing to it, and the
+    never-underestimates guarantee makes it a safe admission bound
+    for reservation-style scheduling."""
+    d = _JS_D
+    seed = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("seed")
+
+    def sketch_of(df: DataFrame, key: str) -> DataFrame:
+        bucket = (
+            "cast(conv(substr(md5(concat(cast(seed as string), ':', "
+            f"cast({key} as string))), 1, 7), 16, 10) as bigint) % {_JS_W}"
+        )
+        return (
+            df.select(F.col(key), seed)
+            .select("seed", F.expr(bucket).alias("bucket"))
+            .groupBy("seed", "bucket")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    rsk = sketch_of(ev, "user_id")
+    ssk = sketch_of(orders, "o_custkey").select(
+        F.col("seed").alias("s2"),
+        F.col("bucket").alias("b2"),
+        F.col("c").alias("c2"),
+    )
+    est = (
+        rsk.join(
+            F.broadcast(ssk),
+            (F.col("seed") == F.col("s2")) & (F.col("bucket") == F.col("b2")),
+        )
+        .groupBy("seed")
+        .agg(F.sum(F.col("c") * F.col("c2")).cast("bigint").alias("ip"))
+        .agg(F.min("ip").alias("cms_est"))
+    )
+    rc = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    sc = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").cast("bigint").alias("c2")
+    )
+    exact = rc.join(sc, "k").agg(
+        F.sum(F.col("c") * F.col("c2")).cast("bigint").alias(
+            "exact_join_rows"
+        ),
+        F.count("*").cast("bigint").alias("shared_keys"),
+    )
+    sizes = ev.agg(F.count("*").cast("bigint").alias("n_r")).crossJoin(
+        orders.agg(F.count("*").cast("bigint").alias("n_s"))
+    )
+    return (
+        sizes.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(est))
+        .select(
+            "n_r",
+            "n_s",
+            "shared_keys",
+            "exact_join_rows",
+            "cms_est",
+            F.round(
+                (F.col("cms_est") - F.col("exact_join_rows")) * 100.0
+                / F.col("exact_join_rows"),
+                4,
+            ).alias("over_pct"),
+            (F.col("cms_est") >= F.col("exact_join_rows")).alias(
+                "never_underestimates"
+            ),
+        )
+    )

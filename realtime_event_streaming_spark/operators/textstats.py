@@ -793,7 +793,7 @@ LIMIT {_PMI_TOPK}
 """
 
 
-@register("token_pmi_topk", _PMI_DUCK, tags=("text",))
+@register("token_pmi_topk", _PMI_DUCK, headline=True, tags=("text",))
 def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{k} token pairs by pointwise mutual information over a
     +/-{w}-offset skip-gram window (Church & Hanks 1990) — the

@@ -128,7 +128,9 @@ _PAGERANK_DUCK = _pagerank_sql("//")
 _PAGERANK_SPARK = _pagerank_sql("div")
 
 
-@register("pagerank_pages", _PAGERANK_DUCK, tags=("graph", "behavior"))
+@register(
+    "pagerank_pages", _PAGERANK_DUCK, headline=True, tags=("graph", "behavior")
+)
 def pagerank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 pages by PageRank over the per-user page-transition
     graph, 3 unrolled power-iteration rounds in exact fixed-point

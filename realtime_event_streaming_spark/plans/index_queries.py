@@ -708,7 +708,10 @@ def _build_rollup_base(spark: SparkSession, sf_dir: str, path: str) -> None:
 
 
 @register(
-    "update_rollup_incremental", _UPDATE_ROLLUP_DUCK, tags=("maintenance",)
+    "update_rollup_incremental",
+    _UPDATE_ROLLUP_DUCK,
+    headline=True,
+    tags=("maintenance",),
 )
 def update_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized minute-rollup MAINTENANCE: the persisted base

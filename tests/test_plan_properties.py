@@ -775,3 +775,23 @@ def test_rollup_upsert_merge_is_additive_and_reads_base(spark, reg):
         c.n_base_only + c.n_delta_only + c.n_both == c.n_minutes_total
     )
     assert c.n_delta_only > 0, "delta side empty — cutoff degenerate"
+
+
+def test_join_size_estimate_bounds_and_broadcast(spark, reg):
+    """CMS join-size estimation: the estimate must never
+    underestimate (the CMS inner-product guarantee the oracle also
+    pins), stay within the analytic error bound
+    exact + D * (n_r * n_s / W), and probe via broadcast joins of the
+    bounded sketches — never a shuffle of either input."""
+    row = reg["join_size_estimate"].spark_fn(spark, SF).collect()[0]
+    assert row.never_underestimates
+    assert row.cms_est >= row.exact_join_rows
+    # additive error bound: ||R||1 * ||S||1 / W per seed row; min over
+    # D seeds can only be tighter.
+    assert row.cms_est - row.exact_join_rows <= (
+        row.n_r * row.n_s / 4096 * 4
+    )
+    plan = _formatted_plan(
+        reg["join_size_estimate"].spark_fn(spark, SF), spark
+    )
+    assert "BroadcastHashJoin" in plan
