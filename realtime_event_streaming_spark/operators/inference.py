@@ -539,32 +539,31 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars", F.split("text", " ").alias("tk")
+    # ONE corpus pass: carrying n_chars through the (doc, token)
+    # group-by makes max(c) the top-word count and sum(c) the token
+    # count, so the label needs no second documents scan / self-join
+    # (semantically identical to the oracle's two-branch restatement).
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.explode(F.split("text", " ")).alias("x")
     )
-    top = (
-        docs.select("doc_id", F.explode("tk").alias("x"))
-        .groupBy("doc_id", "x")
+    per_doc = (
+        tok.groupBy("doc_id", "n_chars", "x")
         .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("mc"))
+        .groupBy("doc_id", "n_chars")
+        .agg(F.max("c").alias("mc"), F.sum("c").alias("n"))
     )
-    lab = (
-        docs.select("doc_id", "n_chars", F.size("tk").alias("n"))
-        .join(top, "doc_id")
-        .select(
-            "n_chars",
-            F.when(
-                (F.col("n") < _TRAIN_MIN_TOKENS)
-                | (
-                    F.round(F.col("mc") / F.col("n").cast("double"), 4)
-                    > _TRAIN_TOPWORD_FRAC
-                ),
-                1,
-            )
-            .otherwise(-1)
-            .alias("y"),
+    lab = per_doc.select(
+        "n_chars",
+        F.when(
+            (F.col("n") < _TRAIN_MIN_TOKENS)
+            | (
+                F.round(F.col("mc") / F.col("n").cast("double"), 4)
+                > _TRAIN_TOPWORD_FRAC
+            ),
+            1,
         )
+        .otherwise(-1)
+        .alias("y"),
     )
     g = lab.groupBy(F.col("n_chars").alias("s")).agg(
         F.count("*").cast("bigint").alias("n_all"),

@@ -1780,8 +1780,13 @@ def embedding_space_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     perdim = dims.groupBy("i").agg(
         F.avg("v").alias("m"), F.avg(F.col("v") * F.col("v")).alias("m2")
     )
-    pervec = dims.groupBy("vec_id").agg(
-        F.sum(F.col("v") * F.col("v")).alias("norm2")
+    # norms via an array fold — no second explode+shuffle; each of the
+    # two marginals costs exactly one corpus scan.
+    pervec = emb.select(
+        F.expr(
+            "aggregate(embedding, cast(0.0 AS DOUBLE), "
+            "(a, x) -> a + cast(x AS DOUBLE) * cast(x AS DOUBLE))"
+        ).alias("norm2")
     )
     dimstats = perdim.agg(
         F.count("*").cast("bigint").alias("n_dims"),

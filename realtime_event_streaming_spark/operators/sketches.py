@@ -538,11 +538,18 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("c") * F.col("c2")).cast("bigint").alias("ip"))
         .agg(F.min("ip").alias("cms_est"))
     )
-    rc = ev.groupBy(F.col("user_id").alias("k")).agg(
-        F.count("*").cast("bigint").alias("c")
+    # per-key count tables serve the exact inner product AND the input
+    # sizes (n = sum of per-key counts) — checkpointed so each input
+    # is scanned exactly twice (sketch + key census), never four times.
+    rc = (
+        ev.groupBy(F.col("user_id").alias("k"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    sc = orders.groupBy(F.col("o_custkey").alias("k")).agg(
-        F.count("*").cast("bigint").alias("c2")
+    sc = (
+        orders.groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").cast("bigint").alias("c2"))
+        .localCheckpoint(eager=False)
     )
     exact = rc.join(sc, "k").agg(
         F.sum(F.col("c") * F.col("c2")).cast("bigint").alias(
@@ -550,8 +557,8 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").cast("bigint").alias("shared_keys"),
     )
-    sizes = ev.agg(F.count("*").cast("bigint").alias("n_r")).crossJoin(
-        orders.agg(F.count("*").cast("bigint").alias("n_s"))
+    sizes = rc.agg(F.sum("c").cast("bigint").alias("n_r")).crossJoin(
+        sc.agg(F.sum("c2").cast("bigint").alias("n_s"))
     )
     return (
         sizes.crossJoin(F.broadcast(exact))

@@ -838,12 +838,22 @@ def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("w", off).over(wd).alias("w2"),
         )
         pairs = p if pairs is None else pairs.unionAll(p)
+    # distinct-pair table feeds BOTH the total (tt) and the scored
+    # join — checkpoint so the corpus-sized pair stream is generated
+    # once, not once per reference (memory+disk, bigram-bounded).
     pc = (
         pairs.where(F.col("w2").isNotNull())
         .groupBy("w1", "w2")
         .agg(F.count("*").cast("bigint").alias("c_ab"))
+        .localCheckpoint(eager=False)
     )
-    uni = toks.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+    # vocabulary table is referenced three times (total + both join
+    # sides) — checkpoint so the corpus token stream aggregates once.
+    uni = (
+        toks.groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     nt = uni.agg(F.sum("c").alias("n"))
     tt = pc.agg(F.sum("c_ab").alias("t"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("ca"))

@@ -747,8 +747,13 @@ def update_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_RU_EP_SPARK).alias("ep"),
         F.expr(_RU_CENTS_SPARK).alias("cents"),
     )
+    # bounds feeds both the delta filter and the cutoff-minute frame;
+    # delta and merged are minute-grained (bounded) and each referenced
+    # more than once downstream — checkpoint all three so events is
+    # scanned exactly twice (bounds + delta) and the upsert runs once.
     bounds = F.broadcast(
         ep.agg(F.min("ep").alias("mn"), F.max("ep").alias("mx"))
+        .localCheckpoint(eager=False)
     )
     delta = (
         ep.crossJoin(bounds)
@@ -758,6 +763,7 @@ def update_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("cnt"),
             F.sum("cents").cast("bigint").alias("cents"),
         )
+        .localCheckpoint(eager=False)
     )
     b = base.select(
         F.col("m_min").alias("bm"),
@@ -782,7 +788,7 @@ def update_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("merged_cents"),
         F.col("bm").isNotNull().alias("in_base"),
         F.col("dm").isNotNull().alias("in_delta"),
-    )
+    ).localCheckpoint(eager=False)
     census = F.broadcast(
         merged.agg(
             F.count("*").cast("bigint").alias("n_minutes_total"),
