@@ -1064,61 +1064,245 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PCA_ITERS = 2
 
+#: fixed-point scale for the PCA integer state: vectors, means,
+#: directions and scores all live in exact BIGINT "quanta" of 1e-4.
+_PCAQ = 10000
+#: shift for sign-safe half-up integer division (see _hu).
+_PCA_HU_S = 10**8
 
-def _duck_pca_round(n: int, prev_v: str) -> str:
-    """One power-iteration round as DuckDB CTEs: score every centered
-    vector against v_{n-1}, accumulate score-weighted coordinates per
-    dimension, normalize to unit length, round like the k-means
-    rounds so the next iteration starts from bit-identical inputs."""
+
+def _hu(a: str, b: str, idiv: str) -> str:
+    """Engine-identical HALF-UP integer division a/b for b > 0 and
+    possibly NEGATIVE a: shifting the dividend by S*b makes it
+    non-negative, where Spark's truncating ``div`` and DuckDB's
+    flooring ``//`` agree, then the shift is subtracted back out.
+    This is the negative-dividend generalization of the
+    (2a + b) // (2b) half-up idiom used across the registry."""
+    s = f"cast({_PCA_HU_S} AS BIGINT)"  # keep literals out of INT32
+    return (
+        f"((2 * ({a}) + 2 * {s} * ({b}) + ({b})) "
+        f"{idiv} (2 * ({b})) - {s})"
+    )
+
+
+#: integer dot product of two BIGINT arrays (Spark side) — exact
+#: regardless of fold order, unlike the float _DOT.
+_IDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 AS BIGINT), "
+    "(acc, x) -> acc + x)"
+)
+
+# Determinism contract for the whole PCA family (the round-7 sf1 sweep
+# caught the float form's eigenvalue flipping its 4th decimal under
+# cross-partition summation order): every vector is quantized ONCE per
+# row to BIGINT quanta (per-row rounding of identical doubles is
+# engine-identical by IEEE determinism), after which EVERY cross-row
+# reduction — the mean, the per-vector scores, the accumulated
+# direction, the squared norm — is an exact integer sum, immune to
+# reduction order; every division is either the sign-safe half-up
+# integer form (_hu) or a per-row double expression applied to
+# identical integer inputs. Both engines therefore iterate through
+# bit-identical integer state and emit bit-identical output, at every
+# scale factor, with no knife-edge round() anywhere.
+#
+# Magnitude audit (64 dims, |v| <= 1): quanta <= 1e4; per-row score
+# s_q <= 64 * 1e4 = 6.4e5 quanta; accumulator w_u = sum(s_q * cu)
+# <= n_vecs * 6.4e9 -> 1.3e15 BIGINT-safe even at 200M vectors;
+# wq = w_u / Q with sum(wq^2) <= 64 * (1e4 * ev)^2 — BIGINT-safe
+# while the eigenvalue stays below ~1e5 (a 1e10-vector corpus).
+
+
+def _duck_pca_head() -> str:
+    """Shared oracle head: quantized vectors, exact-integer mean
+    (half-up), centered integer table ``centered0``."""
     return f"""
-sc{n} AS (
-  SELECT c.vec_id, round(list_dot_product(c.cv, {prev_v}.v), 4) AS s
-  FROM centered c, {prev_v}
+vecs AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> cast(round(x::DOUBLE * {_PCAQ}) AS BIGINT))
+           AS vq
+  FROM embeddings
 ),
-acc{n} AS (
-  SELECT i, sum(sc{n}.s * c.cv[i]) AS w
-  FROM centered c JOIN sc{n} ON c.vec_id = sc{n}.vec_id,
-       UNNEST(generate_series(1, {_DIM})) AS g(i)
-  GROUP BY i
-),
-nrm{n} AS (SELECT sqrt(sum(w * w)) AS nw FROM acc{n}),
-v{n} AS (
-  SELECT list(round(w / nw, 4) ORDER BY i) AS v, round(max(nw), 4) AS ev
-  FROM acc{n}, nrm{n}
-)"""
-
-
-_PCA_DUCK = f"""
-WITH vecs AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-),
-mu AS (
-  SELECT i, round(avg(v[i]), 4) AS m
+msum AS (
+  SELECT i, cast(sum(vq[i]) AS BIGINT) AS sm,
+         cast(count(*) AS BIGINT) AS n
   FROM vecs, UNNEST(generate_series(1, {_DIM})) AS g(i)
   GROUP BY i
 ),
+mu AS (SELECT i, {_hu("sm", "n", "//")} AS m FROM msum),
 muv AS (SELECT list(m ORDER BY i) AS mv FROM mu),
-centered AS (
+centered0 AS MATERIALIZED (
   SELECT vec_id,
-         list_transform(generate_series(1, {_DIM}),
-                        i -> v[i] - mv[i]) AS cv
+         list_transform(generate_series(1, {_DIM}), i -> vq[i] - mv[i])
+           AS cu
   FROM vecs, muv
+)"""
+
+
+def _duck_pca_comp(c: int, src: str) -> str:
+    """CTEs for one component over the deflated integer table ``src``:
+    deterministic init (the centered vector with vec_id = c-1, scaled
+    to unit quanta), PCA_ITERS power rounds (prefix k{c}), then the
+    deflated table centered{c} for the next component. All-integer
+    state — see the module determinism contract above."""
+    k = f"k{c}"
+    sq = str(_PCAQ)
+    rounds = []
+    prev = f"{k}v0"
+    for r in range(1, PCA_ITERS + 1):
+        rounds.append(f"""
+{k}sc{r} AS (
+  SELECT c.vec_id,
+         {_hu("cast(sum(c.cu[i] * p.vu[i]) AS BIGINT)", sq, "//")} AS s_q
+  FROM {src} c, {prev} p, UNNEST(generate_series(1, {_DIM})) AS g(i)
+  GROUP BY c.vec_id
 ),
-n0 AS (
-  SELECT sqrt(list_dot_product(cv, cv)) AS nw FROM centered WHERE vec_id = 0
+{k}acc{r} AS (
+  SELECT i,
+         {_hu("cast(sum(s.s_q * c.cu[i]) AS BIGINT)", sq, "//")} AS wq
+  FROM {src} c JOIN {k}sc{r} s ON c.vec_id = s.vec_id,
+       UNNEST(generate_series(1, {_DIM})) AS g(i)
+  GROUP BY i
 ),
-v0 AS (
-  SELECT list_transform(cv, x -> round(x / nw, 4)) AS v
-  FROM centered, n0 WHERE vec_id = 0
+{k}nrm{r} AS (
+  SELECT sqrt(cast(sum(wq * wq) AS DOUBLE)) AS nw FROM {k}acc{r}
 ),
-{_duck_pca_round(1, "v0")},
-{_duck_pca_round(2, "v1")}
+{k}v{r} AS MATERIALIZED (
+  SELECT list(cast(round(wq * {_PCAQ} / nw) AS BIGINT) ORDER BY i)
+           AS vu,
+         cast(round(max(nw)) AS BIGINT) AS ev_u
+  FROM {k}acc{r}, {k}nrm{r}
+)""")
+        prev = f"{k}v{r}"
+    final = f"{k}v{PCA_ITERS}"
+    return f"""
+{k}n0 AS (
+  SELECT sqrt(cast(list_sum(list_transform(cu, x -> x * x)) AS DOUBLE))
+           AS nw
+  FROM {src} WHERE vec_id = {c - 1}
+),
+{k}v0 AS MATERIALIZED (
+  SELECT list_transform(cu,
+           x -> cast(round(x * {_PCAQ} / nw) AS BIGINT)) AS vu
+  FROM {src}, {k}n0 WHERE vec_id = {c - 1}
+),{",".join(rounds)},
+{k}proj AS (
+  SELECT c.vec_id,
+         {_hu("cast(sum(c.cu[i] * f.vu[i]) AS BIGINT)", sq, "//")} AS s_q
+  FROM {src} c, {final} f, UNNEST(generate_series(1, {_DIM})) AS g(i)
+  GROUP BY c.vec_id
+),
+centered{c} AS MATERIALIZED (
+  SELECT c.vec_id,
+         list_transform(generate_series(1, {_DIM}),
+           i -> c.cu[i] - {_hu("p.s_q * f.vu[i]", sq, "//")}) AS cu
+  FROM {src} c JOIN {k}proj p ON c.vec_id = p.vec_id, {final} f
+)"""
+
+
+_PCA_DUCK = (
+    "WITH "
+    + _duck_pca_head()
+    + ","
+    + _duck_pca_comp(1, "centered0")
+    + f"""
 SELECT i AS dim,
-       round((SELECT v FROM v2)[i], 4) + 0 AS loading,
-       (SELECT ev FROM v2) AS eigenvalue
+       cast((SELECT vu FROM k1v{PCA_ITERS})[i] AS DOUBLE) / {_PCAQ}
+         AS loading,
+       cast((SELECT ev_u FROM k1v{PCA_ITERS}) AS DOUBLE) / {_PCAQ}
+         AS eigenvalue
 FROM UNNEST(generate_series(1, {_DIM})) AS g(i)
 ORDER BY dim
 """
+)
+
+
+def _pca_centered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized + integer-mean-centered vectors (Spark side of
+    _duck_pca_head): one corpus pass, checkpointed for the rounds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(round(cast(x AS DOUBLE) "
+            f"* {_PCAQ}) AS BIGINT))"
+        ).alias("vq"),
+    )
+    pos = vecs.select("vec_id", F.posexplode("vq").alias("i0", "x"))
+    mu = pos.groupBy("i0").agg(
+        F.expr(_hu("sum(x)", "count(*)", "div")).alias("m")
+    )
+    muv = F.broadcast(
+        mu.groupBy().agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i0, m))), e -> e.m)"
+            ).alias("mv")
+        )
+    )
+    return (
+        vecs.crossJoin(muv)
+        .select(
+            "vec_id",
+            F.expr("zip_with(vq, mv, (a, b) -> a - b)").alias("cu"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _pca_power_rounds(centered: DataFrame, init_vec_id: int):
+    """PCA_ITERS all-integer power rounds over the quantized centered
+    table starting from vec_id = init_vec_id; returns the final
+    broadcast 1-row (vu: BIGINT quanta direction, ev_u: BIGINT quanta
+    eigenvalue). Shared by the top-1 and top-k queries."""
+    sq = str(_PCAQ)
+    first = centered.where(F.col("vec_id") == init_vec_id).select("cu")
+    nrm0 = f"sqrt(cast({_IDOT.format(a='cu', b='cu')} AS DOUBLE))"
+    v_cur = F.broadcast(
+        first.select(
+            F.expr(
+                f"transform(cu, x -> cast(round(x * {_PCAQ} / {nrm0}) "
+                "AS BIGINT))"
+            ).alias("vu")
+        )
+    )
+    for _ in range(PCA_ITERS):
+        scored = centered.crossJoin(v_cur).select(
+            "vec_id",
+            "cu",
+            F.expr(_hu(_IDOT.format(a="cu", b="vu"), sq, "div")).alias(
+                "s_q"
+            ),
+        )
+        acc = (
+            scored.select("s_q", F.posexplode("cu").alias("i0", "x"))
+            .groupBy("i0")
+            .agg(F.expr(_hu("sum(s_q * x)", sq, "div")).alias("wq"))
+        )
+        int_norm = f"sqrt(cast({_IDOT.format(a='wv', b='wv')} AS DOUBLE))"
+        v_cur = F.broadcast(
+            acc.groupBy().agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i0, wq))), "
+                    "e -> e.wq)"
+                ).alias("wv")
+            ).select(
+                F.expr(
+                    f"transform(wv, x -> cast(round(x * {_PCAQ} / "
+                    f"{int_norm}) AS BIGINT))"
+                ).alias("vu"),
+                F.expr(f"cast(round({int_norm}) AS BIGINT)").alias("ev_u"),
+            )
+        )
+    return v_cur
+
+
+def _pca_out_cols():
+    return (
+        (F.expr("cast(element_at(vu, dim) AS DOUBLE)") / _PCAQ).alias(
+            "loading"
+        ),
+        (F.col("ev_u").cast("double") / _PCAQ).alias("eigenvalue"),
+    )
 
 
 @register("pca_power_iteration", _PCA_DUCK, tags=("similarity",))
@@ -1128,79 +1312,32 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitening/dim-reduction, expressed relationally like the k-means
     trainer: mean-center, score each vector against the current
     direction, accumulate score-weighted coordinates per dimension,
-    normalize. Deterministic init (the centered first vector,
-    normalized); every round's scores/components round to 4dp so both
-    engines iterate from bit-identical inputs (the `kmeans_centroids`
-    convention); eigenvalue estimate = the last round's accumulator
-    norm. Sign follows the init vector deterministically.
+    normalize. Deterministic init (the centered first vector, scaled
+    to unit quanta); sign follows the init vector deterministically;
+    eigenvalue estimate = the last round's accumulator norm.
+
+    The ENTIRE iteration runs on exact BIGINT fixed-point state (1e-4
+    quanta; see the module determinism contract above `_duck_pca_head`)
+    — the round-7 sf1 sweep caught the float form's eigenvalue
+    flipping its 4th decimal under summation-order drift, and integer
+    sums are the form of that fix that cannot recur.
 
     Scale notes (100 TB): per round the plan is one posexplode of the
-    centered vectors -> a {_DIM}-group sum (partial map-side, {_DIM}
-    rows shuffle) -> a 1-row broadcast of the new direction; cost is
-    O(corpus x dim) per round, the same class as one k-means
-    assignment pass, and rounds are a small constant (production
-    whitening runs a handful). The mean vector is itself a {_DIM}-row
-    aggregate broadcast back — no driver-side linear algebra."""
-    vecs = _vectors(spark, sf_dir).select("vec_id", "v")
-    pos = vecs.select("vec_id", F.posexplode("v").alias("i0", "x"))
-    mu = pos.groupBy("i0").agg(F.round(F.avg("x"), 4).alias("m"))
-    muv = F.broadcast(
-        mu.groupBy().agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(i0, m))), e -> e.m)"
-            ).alias("mv")
-        )
-    )
-    centered = vecs.crossJoin(muv).select(
-        "vec_id",
-        F.expr("zip_with(v, mv, (a, b) -> a - b)").alias("cv"),
-    ).localCheckpoint(eager=False)
-    first = centered.where(F.col("vec_id") == 0).select("cv")
-    v_cur = F.broadcast(
-        first.select(
-            F.expr(
-                f"transform(cv, x -> round(x / sqrt({_DOT.format(a='cv', b='cv')}), 4))"
-            ).alias("v")
-        )
-    )
-    ev_col = None
-    for _ in range(PCA_ITERS):
-        scored = centered.crossJoin(v_cur).select(
-            "vec_id",
-            "cv",
-            F.round(F.expr(_DOT.format(a="cv", b="v")), 4).alias("s"),
-        )
-        acc = (
-            scored.select("s", F.posexplode("cv").alias("i0", "x"))
-            .groupBy("i0")
-            .agg(F.sum(F.col("s") * F.col("x")).alias("w"))
-        )
-        v_cur = F.broadcast(
-            acc.groupBy().agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(i0, w))), e -> e.w)"
-                ).alias("wv")
-            ).select(
-                F.expr(
-                    f"transform(wv, x -> round(x / sqrt({_DOT.format(a='wv', b='wv')}), 4))"
-                ).alias("v"),
-                F.round(
-                    F.expr(f"sqrt({_DOT.format(a='wv', b='wv')})"), 4
-                ).alias("ev"),
-            )
-        )
-        ev_col = True
-    dims = vecs.sparkSession.range(1, _DIM + 1).select(
+    centered vectors -> a {_DIM}-group integer sum (partial map-side,
+    {_DIM} rows shuffle) -> a 1-row broadcast of the new direction;
+    cost is O(corpus x dim) per round, the same class as one k-means
+    assignment pass, and rounds are a small constant. The mean vector
+    is itself a {_DIM}-row aggregate broadcast back — no driver-side
+    linear algebra."""
+    centered = _pca_centered_q(spark, sf_dir)
+    v_cur = _pca_power_rounds(centered, 0)
+    dims = centered.sparkSession.range(1, _DIM + 1).select(
         F.col("id").cast("int").alias("dim")
     )
+    loading, eigenvalue = _pca_out_cols()
     return (
         dims.crossJoin(v_cur)
-        .select(
-            "dim",
-            (F.round(F.expr("element_at(v, dim)"), 4)
-             + F.lit(0.0)).alias("loading"),
-            F.col("ev").alias("eigenvalue"),
-        )
+        .select("dim", loading, eigenvalue)
         .orderBy("dim")
     )
 
@@ -1212,128 +1349,25 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_TOPK = 3
 
 
-def _duck_pca_comp(c: int, src: str) -> str:
-    """CTEs for one component over deflated data ``src``: deterministic
-    init (the centered vector with vec_id = c-1, normalized), PCA_ITERS
-    power rounds (prefix k{c}), then the deflated table centered{c}
-    (cv - round(cv.v,4) * v, elementwise, rounded) for the next
-    component. Mirrors _duck_pca_round with a component prefix."""
-    k = f"k{c}"
-    rounds = []
-    prev = f"{k}v0"
-    for r in range(1, PCA_ITERS + 1):
-        rounds.append(f"""
-{k}sc{r} AS (
-  SELECT c.vec_id, round(list_dot_product(c.cv, {prev}.v), 4) AS s
-  FROM {src} c, {prev}
-),
-{k}acc{r} AS (
-  SELECT i, sum({k}sc{r}.s * c.cv[i]) AS w
-  FROM {src} c JOIN {k}sc{r} ON c.vec_id = {k}sc{r}.vec_id,
-       UNNEST(generate_series(1, {_DIM})) AS g(i)
-  GROUP BY i
-),
-{k}nrm{r} AS (SELECT sqrt(sum(w * w)) AS nw FROM {k}acc{r}),
-{k}v{r} AS MATERIALIZED (
-  SELECT list(round(w / nw, 4) ORDER BY i) AS v, round(max(nw), 4) AS ev
-  FROM {k}acc{r}, {k}nrm{r}
-)""")
-        prev = f"{k}v{r}"
-    final = f"{k}v{PCA_ITERS}"
-    return f"""
-{k}n0 AS (
-  SELECT sqrt(list_dot_product(cv, cv)) AS nw FROM {src}
-  WHERE vec_id = {c - 1}
-),
-{k}v0 AS MATERIALIZED (
-  SELECT list_transform(cv, x -> round(x / nw, 4)) AS v
-  FROM {src}, {k}n0 WHERE vec_id = {c - 1}
-),{",".join(rounds)},
-{k}proj AS (
-  SELECT c.vec_id,
-         round(list_dot_product(c.cv, (SELECT v FROM {final})), 4) AS s
-  FROM {src} c
-),
-centered{c} AS MATERIALIZED (
-  SELECT c.vec_id,
-         list_transform(generate_series(1, {_DIM}),
-           i -> round(c.cv[i] - p.s * f.v[i], 4)) AS cv
-  FROM {src} c JOIN {k}proj p ON c.vec_id = p.vec_id, {final} f
-)"""
-
-
 _PCA_TOPK_DUCK = (
-    f"""
-WITH vecs AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-),
-mu AS (
-  SELECT i, round(avg(v[i]), 4) AS m
-  FROM vecs, UNNEST(generate_series(1, {_DIM})) AS g(i)
-  GROUP BY i
-),
-muv AS (SELECT list(m ORDER BY i) AS mv FROM mu),
-centered0 AS MATERIALIZED (
-  SELECT vec_id,
-         list_transform(generate_series(1, {_DIM}),
-                        i -> v[i] - mv[i]) AS cv
-  FROM vecs, muv
-),
-"""
+    "WITH "
+    + _duck_pca_head()
+    + ","
     + ",".join(
         _duck_pca_comp(c, f"centered{c - 1}") for c in range(1, PCA_TOPK + 1)
     )
     + "\nSELECT component, dim, loading, eigenvalue FROM (\n"
     + "\n  UNION ALL\n".join(
         f"""  SELECT {c} AS component, i AS dim,
-         round((SELECT v FROM k{c}v{PCA_ITERS})[i], 4) + 0 AS loading,
-         (SELECT ev FROM k{c}v{PCA_ITERS}) AS eigenvalue
+         cast((SELECT vu FROM k{c}v{PCA_ITERS})[i] AS DOUBLE) / {_PCAQ}
+           AS loading,
+         cast((SELECT ev_u FROM k{c}v{PCA_ITERS}) AS DOUBLE) / {_PCAQ}
+           AS eigenvalue
   FROM UNNEST(generate_series(1, {_DIM})) AS g(i)"""
         for c in range(1, PCA_TOPK + 1)
     )
     + "\n)\nORDER BY component, dim\n"
 )
-
-
-def _pca_power_rounds(centered: DataFrame, init_vec_id: int):
-    """PCA_ITERS power rounds over ``centered`` starting from the
-    normalized centered vector with ``init_vec_id``; returns the final
-    broadcast 1-row (v, ev) frame. Shared by the top-1 and top-k
-    queries' per-component loops."""
-    first = centered.where(F.col("vec_id") == init_vec_id).select("cv")
-    v_cur = F.broadcast(
-        first.select(
-            F.expr(
-                f"transform(cv, x -> round(x / sqrt({_DOT.format(a='cv', b='cv')}), 4))"
-            ).alias("v")
-        )
-    )
-    for _ in range(PCA_ITERS):
-        scored = centered.crossJoin(v_cur).select(
-            "vec_id",
-            "cv",
-            F.round(F.expr(_DOT.format(a="cv", b="v")), 4).alias("s"),
-        )
-        acc = (
-            scored.select("s", F.posexplode("cv").alias("i0", "x"))
-            .groupBy("i0")
-            .agg(F.sum(F.col("s") * F.col("x")).alias("w"))
-        )
-        v_cur = F.broadcast(
-            acc.groupBy().agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(i0, w))), e -> e.w)"
-                ).alias("wv")
-            ).select(
-                F.expr(
-                    f"transform(wv, x -> round(x / sqrt({_DOT.format(a='wv', b='wv')}), 4))"
-                ).alias("v"),
-                F.round(
-                    F.expr(f"sqrt({_DOT.format(a='wv', b='wv')})"), 4
-                ).alias("ev"),
-            )
-        )
-    return v_cur
 
 
 @register("pca_topk_components", _PCA_TOPK_DUCK, tags=("similarity",))
@@ -1343,53 +1377,40 @@ def pca_topk_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     `pca_power_iteration`'s docstring defers to (judge r5 item 4: one
     direction is not a basis). After each component converges, every
     centered vector is deflated by its projection
-    (cv' = cv - round(cv.v, 4) * v, elementwise-rounded), removing
-    that direction from the data before the next component's
-    iteration; component c's deterministic init is the deflated vector
-    with vec_id = c-1 (the `kmeans_centroids` init convention). All
-    scores/components/deflations round to 4dp so both engines iterate
-    from bit-identical inputs; eigenvalue = each component's last
-    accumulator norm (a Rayleigh estimate: with a fixed small
-    iteration count on a near-flat spectrum — this fixture's random
-    embeddings — the estimates need not come out monotone; the
-    contract is the deterministic procedure, and the structural
-    guarantee tests pin is the basis itself: unit-norm, pairwise
-    orthogonal to rounding — see test_pca_topk_basis_properties).
+    (cu' = cu - half_up(s_q * vu / Q), elementwise in exact integer
+    quanta), removing that direction from the data before the next
+    component's iteration; component c's deterministic init is the
+    deflated vector with vec_id = c-1 (the `kmeans_centroids` init
+    convention). The whole pipeline — quantize, center, score,
+    accumulate, deflate — is exact BIGINT fixed-point (module
+    determinism contract above `_duck_pca_head`), so both engines
+    iterate bit-identical state at every scale factor; eigenvalue =
+    each component's last accumulator norm (a Rayleigh estimate: with
+    a fixed small iteration count on a near-flat spectrum the
+    estimates need not come out monotone; the contract is the
+    deterministic procedure, and the structural guarantee tests pin
+    is the basis itself: unit-norm, pairwise orthogonal to rounding —
+    see test_pca_topk_basis_properties).
 
     Scale notes (100 TB): per component per round the plan stays one
-    posexplode -> {_DIM}-row shuffle -> 1-row broadcast (see
-    `pca_power_iteration`); deflation adds one broadcast zip_with map
-    pass per component — no new shuffle, no driver-side linear
-    algebra. Total cost is K x ITERS bounded corpus passes with the
-    deflated table localCheckpointed between components, exactly how a
-    whitening trainer batches at scale."""
-    vecs = _vectors(spark, sf_dir).select("vec_id", "v")
-    pos = vecs.select("vec_id", F.posexplode("v").alias("i0", "x"))
-    mu = pos.groupBy("i0").agg(F.round(F.avg("x"), 4).alias("m"))
-    muv = F.broadcast(
-        mu.groupBy().agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(i0, m))), e -> e.m)"
-            ).alias("mv")
-        )
-    )
-    centered = vecs.crossJoin(muv).select(
-        "vec_id",
-        F.expr("zip_with(v, mv, (a, b) -> a - b)").alias("cv"),
-    ).localCheckpoint(eager=False)
-    dims = vecs.sparkSession.range(1, _DIM + 1).select(
+    posexplode -> {_DIM}-row integer-sum shuffle -> 1-row broadcast
+    (see `pca_power_iteration`); deflation adds one broadcast
+    zip_with map pass per component — no new shuffle, no driver-side
+    linear algebra. Total cost is K x ITERS bounded corpus passes
+    with the deflated table localCheckpointed between components,
+    exactly how a whitening trainer batches at scale."""
+    sq = str(_PCAQ)
+    centered = _pca_centered_q(spark, sf_dir)
+    dims = centered.sparkSession.range(1, _DIM + 1).select(
         F.col("id").cast("int").alias("dim")
     )
     parts = []
     for c in range(1, PCA_TOPK + 1):
         v_fin = _pca_power_rounds(centered, c - 1)
+        loading, eigenvalue = _pca_out_cols()
         parts.append(
             dims.crossJoin(v_fin).select(
-                F.lit(c).alias("component"),
-                "dim",
-                (F.round(F.expr("element_at(v, dim)"), 4)
-             + F.lit(0.0)).alias("loading"),
-                F.col("ev").alias("eigenvalue"),
+                F.lit(c).alias("component"), "dim", loading, eigenvalue
             )
         )
         if c < PCA_TOPK:
@@ -1397,17 +1418,19 @@ def pca_topk_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 centered.crossJoin(v_fin)
                 .select(
                     "vec_id",
-                    F.round(
-                        F.expr(_DOT.format(a="cv", b="v")), 4
-                    ).alias("s"),
-                    "cv",
-                    "v",
+                    F.expr(
+                        _hu(_IDOT.format(a="cu", b="vu"), sq, "div")
+                    ).alias("s_q"),
+                    "cu",
+                    "vu",
                 )
                 .select(
                     "vec_id",
                     F.expr(
-                        "zip_with(cv, v, (x, y) -> round(x - s * y, 4))"
-                    ).alias("cv"),
+                        "zip_with(cu, vu, (x, y) -> x - "
+                        + _hu("s_q * y", sq, "div")
+                        + ")"
+                    ).alias("cu"),
                 )
                 .localCheckpoint(eager=False)
             )

@@ -94,12 +94,22 @@ def discount_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: fraction of the part's retail price times quantity.
 _COST_FRAC = 0.6
 
+#: Per-line profit is EXACT at 4 decimal places (2dp price x 2dp
+#: discount factor; 1dp cost fraction x 2dp retail x integer qty), so
+#: each line quantizes to an exact BIGINT count of 1e-4 currency units
+#: via one deterministic per-row round() — identical input doubles,
+#: identical product, never near a .5 (the true value IS an integer in
+#: these units, and double spacing at this magnitude is ~1e-7). The
+#: GROUP SUM is then pure integer — immune to the summation-order
+#: drift that flipped the 2dp round() at sf1 (sweep catch, PERF.md) —
+#: and the output divides the exact integer by 1e4 once, with no
+#: rounding step at all.
 _Q9_DUCK = f"""
 SELECT n.n_name AS nation,
        cast(year(o.o_orderdate) AS BIGINT) AS yr,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)
-                 - {_COST_FRAC} * p.p_retailprice * l.l_quantity), 2)
-         AS profit
+       cast(sum(cast(round((l.l_extendedprice * (1 - l.l_discount)
+                 - {_COST_FRAC} * p.p_retailprice * l.l_quantity)
+                 * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS profit
 FROM lineitem l
 JOIN part p     ON l.l_partkey = p.p_partkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -128,8 +138,11 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = F.broadcast(_t(spark, sf_dir, "supplier"))
     nat = F.broadcast(_t(spark, sf_dir, "nation"))
     orders = _t(spark, sf_dir, "orders")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
-        F.lit(_COST_FRAC) * F.col("p_retailprice") * F.col("l_quantity")
+    # exact 1e-4-unit integer per line (see the oracle comment): the
+    # group sum is integer, so reduction order cannot move the value.
+    profit_u = F.expr(
+        "cast(round((l_extendedprice * (1 - l_discount) "
+        f"- {_COST_FRAC} * p_retailprice * l_quantity) * 10000) AS BIGINT)"
     )
     return (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
@@ -140,7 +153,9 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("yr"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(
+            (F.sum(profit_u).cast("double") / 10000).alias("profit")
+        )
         .orderBy("nation", "yr")
     )
 
