@@ -42,9 +42,9 @@ NTZ = "timestamp_ntz"
 _T1_DUCK = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       cast(sum(cast(round(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS sum_base_price,
+       cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
+       cast(sum(cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(avg(l_discount), 4) AS avg_disc,
@@ -69,9 +69,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.expr("cast(sum(cast(round(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE) / 10000").alias("sum_base_price"),
+            F.expr("cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000").alias("sum_disc_price"),
+            F.expr("cast(sum(cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -87,7 +87,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _T2_DUCK = """
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -119,8 +119,9 @@ def segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.expr(
+                "cast(sum(cast(round(l_extendedprice * (1 - l_discount)"
+                " * 10000) AS BIGINT)) AS DOUBLE) / 10000"
             ).alias("revenue")
         )
         .select(
@@ -139,7 +140,7 @@ def segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _T3_DUCK = """
 SELECT n_name AS nation,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -180,8 +181,9 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.expr(
+                "cast(sum(cast(round(l_extendedprice * (1 - l_discount)"
+                " * 10000) AS BIGINT)) AS DOUBLE) / 10000"
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "nation")
@@ -194,7 +196,7 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _T4_DUCK = """
 SELECT c_custkey, c_name,
-       round(sum(o_totalprice), 2) AS total_spend,
+       cast(sum(cast(round(o_totalprice * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS total_spend,
        count(*) AS order_cnt
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name
@@ -213,7 +215,9 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.sum("o_totalprice").alias("spend"),
+            F.expr(
+                "sum(cast(round(o_totalprice * 10000) AS BIGINT))"
+            ).alias("spend"),
             F.count("*").alias("order_cnt"),
         )
     )
@@ -223,7 +227,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "c_name",
-            F.round(F.col("spend"), 2).alias("total_spend"),
+            (F.col("spend").cast("double") / 10000).alias("total_spend"),
             "order_cnt",
         )
         .orderBy(F.desc("total_spend"), "c_custkey")

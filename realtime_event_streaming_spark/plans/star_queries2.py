@@ -48,7 +48,7 @@ NTZ = "timestamp_ntz"
 
 _Q7_DUCK = """
 SELECT supp_nation, cust_nation, l_year,
-       round(sum(volume), 2) AS revenue
+       cast(sum(cast(round(volume * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          year(l_shipdate) AS l_year,
@@ -101,8 +101,9 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.expr(
+                "cast(sum(cast(round(l_extendedprice * (1 - l_discount)"
+                " * 10000) AS BIGINT)) AS DOUBLE) / 10000"
             ).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -187,7 +188,7 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q10_DUCK = """
 SELECT c_custkey, c_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
        round(c_acctbal, 2) AS acctbal, n_name AS nation
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -221,8 +222,9 @@ def returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.expr(
+                "cast(sum(cast(round(l_extendedprice * (1 - l_discount)"
+                " * 10000) AS BIGINT)) AS DOUBLE) / 10000"
             ).alias("revenue")
         )
         .select(
@@ -242,7 +244,7 @@ def returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15_DUCK = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -269,8 +271,9 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast(NTZ))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        F.expr(
+            "cast(sum(cast(round(l_extendedprice * (1 - l_discount)"
+            " * 10000) AS BIGINT)) AS DOUBLE) / 10000"
         ).alias("total_revenue")
     )
     w = Window.partitionBy()

@@ -131,22 +131,28 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q11 shape — parts carrying an outsized share of a nation's volume
 # ---------------------------------------------------------------------------
 
-_Q11_FRACTION = 0.001
+#: share threshold as an exact integer divisor of the 1e-4-unit total
+#: (0.001 of total volume): both sides of the compare are BIGINT, so
+#: no float threshold exists to drift (the round-5 boundary-flip
+#: class, now removed rather than mitigated).
+_Q11_THOUSANDTHS_DIV = 1000
 
 _Q11_DUCK = f"""
 WITH natparts AS (
   SELECT l_partkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+         cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS part_value_u
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
   WHERE n_name = 'NATION_5'
   GROUP BY l_partkey
 ),
-total AS (SELECT sum(part_value) AS tv FROM natparts)
-SELECT l_partkey AS p_partkey, part_value
+total AS (SELECT cast(sum(part_value_u) AS BIGINT) AS tv_u FROM natparts)
+SELECT l_partkey AS p_partkey,
+       cast(part_value_u AS DOUBLE) / 10000 AS part_value
 FROM natparts, total
-WHERE part_value > round(tv * {_Q11_FRACTION}, 2)
+WHERE part_value_u > tv_u // {_Q11_THOUSANDTHS_DIV}
 ORDER BY part_value DESC, p_partkey
 LIMIT 30
 """
@@ -176,21 +182,28 @@ def important_parts_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("part_value")
+            F.expr(
+                "sum(cast(round(l_extendedprice * (1 - l_discount)"
+                " * 10000) AS BIGINT))"
+            ).alias("part_value_u")
         )
     )
-    tv = F.sum("part_value").over(Window.partitionBy())
+    tv = F.sum("part_value_u").over(Window.partitionBy())
     return (
-        natparts.withColumn("tv", tv)
-        # Round the scalar threshold (not just the per-part values)
-        # before comparing: tv is a sum of doubles, so its low-order
-        # bits can differ with partition/summation order; an unrounded
-        # threshold could flip a part sitting exactly on the boundary
-        # between engines (round-5 ADVICE).
-        .where(F.col("part_value") > F.round(F.col("tv") * _Q11_FRACTION, 2))
-        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+        natparts.withColumn("tv_u", tv)
+        # Both sides of the share test are exact BIGINTs in 1e-4
+        # units — the float threshold the round-5 ADVICE had us round
+        # no longer exists at all.
+        .where(
+            F.col("part_value_u")
+            > F.expr(f"tv_u div {_Q11_THOUSANDTHS_DIV}")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("part_value_u").cast("double") / 10000).alias(
+                "part_value"
+            ),
+        )
         .orderBy(F.desc("part_value"), "p_partkey")
         .limit(30)
     )
@@ -246,7 +259,7 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q19_DUCK = """
 SELECT p_brand,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
        AND l_quantity BETWEEN 1 AND 11)
@@ -288,8 +301,9 @@ def brackets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(bracket)
         .groupBy("p_brand")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.expr(
+                "cast(sum(cast(round(l_extendedprice * (1 - l_discount)"
+                " * 10000) AS BIGINT)) AS DOUBLE) / 10000"
             ).alias("revenue")
         )
         .orderBy("p_brand")

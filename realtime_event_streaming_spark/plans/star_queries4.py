@@ -49,7 +49,7 @@ def _t(spark, sf_dir, name):
 # ---------------------------------------------------------------------------
 
 _Q6_DUCK = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS uplift,
+SELECT cast(sum(cast(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS uplift,
        cast(count(*) AS BIGINT) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -78,8 +78,9 @@ def discount_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            F.expr(
+                "cast(sum(cast(round(l_extendedprice * l_discount"
+                " * 10000) AS BIGINT)) AS DOUBLE) / 10000"
             ).alias("uplift"),
             F.count("*").cast("bigint").alias("n_lines"),
         )
@@ -225,7 +226,7 @@ WITH pa AS (
   SELECT l_partkey, round({_Q17_QCAP_FRAC} * avg(l_quantity), 2) AS qcap
   FROM lineitem GROUP BY l_partkey
 )
-SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+SELECT round(cast(sum(cast(round(l.l_extendedprice * 10000) AS BIGINT)) AS DOUBLE) / 10000 / 7.0, 2) AS avg_yearly,
        cast(count(*) AS BIGINT) AS n_lines
 FROM lineitem l
 JOIN pa     ON l.l_partkey = pa.l_partkey
@@ -259,7 +260,14 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .where(F.col("l_quantity") < F.col("qcap"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                F.expr(
+                    "cast(sum(cast(round(l_extendedprice * 10000)"
+                    " AS BIGINT)) AS DOUBLE) / 10000"
+                )
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
             F.count("*").cast("bigint").alias("n_lines"),
         )
     )
@@ -338,7 +346,7 @@ WITH pos AS (
 )
 SELECT cast(c.c_nationkey % {_Q22_COHORTS} AS BIGINT) AS cohort,
        cast(count(*) AS BIGINT) AS n_customers,
-       round(sum(c.c_acctbal), 2) AS total_bal
+       cast(sum(cast(round(c.c_acctbal * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS total_bal
 FROM customer c, pos
 WHERE c.c_acctbal > pos.ab
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -378,7 +386,10 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").cast("bigint").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.expr(
+                "cast(sum(cast(round(c_acctbal * 10000) AS BIGINT))"
+                " AS DOUBLE) / 10000"
+            ).alias("total_bal"),
         )
         .orderBy("cohort")
     )
