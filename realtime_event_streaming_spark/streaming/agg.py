@@ -247,3 +247,110 @@ def write_rollup(agg: DataFrame, path: str, checkpoint: str, trigger=None):
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# SummingMergeTree parts store: additive partials + merge-on-read
+# ---------------------------------------------------------------------------
+#
+# `write_rollup_update_log` mirrors the reference MV's refinement
+# stream with LAST-WRITER-WINS merge (update-mode cumulative rows).
+# This trio is the other half of ClickHouse's model — the ADDITIVE
+# part merge of SummingMergeTree itself (clickhouse_tables.sql:33):
+# every micro-batch writes one PARTIAL-aggregate part, parts merge by
+# addition on read, and compaction folds old parts. Because partials
+# are additive, the stream needs NO aggregation state at all (no
+# watermark, no update-mode dedup) — the insert path is a stateless
+# map-side reduce per batch, which is why the original scales to any
+# ingest rate.
+#
+# Exactly-once: each part lands under its deterministic batch_id
+# partition via DYNAMIC partition overwrite, so a replayed batch
+# REPLACES its own part instead of double-counting — idempotent
+# without any sink-side dedup state. Compaction must therefore only
+# fold parts whose batches can no longer replay (in production: older
+# than the checkpoint's committed offset horizon; tests compact after
+# the stream stops).
+#
+# Distinct users cannot merge additively as counts — each part stores
+# a mergeable DataSketches HLL instead (the sound form of the
+# reference's flagged sum-of-distincts rollup, see operators/sketches).
+
+#: parts-store grain and the additive/mergeable metric set
+_PARTS_GRAIN = ("m_min", "country")
+
+
+def _rollup_part(batch_df: DataFrame) -> DataFrame:
+    return batch_df.groupBy(
+        F.expr("(unix_micros(ts) div 60000000)").alias("m_min"),
+        "country",
+    ).agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.expr("hll_sketch_agg(user_id)").alias("users_hll"),
+    )
+
+
+def write_rollup_parts(
+    events: DataFrame, path: str, checkpoint: str, trigger=None
+):
+    """Streaming insert path of the additive parts store: per
+    micro-batch, one stateless partial aggregate written as the part
+    ``batch_id=N`` (dynamic partition overwrite — replay-idempotent).
+    ``events`` is the parsed click stream (`ingest.parse_clicks`)."""
+
+    def _write_part(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            _rollup_part(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    writer = events.writeStream.foreachBatch(_write_part).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def read_rollup_parts(spark: SparkSession, path: str) -> DataFrame:
+    """Merge-on-read: counters add, HLL sketches union — one group-by
+    over part rows (minutes x countries x parts, never raw events)."""
+    return (
+        spark.read.parquet(path)
+        .groupBy(*_PARTS_GRAIN)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.expr(
+                "hll_sketch_estimate(hll_union_agg(users_hll))"
+            ).alias("approx_users"),
+        )
+    )
+
+
+def compact_rollup_parts(spark: SparkSession, path: str) -> None:
+    """Fold all parts into a single part (batch_id = -1), preserving
+    merge-on-read semantics exactly (counters summed, sketches
+    unioned — NOT estimated, so later parts keep merging losslessly).
+    Only run over batches that can no longer replay (see module
+    comment). The ClickHouse background-merge analogue; same
+    snapshot-swap discipline as io.compact_index_table."""
+    import shutil
+    import tempfile
+
+    folded = (
+        spark.read.parquet(path)
+        .groupBy(*_PARTS_GRAIN)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.expr("hll_union_agg(users_hll)").alias("users_hll"),
+        )
+        .withColumn("batch_id", F.lit(-1))
+    )
+    tmp = tempfile.mkdtemp(prefix="rtes_rollup_compact_")
+    folded.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
