@@ -1253,3 +1253,242 @@ def pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k: greedy re-ranking as unrolled relational rounds
+# ---------------------------------------------------------------------------
+
+#: MMR parameters: relevance weight, picks, and the candidate
+#: shortlist the greedy loop runs over (the production pattern:
+#: diversify a cheap top-N, never the corpus).
+MMR_LAMBDA_NUM = 7  # lambda = 7/10 as an exact integer ratio
+MMR_LAMBDA_DEN = 10
+MMR_K = 5
+MMR_SHORT = 20
+
+
+def _mmr_duck() -> str:
+    from .similarity import _COS_DUCK, _DUCK_VECTORS, N_QUERIES
+
+    ln, lo = MMR_LAMBDA_NUM, MMR_LAMBDA_DEN - MMR_LAMBDA_NUM
+    parts = [f"""{_DUCK_VECTORS},
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         cast(round(({_COS_DUCK}) * 10000) AS BIGINT) AS cs_u
+  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+short AS (
+  SELECT qid, nid, cs_u FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY cs_u DESC, nid) AS rnk
+    FROM scored) WHERE rnk <= {MMR_SHORT}
+),
+sims AS (
+  SELECT s1.qid, s1.nid AS na, s2.nid AS nb,
+         cast(round(list_dot_product(v1.v, v2.v)
+                    / (v1.norm * v2.norm) * 10000) AS BIGINT) AS sim_u
+  FROM short s1
+  JOIN short s2 ON s1.qid = s2.qid AND s1.nid <> s2.nid
+  JOIN vecs v1 ON v1.vec_id = s1.nid
+  JOIN vecs v2 ON v2.vec_id = s2.nid
+),
+pick1 AS (
+  SELECT qid, nid, cs_u, 1 AS pick,
+         cast(cs_u * {MMR_LAMBDA_DEN} AS BIGINT) AS score_u
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY cs_u DESC, nid) AS rn
+    FROM short) WHERE rn = 1
+),
+selall1 AS (SELECT qid, nid FROM pick1)"""]
+    for r in range(2, MMR_K + 1):
+        parts.append(f""",
+cand{r} AS (
+  SELECT s.qid, s.nid, s.cs_u
+  FROM short s LEFT JOIN selall{r - 1} x
+    ON s.qid = x.qid AND s.nid = x.nid
+  WHERE x.nid IS NULL
+),
+mx{r} AS (
+  SELECT c.qid, c.nid, c.cs_u, max(m.sim_u) AS ms_u
+  FROM cand{r} c
+  JOIN sims m ON m.qid = c.qid AND m.na = c.nid
+  JOIN selall{r - 1} x ON x.qid = m.qid AND x.nid = m.nb
+  GROUP BY c.qid, c.nid, c.cs_u
+),
+pick{r} AS (
+  SELECT qid, nid, cs_u, {r} AS pick,
+         cast({ln} * cs_u - {lo} * ms_u AS BIGINT) AS score_u
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY {ln} * cs_u - {lo} * ms_u DESC, nid) AS rn
+    FROM mx{r}) WHERE rn = 1
+),
+selall{r} AS (
+  SELECT qid, nid FROM selall{r - 1}
+  UNION ALL SELECT qid, nid FROM pick{r}
+)""")
+    sel = (
+        "SELECT qid, nid, cast(cs_u AS DOUBLE) / 10000 AS rel, pick, "
+        f"cast(score_u AS DOUBLE) / {10000 * MMR_LAMBDA_DEN} AS mmr_score "
+        "FROM pick{r}"
+    )
+    union = "\nUNION ALL ".join(
+        sel.format(r=r) for r in range(1, MMR_K + 1)
+    )
+    return "WITH " + "".join(parts) + f"\n{union}\nORDER BY qid, pick"
+
+
+@register("mmr_diverse_topk", _mmr_duck(), tags=("retrieval", "similarity"))
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversification stage between retrieval and a RAG
+    prompt: from each query's top-{s} cosine shortlist, greedily pick
+    {k} results maximizing lambda*rel - (1-lambda)*max_sim_to_picked
+    (lambda = {ln}/{ld} as an exact integer ratio), so near-duplicate
+    passages don't crowd out coverage. The greedy loop is UNROLLED into {k} relational rounds
+    (the BPE/k-means/perceptron bounded-rounds discipline): each round
+    is one anti-join (drop picked), one bounded join onto the
+    precomputed shortlist-pairwise-similarity table, and a per-query
+    argmax window — Catalyst sees one static DAG.
+
+    Determinism: relevance and pairwise cosines quantize ONCE per
+    row to BIGINT 1e-4 units; every round's score is then the exact
+    integer {ln}*cs_u - {lo_}*ms_u (a weighted difference of 4dp
+    quantities lands on 5th-decimal midpoints ~10% of the time, where
+    the engines' float round() implementations disagree — measured on
+    first contact and removed by never rounding a float score at
+    all), argmax tie-broken on neighbor id — both engines walk
+    identical greedy paths and the output divides exact integers.
+
+    Scale notes (100 TB): everything after the shortlist is bounded —
+    {s} rows per query, pairwise sims {s}x{s} per query (computed
+    ONCE, reused by all rounds), and the per-round joins touch only
+    those. The shortlist arm here is the labeled exact baseline (same
+    policy as `ann_bruteforce`); production swaps in the IVF/BM25/RRF
+    searchers — MMR composes with ANY of them unchanged.""".format(
+        s=MMR_SHORT,
+        k=MMR_K,
+        ln=MMR_LAMBDA_NUM,
+        ld=MMR_LAMBDA_DEN,
+        lo_=MMR_LAMBDA_DEN - MMR_LAMBDA_NUM,
+    )
+    from pyspark.sql import Window
+
+    from .similarity import _DOT, _vectors, N_QUERIES
+
+    ln, lo = MMR_LAMBDA_NUM, MMR_LAMBDA_DEN - MMR_LAMBDA_NUM
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("nid"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    cs_u = F.expr(
+        f"cast(round(({_DOT.format(a='qv', b='cv')})"
+        " / (qnorm * cnorm) * 10000) AS BIGINT)"
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cs_u"), "nid")
+    short = (
+        F.broadcast(q)
+        .join(c, F.col("nid") != F.col("qid"))
+        .select("qid", "nid", cs_u.alias("cs_u"))
+        .withColumn("rnk", F.row_number().over(wq))
+        .where(F.col("rnk") <= MMR_SHORT)
+        .drop("rnk")
+        .localCheckpoint(eager=False)  # every round reuses it
+    )
+    v1 = vecs.select(
+        F.col("vec_id").alias("na"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na_norm"),
+    )
+    v2 = vecs.select(
+        F.col("vec_id").alias("nb"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb_norm"),
+    )
+    s1 = short.select("qid", F.col("nid").alias("na"))
+    s2 = short.select(F.col("qid").alias("q2"), F.col("nid").alias("nb"))
+    sims = (
+        s1.join(
+            s2,
+            (F.col("qid") == F.col("q2")) & (F.col("na") != F.col("nb")),
+        )
+        .join(v1, "na")
+        .join(v2, "nb")
+        .select(
+            "qid",
+            "na",
+            "nb",
+            F.expr(
+                f"cast(round(({_DOT.format(a='va', b='vb')})"
+                " / (na_norm * nb_norm) * 10000) AS BIGINT)"
+            ).alias("sim_u"),
+        )
+        .localCheckpoint(eager=False)  # every round reuses it
+    )
+    pick = (
+        short.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") == 1)
+        .select(
+            "qid",
+            "nid",
+            "cs_u",
+            F.lit(1).alias("pick"),
+            (F.col("cs_u") * MMR_LAMBDA_DEN)
+            .cast("bigint")
+            .alias("score_u"),
+        )
+    )
+    picks = [pick]
+    selall = pick.select("qid", "nid")
+    for r in range(2, MMR_K + 1):
+        cand = short.join(selall, ["qid", "nid"], "left_anti")
+        mx = (
+            cand.join(
+                sims.withColumnRenamed("na", "nid"),
+                ["qid", "nid"],
+            )
+            .join(
+                selall.select("qid", F.col("nid").alias("nb")),
+                ["qid", "nb"],
+            )
+            .groupBy("qid", "nid", "cs_u")
+            .agg(F.max("sim_u").alias("ms_u"))
+        )
+        score_u = (ln * F.col("cs_u") - lo * F.col("ms_u")).cast("bigint")
+        ws = Window.partitionBy("qid").orderBy(
+            F.desc("score_u"), "nid"
+        )
+        p = (
+            mx.select("qid", "nid", "cs_u", score_u.alias("score_u"))
+            .withColumn("rn", F.row_number().over(ws))
+            .where(F.col("rn") == 1)
+            .select(
+                "qid", "nid", "cs_u", F.lit(r).alias("pick"), "score_u"
+            )
+        )
+        picks.append(p)
+        selall = selall.unionAll(p.select("qid", "nid")).localCheckpoint(
+            eager=False
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "qid",
+        "nid",
+        (F.col("cs_u").cast("double") / 10000).alias("rel"),
+        "pick",
+        (F.col("score_u").cast("double") / (10000 * MMR_LAMBDA_DEN)).alias(
+            "mmr_score"
+        ),
+    ).orderBy("qid", "pick")

@@ -1838,3 +1838,122 @@ def embedding_space_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anisotropy"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall: how much vector do you actually need?
+# ---------------------------------------------------------------------------
+
+#: prefix-dimension budgets evaluated against the full-width truth
+_MRL_BUDGETS = (8, 16, 32, 64)
+
+_MRL_DUCK = f"""
+WITH {_DUCK_VECTORS},
+budgets AS (SELECT unnest([{", ".join(str(b) for b in _MRL_BUDGETS)}])
+              AS dims),
+scored AS (
+  SELECT b.dims, q.vec_id AS qid, c.vec_id AS nid,
+         round(list_dot_product(q.v[1:b.dims], c.v[1:b.dims])
+               / (sqrt(list_dot_product(q.v[1:b.dims], q.v[1:b.dims]))
+                  * sqrt(list_dot_product(c.v[1:b.dims], c.v[1:b.dims]))),
+               4) AS cs
+  FROM vecs q
+  JOIN vecs c ON c.vec_id <> q.vec_id
+  CROSS JOIN budgets b
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT dims, qid, nid,
+         row_number() OVER (PARTITION BY dims, qid
+                            ORDER BY cs DESC, nid) AS rnk
+  FROM scored
+),
+approx AS (SELECT dims, qid, nid FROM ranked WHERE rnk <= {TOPK}),
+truth AS (SELECT qid, nid FROM approx WHERE dims = {max(_MRL_BUDGETS)}),
+hits AS (
+  SELECT a.dims, cast(count(*) AS BIGINT) AS n_hit
+  FROM approx a JOIN truth t ON a.qid = t.qid AND a.nid = t.nid
+  GROUP BY a.dims
+)
+SELECT dims, n_hit,
+       cast((2 * n_hit * 10000 + {N_QUERIES * TOPK})
+            // (2 * {N_QUERIES * TOPK}) AS DOUBLE) / 10000
+         AS recall_at_k
+FROM hits ORDER BY dims
+"""
+
+
+@register("matryoshka_recall_eval", _MRL_DUCK, tags=("similarity",))
+def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of PREFIX-TRUNCATED embeddings vs the full-width
+    exact top-{k}, per dimension budget {budgets} — the evaluation
+    behind Matryoshka representation learning deployments (Kusupati
+    et al. 2022: MRL trains nested prefixes so a 64-dim store can
+    serve 8/16/32-dim searches at graded cost/recall): before
+    shipping a truncated index, this row tells you what the cut
+    costs. Cosines renormalize by the TRUNCATED norms (the stored
+    prefix is what production would index).
+
+    Labeled-baseline form like `ann_bruteforce` (O(queries x corpus x
+    budgets) BY DESIGN — the query panel is bounded); the full-width
+    arm doubles as its own truth, so recall at {dmax} dims is exactly
+    1.0 by construction — the built-in sanity row. Recall is an
+    integer half-up 4-dp ratio of exact integer hit counts
+    (midpoint-free); rankings order by 4-dp-rounded cosine with
+    neighbor-id ties.
+
+    Scale notes (100 TB): one pair scan computes ALL budgets (the
+    budget table is a 4-row broadcast against the pair stream — no
+    per-budget rescan); the production path replaces the exact arm
+    with the IVF/PQ searchers over a truncated store and keeps this
+    query as the nightly recall alarm, exactly like
+    `ann_recall_eval`.""".format(
+        k=TOPK, budgets=_MRL_BUDGETS, dmax=max(_MRL_BUDGETS)
+    )
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    c = vecs.select(F.col("vec_id").alias("nid"), F.col("v").alias("cv"))
+    budgets = F.explode(
+        F.array(*[F.lit(b) for b in _MRL_BUDGETS])
+    ).alias("dims")
+    qslice = _DOT.format(a="slice(qv, 1, dims)", b="slice(qv, 1, dims)")
+    cslice = _DOT.format(a="slice(cv, 1, dims)", b="slice(cv, 1, dims)")
+    qc = _DOT.format(a="slice(qv, 1, dims)", b="slice(cv, 1, dims)")
+    cs = F.round(
+        F.expr(qc) / (F.sqrt(F.expr(qslice)) * F.sqrt(F.expr(cslice))), 4
+    )
+    pairs = (
+        F.broadcast(q.select("qid", "qv", budgets))
+        .join(c, F.col("nid") != F.col("qid"))
+        .select("dims", "qid", "nid", cs.alias("cs"))
+    )
+    w = Window.partitionBy("dims", "qid").orderBy(F.desc("cs"), "nid")
+    approx = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOPK)
+        .select("dims", "qid", "nid")
+        .localCheckpoint(eager=False)  # truth arm reuses it
+    )
+    truth = approx.where(F.col("dims") == max(_MRL_BUDGETS)).select(
+        "qid", "nid"
+    )
+    denom = N_QUERIES * TOPK
+    return (
+        approx.join(truth, ["qid", "nid"])
+        .groupBy("dims")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+        .select(
+            "dims",
+            "n_hit",
+            (
+                F.expr(
+                    f"cast((2 * n_hit * 10000 + {denom}) "
+                    f"div (2 * {denom}) AS DOUBLE)"
+                )
+                / 10000
+            ).alias("recall_at_k"),
+        )
+        .orderBy("dims")
+    )

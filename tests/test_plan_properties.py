@@ -803,3 +803,43 @@ def test_join_size_estimate_bounds_and_broadcast(spark, reg):
         reg["join_size_estimate"].spark_fn(spark, SF), spark
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_matryoshka_ladder_and_fullwidth_sanity(spark, reg):
+    """Truncation recall must be monotone non-decreasing in the
+    dimension budget and exactly 1.0 at full width (the truth arm is
+    its own budget row). Random fixture embeddings have no MRL
+    structure, so low truncated recall is the honest expectation —
+    the contract is the ladder's shape, not its height."""
+    rows = (
+        reg["matryoshka_recall_eval"].spark_fn(spark, SF).collect()
+    )
+    assert [r.dims for r in rows] == [8, 16, 32, 64]
+    recalls = [r.recall_at_k for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(recalls, recalls[1:]))
+    assert recalls[-1] == 1.0
+
+
+def test_mmr_picks_are_valid_and_diversify(spark, reg):
+    """Each query gets exactly K distinct picks; pick 1 is the pure
+    relevance argmax (ties on id); and the greedy trade-off actually
+    moves the set — at least one query's MMR picks differ from its
+    plain top-K by relevance."""
+    from collections import defaultdict
+
+    rows = reg["mmr_diverse_topk"].spark_fn(spark, SF).collect()
+    brute = reg["ann_bruteforce"].spark_fn(spark, SF).collect()
+    by_q = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.qid, r.pick)):
+        by_q[r.qid].append(r)
+    top_by_q = defaultdict(list)
+    for b in sorted(brute, key=lambda b: (b.query_id, b.rank)):
+        top_by_q[b.query_id].append(b.neighbor_id)
+    diversified = 0
+    for qid, picks in by_q.items():
+        assert [p.pick for p in picks] == [1, 2, 3, 4, 5]
+        assert len({p.nid for p in picks}) == 5
+        assert picks[0].nid == top_by_q[qid][0], "pick 1 != argmax rel"
+        if {p.nid for p in picks} != set(top_by_q[qid][:5]):
+            diversified += 1
+    assert diversified > 0, "MMR never deviated from plain top-k"
