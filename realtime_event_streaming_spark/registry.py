@@ -84,7 +84,12 @@ def register(
 #: all 20 queries whose last green row is round 1, plus the first 12
 #: (name order) of the round-2 cohort. The other 15 round-2-cohort
 #: queries (lang_id_markers .. weekly_retention_cohorts) queue for
-#: round 8. Every yielded query remains locally oracle-gated by
+#: round 8, together with the round-7 second-wave debuts
+#: (pagerank_pages, quality_score_auc, embedding_space_audit,
+#: token_pmi_topk, update_rollup_incremental, join_size_estimate,
+#: matryoshka_recall_eval, mmr_diverse_topk — all already sf1-swept
+#: and locally green; never-rowed queries lead per the standing
+#: policy). Every yielded query remains locally oracle-gated by
 #: tests/test_oracle_parity.py on the FULL registry at every run.
 DRIVER_QUERIES: tuple[str, ...] = (
     # -- (a) round-6 late debuts, never rowed
