@@ -618,3 +618,87 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity census with a generalization ladder (privacy QA)
+# ---------------------------------------------------------------------------
+
+#: re-identification threshold: an equivalence class of fewer than K
+#: distinct users is "at risk" (Sweeney 2002's k-anonymity).
+K_ANON = 5
+
+
+def _kanon_sql(idiv: str) -> str:
+    from ..functions import dialect as D
+
+    return f"""
+WITH ev AS (
+  SELECT user_id,
+         {D.COUNTRY_SQL} AS country,
+         {D.DEVICE_SQL} AS device,
+         {D.PAGE_K_SQL} AS page
+  FROM events
+),
+cls AS (
+  SELECT grouping(country) * 4 + grouping(device) * 2 + grouping(page)
+           AS gset,
+         country, device, page,
+         cast(count(*) AS BIGINT) AS n_rows,
+         cast(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM ev
+  GROUP BY GROUPING SETS ((country, device, page), (country, device),
+                          (country), ())
+),
+census AS (
+  SELECT gset,
+         cast(count(*) AS BIGINT) AS n_classes,
+         cast(sum(CASE WHEN n_users < {K_ANON} THEN 1 ELSE 0 END)
+              AS BIGINT) AS classes_lt_k,
+         cast(sum(CASE WHEN n_users < {K_ANON} THEN n_users ELSE 0 END)
+              AS BIGINT) AS users_at_risk,
+         cast(sum(CASE WHEN n_users < {K_ANON} THEN n_rows ELSE 0 END)
+              AS BIGINT) AS rows_at_risk,
+         cast(sum(n_rows) AS BIGINT) AS total_rows
+  FROM cls GROUP BY gset
+)
+SELECT CASE gset WHEN 0 THEN 'country+device+page'
+                 WHEN 1 THEN 'country+device'
+                 WHEN 3 THEN 'country'
+                 ELSE 'none' END AS qi_level,
+       cast(3 - CASE gset WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 3 THEN 2
+                          ELSE 3 END AS BIGINT) AS n_qi_cols,
+       n_classes, classes_lt_k, users_at_risk, rows_at_risk,
+       cast((2 * rows_at_risk * 10000 + total_rows)
+            {idiv} (2 * total_rows) AS DOUBLE) / 10000
+         AS pct_rows_at_risk
+FROM census
+ORDER BY n_qi_cols DESC
+"""
+
+
+@register("k_anonymity_census", _kanon_sql("//"), tags=("curation",))
+def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the event log under the quasi-identifier
+    set (country, device, page), k = {k}: how many equivalence
+    classes hold fewer than {k} distinct users, and how many
+    users/rows sit in them — plus the GENERALIZATION LADDER (drop one
+    QI at a time down to 'none'), showing how much risk each
+    coarsening removes. This is the release-gate sibling of
+    `pii_scan`/`user_erasure_audit`: scan finds identifiers, erasure
+    removes a cohort, and THIS query quantifies re-identification
+    exposure before an event-level dataset ships (Sweeney 2002).
+
+    Plan: ONE scan — all four QI levels aggregate in a single
+    GROUPING SETS pass (grouping-id keyed), then a bounded per-level
+    census; the risk percentage is an integer half-up 4-dp ratio.
+    Scale notes (100 TB): the grouping-sets pass shuffles once on the
+    finest key set (coarser sets partial-aggregate from it under
+    AQE); class cardinality is bounded by the QI domain
+    (8 x 3 x 100 here), so the census side is tiny regardless of
+    corpus size. Risk by construction falls monotonically as QI
+    columns drop — pinned by test.""".format(k=K_ANON)
+    from ..io import register_views
+
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_kanon_sql("div"))

@@ -1492,3 +1492,159 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mmr_score"
         ),
     ).orderBy("qid", "pick")
+
+
+# ---------------------------------------------------------------------------
+# nDCG@10: graded ranking quality of the approximate search
+# ---------------------------------------------------------------------------
+
+#: evaluation depth and the graded-relevance ladder (exact rank e ->
+#: relevance PQ_TOPK+1-e, i.e. 5..1 for the exact top-5, else 0).
+NDCG_AT = 10
+
+#: log2 position discounts in exact integer micro-units, computed ONCE
+#: here and embedded as literals in BOTH engines' SQL — no runtime
+#: log() can disagree because neither engine ever evaluates one.
+import math as _math
+
+_NDCG_DISC = tuple(
+    int(round(1_000_000 / _math.log2(p + 1))) for p in range(1, NDCG_AT + 1)
+)
+
+
+def _ndcg_duck() -> str:
+    from .similarity import _D2_DUCK
+
+    d2 = _D2_DUCK.replace("vv", "q.v").replace("cv", "c.v")
+    disc_rows = ", ".join(
+        f"({p + 1}, {d})" for p, d in enumerate(_NDCG_DISC)
+    )
+    idcg = sum(
+        (PQ_TOPK - i) * _NDCG_DISC[i] for i in range(PQ_TOPK)
+    )
+    return f"""
+WITH {_ivfpq_ctes()},
+disc(p, d) AS (VALUES {disc_rows}),
+exact AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         round({d2}, 4) AS dd
+  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {PQ_NQ}
+),
+truth AS (
+  SELECT qid, nid, cast({PQ_TOPK} + 1 - ern AS BIGINT) AS rel
+  FROM (SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY dd, nid)
+                 AS ern
+        FROM exact)
+  WHERE ern <= {PQ_TOPK}
+),
+gains AS (
+  SELECT r.query_id AS qid,
+         cast(sum(coalesce(t.rel, 0) * disc.d) AS BIGINT) AS dcg_u
+  FROM ranked r
+  JOIN disc ON disc.p = r.rnk
+  LEFT JOIN truth t ON t.qid = r.query_id AND t.nid = r.neighbor_id
+  WHERE r.rnk <= {NDCG_AT}
+  GROUP BY r.query_id
+),
+qs AS (SELECT DISTINCT qid FROM truth)
+SELECT qs.qid AS query_id,
+       cast(coalesce(g.dcg_u, 0) AS BIGINT) AS dcg_u,
+       cast((2 * coalesce(g.dcg_u, 0) * 10000 + {idcg})
+            // (2 * {idcg}) AS DOUBLE) / 10000 AS ndcg
+FROM qs LEFT JOIN gains g ON g.qid = qs.qid
+ORDER BY query_id
+"""
+
+
+@register("ndcg_rank_eval", _ndcg_duck(), tags=("retrieval", "similarity"))
+def ndcg_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{at} of the IVF-PQ ranking against graded exact-L2
+    relevance (exact rank e in the top-{k} earns relevance {k}+1-e) —
+    the position-sensitive complement to `ann_recall_eval`'s recall
+    and MRR: recall cannot see WHERE in the list the right answers
+    sit; nDCG discounts each hit by log2(position+1) (Jarvelin &
+    Kekalainen 2002).
+
+    Determinism: the discount table is computed ONCE in Python as
+    integer micro-units and embedded as LITERALS in both engines'
+    plans — no runtime log() exists to disagree; gains and the ideal
+    DCG are exact integers, and the single normalization is the
+    integer half-up 4-dp division. Scale notes: the expensive arm is
+    the same labeled exact baseline as `ann_recall_eval` (bounded
+    query panel BY DESIGN); the graded join touches only
+    {at} x queries ranked rows.""".format(at=NDCG_AT, k=PQ_TOPK)
+    from pyspark.sql import Window
+
+    from ..io import load_table
+    from .similarity import _D2_SPARK
+
+    idcg = sum((PQ_TOPK - i) * _NDCG_DISC[i] for i in range(PQ_TOPK))
+    disc = spark.createDataFrame(
+        [(p + 1, d) for p, d in enumerate(_NDCG_DISC)], "p INT, d BIGINT"
+    )
+    ranked = (
+        _ivfpq_ranked(spark, sf_dir)
+        .where(F.col("rnk") <= NDCG_AT)
+        .localCheckpoint(eager=False)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v"),
+    )
+    q = vecs.where(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v")
+    )
+    c = vecs.select(F.col("vec_id").alias("nid"), F.col("v").alias("cv"))
+    exact = (
+        F.broadcast(q)
+        .join(c, F.col("nid") != F.col("qid"))
+        .select("qid", "nid", F.round(F.expr(_D2_SPARK), 4).alias("dd"))
+    )
+    wq = Window.partitionBy("qid").orderBy("dd", "nid")
+    truth = (
+        exact.withColumn("ern", F.row_number().over(wq))
+        .where(F.col("ern") <= PQ_TOPK)
+        .select(
+            "qid",
+            "nid",
+            (PQ_TOPK + 1 - F.col("ern")).cast("bigint").alias("rel"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    gains = (
+        ranked.join(F.broadcast(disc), F.col("p") == F.col("rnk"))
+        .join(
+            truth.withColumnRenamed("qid", "tq").withColumnRenamed(
+                "nid", "tn"
+            ),
+            (F.col("tq") == F.col("query_id"))
+            & (F.col("tn") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("query_id").alias("qid"))
+        .agg(
+            F.sum(F.coalesce(F.col("rel"), F.lit(0)) * F.col("d"))
+            .cast("bigint")
+            .alias("dcg_u")
+        )
+    )
+    return (
+        truth.select("qid")
+        .distinct()
+        .join(gains, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce("dcg_u", F.lit(0)).cast("bigint").alias("dcg_u"),
+            (
+                F.expr(
+                    f"cast((2 * coalesce(dcg_u, 0) * 10000 + {idcg}) "
+                    f"div (2 * {idcg}) AS DOUBLE)"
+                )
+                / 10000
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )

@@ -843,3 +843,38 @@ def test_mmr_picks_are_valid_and_diversify(spark, reg):
         if {p.nid for p in picks} != set(top_by_q[qid][:5]):
             diversified += 1
     assert diversified > 0, "MMR never deviated from plain top-k"
+
+
+def test_ndcg_bounded_and_consistent_with_recall(spark, reg):
+    """nDCG rows: one per query, in [0, 1], zero exactly when the
+    integer gain is zero, and the eval is not degenerate (some query
+    scores above zero). Note nDCG@10 can exceed zero for a query with
+    recall@5 = 0 — relevant items at positions 6-10 still earn
+    discounted gain, which is exactly the signal recall cannot see."""
+    rows = reg["ndcg_rank_eval"].spark_fn(spark, SF).collect()
+    n_queries = (
+        reg["ann_recall_eval"].spark_fn(spark, SF).count()
+    )
+    assert len(rows) == n_queries
+    for r in rows:
+        assert 0.0 <= r.ndcg <= 1.0
+        assert (r.ndcg == 0.0) == (r.dcg_u == 0)
+    assert any(r.ndcg > 0 for r in rows)
+
+
+def test_k_anonymity_ladder_is_monotone(spark, reg):
+    """Dropping a QI column can only merge classes, so every risk
+    number must fall (weakly) as the ladder coarsens, and the 'none'
+    level must be risk-free on any non-trivial corpus."""
+    rows = sorted(
+        reg["k_anonymity_census"].spark_fn(spark, SF).collect(),
+        key=lambda r: -r.n_qi_cols,
+    )
+    assert [r.qi_level for r in rows] == [
+        "country+device+page", "country+device", "country", "none",
+    ]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_classes >= b.n_classes
+        assert a.rows_at_risk >= b.rows_at_risk
+        assert a.pct_rows_at_risk >= b.pct_rows_at_risk
+    assert rows[-1].classes_lt_k == 0
