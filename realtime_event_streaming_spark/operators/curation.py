@@ -677,7 +677,9 @@ ORDER BY n_qi_cols DESC
 """
 
 
-@register("k_anonymity_census", _kanon_sql("//"), tags=("curation",))
+@register(
+    "k_anonymity_census", _kanon_sql("//"), headline=True, tags=("curation",)
+)
 def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit of the event log under the quasi-identifier
     set (country, device, page), k = {k}: how many equivalence
@@ -692,11 +694,13 @@ def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE scan — all four QI levels aggregate in a single
     GROUPING SETS pass (grouping-id keyed), then a bounded per-level
     census; the risk percentage is an integer half-up 4-dp ratio.
-    Scale notes (100 TB): the grouping-sets pass shuffles once on the
-    finest key set (coarser sets partial-aggregate from it under
-    AQE); class cardinality is bounded by the QI domain
-    (8 x 3 x 100 here), so the census side is tiny regardless of
-    corpus size. Risk by construction falls monotonically as QI
+    Scale notes (100 TB): Spark lowers grouping sets to an Expand
+    (one row per set, 4x here, plus the distinct-user expand) that is
+    partial-aggregated MAP-SIDE before the one shuffle — so the
+    exchanged data is class-cardinality-bounded, and class
+    cardinality is bounded by the QI domain (8 x 3 x 100 here)
+    regardless of corpus size; the 4x expansion costs scan-local CPU,
+    never network. Risk by construction falls monotonically as QI
     columns drop — pinned by test.""".format(k=K_ANON)
     from ..io import register_views
 

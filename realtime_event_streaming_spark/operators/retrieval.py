@@ -1341,7 +1341,12 @@ selall{r} AS (
     return "WITH " + "".join(parts) + f"\n{union}\nORDER BY qid, pick"
 
 
-@register("mmr_diverse_topk", _mmr_duck(), tags=("retrieval", "similarity"))
+@register(
+    "mmr_diverse_topk",
+    _mmr_duck(),
+    headline=True,
+    tags=("retrieval", "similarity"),
+)
 def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     1998) — the diversification stage between retrieval and a RAG

@@ -87,9 +87,9 @@ def register(
 #: round 8, together with the round-7 second-wave debuts
 #: (pagerank_pages, quality_score_auc, embedding_space_audit,
 #: token_pmi_topk, update_rollup_incremental, join_size_estimate,
-#: matryoshka_recall_eval, mmr_diverse_topk — all already sf1-swept
-#: and locally green; never-rowed queries lead per the standing
-#: policy). Every yielded query remains locally oracle-gated by
+#: matryoshka_recall_eval, mmr_diverse_topk, ndcg_rank_eval,
+#: k_anonymity_census — all already sf1-swept and locally green;
+#: never-rowed queries lead per the standing policy). Every yielded query remains locally oracle-gated by
 #: tests/test_oracle_parity.py on the FULL registry at every run.
 DRIVER_QUERIES: tuple[str, ...] = (
     # -- (a) round-6 late debuts, never rowed
