@@ -245,3 +245,108 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "visit_ts", "checkout_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# additive parts-store replay (SummingMergeTree insert path, driver-visible)
+# ---------------------------------------------------------------------------
+
+_PARTS_CACHE: dict[str, str] = {}
+
+
+def _ensure_parts_store(spark: SparkSession) -> str:
+    """Replay the committed fixture through the ADDITIVE parts store
+    (streaming/agg.write_rollup_parts: one stateless partial part per
+    micro-batch) and COMPACT it — once per process. The registered
+    query then reads the compacted store, so the driver's hash
+    covers the full insert -> merge-on-read -> compaction cycle."""
+    path = _PARTS_CACHE.get("parts")
+    if path and Path(path).is_dir():
+        return path
+    import atexit
+
+    from ..streaming.agg import compact_rollup_parts, write_rollup_parts
+
+    in_dir = _ensure_fixture(spark)
+    out = tempfile.mkdtemp(prefix="rtes_replay_parts_")
+    try:
+        stream = parse_clicks(read_json_file_stream(spark, in_dir))
+        q = write_rollup_parts(
+            stream,
+            f"{out}/parts",
+            f"{out}/ck",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(300)
+        compact_rollup_parts(spark, f"{out}/parts")
+    except BaseException:
+        shutil.rmtree(out, ignore_errors=True)
+        raise
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    _PARTS_CACHE["parts"] = out
+    return out
+
+
+#: Oracle: exact per-(minute, country) counts over the same committed
+#: bytes; the HLL distinct rides as a bounded-error TRUE flag (the
+#: sketches-module accuracy-contract pattern — DuckDB cannot reproduce
+#: DataSketches internals, so the CONTRACT is what the driver hashes).
+_PARTS_REPLAY_DUCK = f"""
+WITH raw AS (
+  SELECT * FROM read_json_auto(
+    '{FIXTURE_DIR}/part-*.txt', format='newline_delimited')
+),
+ev AS (
+  SELECT make_timestamp(ts * 1000) AS t, country, user_id FROM raw
+)
+SELECT epoch_us(t) // 60000000 AS m_min, country,
+       cast(count(*) AS BIGINT) AS cnt,
+       TRUE AS approx_ok
+FROM ev
+GROUP BY 1, 2
+ORDER BY m_min, country
+"""
+
+
+@register(
+    "rollup_parts_replay",
+    _PARTS_REPLAY_DUCK,
+    tags=("streaming", "maintenance"),
+)
+def rollup_parts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The additive parts store run end-to-end on the committed wire
+    fixture: stream -> one stateless partial part per micro-batch ->
+    lossless compaction -> merge-on-read. Exact counters must equal
+    the one-shot batch answer (the oracle recomputes them from the
+    same bytes), and the mergeable-HLL distinct must sit inside the
+    documented error band (|est - exact| <= max(8, 8%) — the
+    accuracy-contract pattern of `approx_distinct_accuracy`; both
+    engines see identical input, and the sketch is a deterministic
+    function of it). A hash match is therefore driver-level proof of
+    the SummingMergeTree cycle: partial insert, additive merge,
+    compaction — none of it disturbing the numbers. sf_dir is unused
+    (the input is the engine's own committed wire format)."""
+    out = _ensure_parts_store(spark)
+    from ..streaming.agg import read_rollup_parts
+
+    merged = read_rollup_parts(spark, f"{out}/parts")
+    batch = parse_clicks(
+        spark.read.format("text").load(_ensure_fixture(spark))
+    )
+    exact = batch.groupBy(
+        F.expr("(unix_micros(ts) div 60000000)").alias("m_min"),
+        "country",
+    ).agg(F.countDistinct("user_id").alias("uniq"))
+    return (
+        merged.join(exact, ["m_min", "country"])
+        .select(
+            "m_min",
+            "country",
+            "cnt",
+            (
+                F.abs(F.col("approx_users") - F.col("uniq"))
+                <= F.greatest(F.lit(8.0), 0.08 * F.col("uniq"))
+            ).alias("approx_ok"),
+        )
+        .orderBy("m_min", "country")
+    )
