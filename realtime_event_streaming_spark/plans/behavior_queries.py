@@ -670,3 +670,78 @@ def activity_streak_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the only corpus-sized step."""
     register_views(spark, sf_dir, tables=("events",))
     return spark.sql(_STREAK_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# market-basket page association (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+#: minimum co-visitor support and the result cut
+_LIFT_MIN_USERS = 5
+_LIFT_TOPK = 20
+
+_LIFT_BODY = f"""
+WITH baskets AS (
+  SELECT DISTINCT user_id, {D.PAGE_K_SQL} AS page FROM events
+),
+nu AS (SELECT cast(count(DISTINCT user_id) AS BIGINT) AS n FROM baskets),
+pc AS (
+  SELECT page, cast(count(*) AS BIGINT) AS c FROM baskets GROUP BY page
+),
+pairs AS (
+  SELECT a.page AS pa, b.page AS pb,
+         cast(count(*) AS BIGINT) AS c_ab
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.page < b.page
+  GROUP BY a.page, b.page
+),
+scored AS (
+  SELECT p.pa, p.pb, p.c_ab, ca.c AS c_a, cb.c AS c_b, nu.n,
+         (2 * p.c_ab * nu.n * 10000 + ca.c * cb.c)
+           {{idiv}} (2 * ca.c * cb.c) AS lift4
+  FROM pairs p
+  JOIN pc ca ON ca.page = p.pa
+  JOIN pc cb ON cb.page = p.pb
+  CROSS JOIN nu
+  WHERE p.c_ab >= {_LIFT_MIN_USERS}
+)
+SELECT pa, pb, c_ab,
+       cast((2 * c_ab * 10000 + n) {{idiv}} (2 * n) AS DOUBLE) / 10000
+         AS support,
+       cast((2 * c_ab * 10000 + c_a) {{idiv}} (2 * c_a) AS DOUBLE) / 10000
+         AS confidence,
+       cast(lift4 AS DOUBLE) / 10000 AS lift
+FROM scored
+ORDER BY lift4 DESC, pa, pb
+LIMIT {_LIFT_TOPK}
+"""
+
+
+@register(
+    "page_pair_lift",
+    _LIFT_BODY.format(idiv="//"),
+    tags=("behavior",),
+)
+def page_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over page co-visits (Agrawal &
+    Srikant's support/confidence/lift at the user-basket grain): for
+    page pairs co-visited by >= {m} users, support = P(a,b),
+    confidence = P(b|a), lift = P(a,b)/(P(a)P(b)) — the
+    cross-promotion / related-content signal. The basket-grain
+    complement of `token_pmi_topk` (adjacency grain) and
+    `event_transition_matrix` (sequence grain); lift is PMI without
+    the log, which is WHY it stays an exact integer rational here —
+    every metric is an integer half-up 4-dp ratio of exact distinct
+    counts, no float ever enters (the top-k cut orders by the integer
+    lift itself).
+
+    Scale notes (100 TB): baskets dedupe to one row per (user, page)
+    first, so the pair self-join is bounded per user by the SQUARE OF
+    DISTINCT PAGES VISITED (page-domain-bounded, 100 here), shuffled
+    on user_id — the sessionizer's key; the pair census collapses to
+    <= |pages|^2/2 rows; page counts broadcast back. The classic
+    a-priori first pass, expressed as joins.""".format(
+        m=_LIFT_MIN_USERS
+    )
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_LIFT_BODY.format(idiv="div"))
