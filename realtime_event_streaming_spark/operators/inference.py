@@ -140,10 +140,15 @@ _LEN_BUCKET = -2
 _CENTROID_SCALE = 1024
 
 
-def _train_duck() -> str:
+def _train_ctes(where: str = "") -> tuple[str, list[str]]:
+    """The full training pipeline as CTE text (through w{TRAIN_STEPS}),
+    optionally restricted by ``where`` — shared by the train census
+    oracle and the heldout apply oracle so both state the identical
+    fit."""
     tok_b = f"('0x' || substr(md5(x), 1, 7))::BIGINT % {N_BUCKETS}"
     head = f"""
-docs0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+docs0 AS (SELECT doc_id, string_split(text, ' ') AS tk
+          FROM documents{where}),
 lab AS (
   SELECT m.doc_id,
          CASE WHEN m.n < {_TRAIN_MIN_TOKENS}
@@ -241,10 +246,175 @@ w{t + 1} AS (
               + coalesce(d.dw, 0) * counts.nb * counts.ng AS BIGINT) AS w
   FROM w{t} p FULL OUTER JOIN d{t} d ON p.bucket = d.bucket, counts
 )""")
+    return ",".join(parts), evals
+
+
+def _train_duck() -> str:
+    ctes, evals = _train_ctes()
     return (
-        "WITH " + ",".join(parts)
+        "WITH " + ctes
         + "\n" + " UNION ALL ".join(evals) + " ORDER BY step"
     )
+
+
+def _tf_lab(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Hashed-feature tf (+ bias/length pseudo-buckets) and planted
+    labels for a (doc_id, tk) frame — ONE code path shared by the
+    trainer and the heldout apply side, so both hash and label
+    identically by construction."""
+    tok = docs.select("doc_id", F.explode("tk").alias("x"))
+    lab = (
+        docs.select("doc_id", F.size("tk").alias("n"))
+        .join(
+            tok.groupBy("doc_id", "x")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(F.max("c").alias("mc")),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("n") < _TRAIN_MIN_TOKENS)
+                | (
+                    F.round(F.col("mc") / F.col("n").cast("double"), 4)
+                    > _TRAIN_TOPWORD_FRAC
+                ),
+                1,
+            )
+            .otherwise(-1)
+            .alias("y"),
+        )
+    ).localCheckpoint(eager=False)
+    tf = (
+        tok.select(
+            "doc_id",
+            F.expr(
+                "cast(conv(substr(md5(x), 1, 7), 16, 10) as bigint) "
+                f"% {N_BUCKETS}"
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("tf"))
+        .unionAll(
+            docs.select(
+                "doc_id",
+                F.lit(_BIAS_BUCKET).cast("bigint").alias("bucket"),
+                F.lit(1).cast("bigint").alias("tf"),
+            )
+        )
+        .unionAll(
+            docs.select(
+                "doc_id",
+                F.lit(_LEN_BUCKET).cast("bigint").alias("bucket"),
+                F.size("tk").cast("bigint").alias("tf"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    return tf, lab
+
+
+def _fit_steps(
+    tf: DataFrame, lab: DataFrame
+) -> tuple[list[tuple[int, DataFrame]], DataFrame]:
+    """Centroid init + unrolled perceptron over (tf, lab): returns the
+    per-step (step, scored) frames (lazy — the census consumes them)
+    and the FINAL weight table. Exactly the integer-state pipeline the
+    train query documents; factored so the apply query fits on a
+    split and scores heldout docs with the same code."""
+    counts = lab.agg(
+        F.sum((F.col("y") == 1).cast("long")).alias("nb"),
+        F.sum((F.col("y") == -1).cast("long")).alias("ng"),
+    )
+    mass = (
+        tf.join(lab, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("y") == 1, F.col("tf")).otherwise(0)).alias(
+                "bm"
+            ),
+            F.sum(F.when(F.col("y") == -1, F.col("tf")).otherwise(0)).alias(
+                "gm"
+            ),
+        )
+    )
+    wc = mass.crossJoin(F.broadcast(counts)).select(
+        "bucket",
+        F.expr(
+            f"(bm * {_CENTROID_SCALE}) div nb"
+            f" - (gm * {_CENTROID_SCALE}) div ng"
+        ).alias("w"),
+        "nb",
+        "ng",
+    )
+    m_c = (
+        tf.join(F.broadcast(wc.select("bucket", "w")), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("m"))
+    )
+    shift = (
+        m_c.join(lab, "doc_id")
+        .agg(
+            F.sum(F.when(F.col("y") == 1, F.col("m")).otherwise(0)).alias(
+                "sb"
+            ),
+            F.sum(F.when(F.col("y") == -1, F.col("m")).otherwise(0)).alias(
+                "sg"
+            ),
+        )
+        .crossJoin(F.broadcast(counts))
+        .select(
+            (F.col("sb") * F.col("ng") + F.col("sg") * F.col("nb")).alias(
+                "sh"
+            )
+        )
+    )
+    w = (
+        wc.crossJoin(F.broadcast(shift))
+        .select(
+            "bucket",
+            (
+                F.col("w") * 2 * F.col("nb") * F.col("ng")
+                - F.when(
+                    F.col("bucket") == _BIAS_BUCKET, F.col("sh")
+                ).otherwise(0)
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    steps: list[tuple[int, DataFrame]] = []
+    for step in range(_TRAIN_STEPS + 1):
+        margin = (
+            tf.join(F.broadcast(w), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("tf") * F.col("w")).alias("margin"))
+        )
+        scored = lab.join(margin, "doc_id").localCheckpoint(eager=False)
+        steps.append((step, scored))
+        if step == _TRAIN_STEPS:
+            break
+        mis = scored.where(
+            (F.col("margin") > 0) != (F.col("y") == 1)
+        ).select("doc_id", "y")
+        delta = (
+            tf.join(mis, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("tf")).alias("dw"))
+        )
+        w = (
+            w.join(delta, "bucket", "full_outer")
+            .crossJoin(F.broadcast(counts))
+            .select(
+                "bucket",
+                (
+                    F.coalesce("w", F.lit(0))
+                    + F.coalesce("dw", F.lit(0)) * F.col("nb") * F.col("ng")
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=False)  # <= N_BUCKETS+2 rows/step
+        )
+    return steps, w
 
 
 @register("quality_classifier_train", _train_duck(), tags=("inference",))
@@ -297,125 +467,10 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("tk")
     )
-    tok = docs.select("doc_id", F.explode("tk").alias("x"))
-    lab = (
-        docs.select("doc_id", F.size("tk").alias("n"))
-        .join(
-            tok.groupBy("doc_id", "x")
-            .agg(F.count("*").alias("c"))
-            .groupBy("doc_id")
-            .agg(F.max("c").alias("mc")),
-            "doc_id",
-        )
-        .select(
-            "doc_id",
-            F.when(
-                (F.col("n") < _TRAIN_MIN_TOKENS)
-                | (
-                    F.round(F.col("mc") / F.col("n").cast("double"), 4)
-                    > _TRAIN_TOPWORD_FRAC
-                ),
-                1,
-            )
-            .otherwise(-1)
-            .alias("y"),
-        )
-    ).localCheckpoint(eager=False)
-    tf = (
-        tok.select(
-            "doc_id",
-            F.expr(
-                "cast(conv(substr(md5(x), 1, 7), 16, 10) as bigint) "
-                f"% {N_BUCKETS}"
-            ).alias("bucket"),
-        )
-        .groupBy("doc_id", "bucket")
-        .agg(F.count("*").alias("tf"))
-        .unionAll(
-            docs.select(
-                "doc_id",
-                F.lit(_BIAS_BUCKET).cast("bigint").alias("bucket"),
-                F.lit(1).cast("bigint").alias("tf"),
-            )
-        )
-        .unionAll(
-            docs.select(
-                "doc_id",
-                F.lit(_LEN_BUCKET).cast("bigint").alias("bucket"),
-                F.size("tk").cast("bigint").alias("tf"),
-            )
-        )
-        .localCheckpoint(eager=False)
-    )
-
-    # class sizes: one row, broadcast via crossJoin (bounded)
-    counts = lab.agg(
-        F.sum((F.col("y") == 1).cast("long")).alias("nb"),
-        F.sum((F.col("y") == -1).cast("long")).alias("ng"),
-    )
-
-    # centroid init: fixed-point class-mean difference
-    mass = (
-        tf.join(lab, "doc_id")
-        .groupBy("bucket")
-        .agg(
-            F.sum(F.when(F.col("y") == 1, F.col("tf")).otherwise(0)).alias(
-                "bm"
-            ),
-            F.sum(F.when(F.col("y") == -1, F.col("tf")).otherwise(0)).alias(
-                "gm"
-            ),
-        )
-    )
-    wc = mass.crossJoin(F.broadcast(counts)).select(
-        "bucket",
-        F.expr(
-            f"(bm * {_CENTROID_SCALE}) div nb"
-            f" - (gm * {_CENTROID_SCALE}) div ng"
-        ).alias("w"),
-        "nb",
-        "ng",
-    )
-    m_c = (
-        tf.join(F.broadcast(wc.select("bucket", "w")), "bucket")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("tf") * F.col("w")).alias("m"))
-    )
-    shift = (
-        m_c.join(lab, "doc_id")
-        .agg(
-            F.sum(F.when(F.col("y") == 1, F.col("m")).otherwise(0)).alias(
-                "sb"
-            ),
-            F.sum(F.when(F.col("y") == -1, F.col("m")).otherwise(0)).alias(
-                "sg"
-            ),
-        )
-        .crossJoin(F.broadcast(counts))
-        .select((F.col("sb") * F.col("ng") + F.col("sg") * F.col("nb")).alias("sh"))
-    )
-    w = (
-        wc.crossJoin(F.broadcast(shift))
-        .select(
-            "bucket",
-            (
-                F.col("w") * 2 * F.col("nb") * F.col("ng")
-                - F.when(
-                    F.col("bucket") == _BIAS_BUCKET, F.col("sh")
-                ).otherwise(0)
-            ).alias("w"),
-        )
-        .localCheckpoint(eager=False)
-    )
-
+    tf, lab = _tf_lab(docs)
+    steps, _w = _fit_steps(tf, lab)
     evals = []
-    for step in range(_TRAIN_STEPS + 1):
-        margin = (
-            tf.join(F.broadcast(w), "bucket")
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("tf") * F.col("w")).alias("margin"))
-        )
-        scored = lab.join(margin, "doc_id").localCheckpoint(eager=False)
+    for step, scored in steps:
         correct = ((F.col("margin") > 0) == (F.col("y") == 1)).cast("long")
         evals.append(
             scored.agg(
@@ -429,28 +484,6 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum(correct).cast("double") / F.count("*"), 4
                 ).alias("accuracy"),
             )
-        )
-        if step == _TRAIN_STEPS:
-            break
-        mis = scored.where(
-            (F.col("margin") > 0) != (F.col("y") == 1)
-        ).select("doc_id", "y")
-        delta = (
-            tf.join(mis, "doc_id")
-            .groupBy("bucket")
-            .agg(F.sum(F.col("y") * F.col("tf")).alias("dw"))
-        )
-        w = (
-            w.join(delta, "bucket", "full_outer")
-            .crossJoin(F.broadcast(counts))
-            .select(
-                "bucket",
-                (
-                    F.coalesce("w", F.lit(0))
-                    + F.coalesce("dw", F.lit(0)) * F.col("nb") * F.col("ng")
-                ).alias("w"),
-            )
-            .localCheckpoint(eager=False)  # <= N_BUCKETS+2 rows/step
         )
     out = evals[0]
     for e in evals[1:]:
@@ -594,4 +627,148 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / _AUC_DP
         ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# classifier APPLY on a true heldout split (generalization measurement)
+# ---------------------------------------------------------------------------
+
+#: heldout split: every doc_id ≡ 0 (mod 7) is scored, never trained on.
+_APPLY_MOD = 7
+
+
+def _apply_duck() -> str:
+    ctes, _evals = _train_ctes(f" WHERE doc_id % {_APPLY_MOD} <> 0")
+    tok_b = f"('0x' || substr(md5(x), 1, 7))::BIGINT % {N_BUCKETS}"
+    w_t = f"w{_TRAIN_STEPS}"
+    return f"""WITH {ctes},
+hdocs AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk
+  FROM documents WHERE doc_id % {_APPLY_MOD} = 0
+),
+hlab AS (
+  SELECT m.doc_id,
+         CASE WHEN m.n < {_TRAIN_MIN_TOKENS}
+                OR round(t.mc / cast(m.n AS DOUBLE), 4)
+                   > {_TRAIN_TOPWORD_FRAC}
+              THEN 1 ELSE -1 END AS y
+  FROM (SELECT doc_id, len(tk) AS n FROM hdocs) m
+  JOIN (SELECT doc_id, max(c) AS mc FROM (
+          SELECT doc_id, x, count(*) AS c
+          FROM hdocs, UNNEST(tk) AS u(x) GROUP BY doc_id, x)
+        GROUP BY doc_id) t ON m.doc_id = t.doc_id
+),
+htf AS (
+  SELECT doc_id, bucket, cast(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, {tok_b} AS bucket
+    FROM hdocs, UNNEST(tk) AS u(x))
+  GROUP BY doc_id, bucket
+  UNION ALL
+  SELECT doc_id, {_BIAS_BUCKET}, cast(1 AS BIGINT) FROM hdocs
+  UNION ALL
+  SELECT doc_id, {_LEN_BUCKET}, cast(len(tk) AS BIGINT) FROM hdocs
+),
+hm AS (
+  SELECT htf.doc_id, cast(sum(htf.tf * {w_t}.w) AS BIGINT) AS margin
+  FROM htf JOIN {w_t} ON htf.bucket = {w_t}.bucket
+  GROUP BY htf.doc_id
+),
+hs AS (
+  SELECT d.source, hm.margin, hlab.y
+  FROM hm
+  JOIN hlab ON hm.doc_id = hlab.doc_id
+  JOIN (SELECT doc_id, source FROM hdocs) d ON d.doc_id = hm.doc_id
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       cast((2 * cast(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) * 10000 + count(*))
+            // (2 * count(*)) AS DOUBLE) / 10000 AS flag_rate,
+       cast(sum(CASE WHEN (margin > 0) = (y = 1) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       cast((2 * cast(sum(CASE WHEN (margin > 0) = (y = 1)
+                               THEN 1 ELSE 0 END) AS BIGINT)
+             * 10000 + count(*))
+            // (2 * count(*)) AS DOUBLE) / 10000 AS accuracy
+FROM hs GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "quality_classifier_apply",
+    _apply_duck(),
+    tags=("inference", "curation"),
+)
+def quality_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained quality gate APPLIED to a true heldout split — the
+    generalization number the training census cannot give: train on
+    doc_id % {m} != 0 (the exact `_fit_steps` pipeline
+    `quality_classifier_train` documents, same code path), score the
+    never-seen % {m} == 0 docs with the final weight table, and
+    report per source: docs, flagged count/rate, and heldout accuracy
+    against the planted labels. This closes the model lifecycle
+    driver-visibly: train (census) -> apply (heldout) -> the
+    broadcast-join inference shape of `quality_classifier_scores`.
+
+    Determinism: training state is all-BIGINT (see the trainer);
+    heldout margins are integer sums against the integer weights; the
+    two output rates use integer half-up 4-dp division. The oracle
+    restates the ENTIRE fit on the train split inline (shared CTE
+    generator), so the hash proves the weights themselves, not just
+    the scores.
+
+    Scale notes (100 TB): identical cost shape to the trainer (the
+    heldout pass adds one tf build + one broadcast-weights join); the
+    {m}-way hash split is the stable sharding the sampling family
+    uses, so train/heldout membership is reproducible at any
+    scale.""".format(m=_APPLY_MOD)
+    docs_all = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("tk")
+    )
+    train = docs_all.where(F.col("doc_id") % _APPLY_MOD != 0).select(
+        "doc_id", "tk"
+    )
+    tf, lab = _tf_lab(train)
+    _steps, w = _fit_steps(tf, lab)
+    held = docs_all.where(F.col("doc_id") % _APPLY_MOD == 0)
+    htf, hlab = _tf_lab(held.select("doc_id", "tk"))
+    hm = (
+        htf.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("w")).cast("bigint").alias("margin"))
+    )
+    hs = hm.join(hlab, "doc_id").join(
+        held.select("doc_id", "source"), "doc_id"
+    )
+    flagged = (F.col("margin") > 0).cast("long")
+    correct = ((F.col("margin") > 0) == (F.col("y") == 1)).cast("long")
+    return (
+        hs.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("nd"),
+            F.sum(flagged).cast("bigint").alias("nf"),
+            F.sum(correct).cast("bigint").alias("nc"),
+        )
+        .select(
+            "source",
+            F.col("nd").alias("n_docs"),
+            F.col("nf").alias("n_flagged"),
+            (
+                F.expr(
+                    "cast((2 * nf * 10000 + nd) div (2 * nd) AS DOUBLE)"
+                )
+                / 10000
+            ).alias("flag_rate"),
+            F.col("nc").alias("n_correct"),
+            (
+                F.expr(
+                    "cast((2 * nc * 10000 + nd) div (2 * nd) AS DOUBLE)"
+                )
+                / 10000
+            ).alias("accuracy"),
+        )
+        .orderBy("source")
     )

@@ -878,3 +878,18 @@ def test_k_anonymity_ladder_is_monotone(spark, reg):
         assert a.rows_at_risk >= b.rows_at_risk
         assert a.pct_rows_at_risk >= b.pct_rows_at_risk
     assert rows[-1].classes_lt_k == 0
+
+
+def test_classifier_apply_generalizes_on_heldout(spark, reg):
+    """The trained gate must beat the majority-class baseline on the
+    NEVER-TRAINED split — the generalization claim the training
+    census (in-sample accuracy) cannot make."""
+    rows = reg["quality_classifier_apply"].spark_fn(spark, SF).collect()
+    n = sum(r.n_docs for r in rows)
+    correct = sum(r.n_correct for r in rows)
+    flagged = sum(r.n_flagged for r in rows)
+    assert n > 0
+    overall = correct / n
+    majority = max(flagged, n - flagged) / n
+    assert overall >= 0.9, f"heldout accuracy {overall:.3f}"
+    assert overall >= majority - 1e-9
