@@ -34,6 +34,13 @@ def main() -> int:
     ap.add_argument("--from-name", default=None)
     ap.add_argument("--to-name", default=None)
     ap.add_argument("--names", default=None)
+    ap.add_argument(
+        "--skip",
+        default="margin_mutual_nn",
+        help="comma-separated names to exclude (default: the documented "
+        "all-pairs labeled baseline, quadratic by design in BOTH "
+        "engines -- its scale path is the IVF candidate generator)",
+    )
     args = ap.parse_args()
 
     reg = load_all()
@@ -45,6 +52,8 @@ def main() -> int:
             names = [n for n in names if n >= args.from_name]
         if args.to_name:
             names = [n for n in names if n < args.to_name]
+    skip = {n.strip() for n in (args.skip or "").split(",") if n.strip()}
+    names = [n for n in names if n not in skip]
 
     spark = get_spark("sf1-parity-sweep")
     spark.sparkContext.setLogLevel("ERROR")
