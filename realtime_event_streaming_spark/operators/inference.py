@@ -638,11 +638,12 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _APPLY_MOD = 7
 
 
-def _apply_duck() -> str:
-    ctes, _evals = _train_ctes(f" WHERE doc_id % {_APPLY_MOD} <> 0")
+def _heldout_ctes() -> str:
+    """Heldout-split CTEs (docs, labels, tf, margins vs the trained
+    weights) — shared by the apply census and the reliability bins."""
     tok_b = f"('0x' || substr(md5(x), 1, 7))::BIGINT % {N_BUCKETS}"
     w_t = f"w{_TRAIN_STEPS}"
-    return f"""WITH {ctes},
+    return f"""
 hdocs AS (
   SELECT doc_id, source, string_split(text, ' ') AS tk
   FROM documents WHERE doc_id % {_APPLY_MOD} = 0
@@ -673,7 +674,12 @@ hm AS (
   SELECT htf.doc_id, cast(sum(htf.tf * {w_t}.w) AS BIGINT) AS margin
   FROM htf JOIN {w_t} ON htf.bucket = {w_t}.bucket
   GROUP BY htf.doc_id
-),
+)"""
+
+
+def _apply_duck() -> str:
+    ctes, _evals = _train_ctes(f" WHERE doc_id % {_APPLY_MOD} <> 0")
+    return f"""WITH {ctes},{_heldout_ctes()},
 hs AS (
   SELECT d.source, hm.margin, hlab.y
   FROM hm
@@ -771,4 +777,103 @@ def quality_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# reliability bins: does a bigger margin actually mean worse quality?
+# ---------------------------------------------------------------------------
+
+_RELIA_BINS = 10
+
+
+def _reliability_duck() -> str:
+    ctes, _evals = _train_ctes(f" WHERE doc_id % {_APPLY_MOD} <> 0")
+    return f"""WITH {ctes},{_heldout_ctes()},
+binned AS (
+  SELECT hm.doc_id, hm.margin, hlab.y,
+         ntile({_RELIA_BINS}) OVER (ORDER BY hm.margin, hm.doc_id)
+           AS bin
+  FROM hm JOIN hlab ON hm.doc_id = hlab.doc_id
+)
+SELECT cast(bin AS BIGINT) AS bin,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(margin) AS BIGINT) AS sum_margin,
+       cast(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       cast((2 * cast(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             * 10000 + count(*))
+            // (2 * count(*)) AS DOUBLE) / 10000 AS bad_rate
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+@register(
+    "classifier_reliability_bins",
+    _reliability_duck(),
+    tags=("inference", "curation"),
+)
+def classifier_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration-by-rank) table of the trained quality
+    gate on the heldout split: heldout docs ntile'd into {b} bins by
+    margin, each bin reporting size, exact integer margin mass, and
+    the empirical bad-label rate — the reliability-diagram row that
+    tells you whether a LARGER margin actually means a WORSE document
+    (i.e. whether the score is usable as a soft threshold, not just a
+    hard gate; the margin analogue of ECE for an uncalibrated linear
+    score). Completes the evaluation trio: `quality_score_auc`
+    (threshold-free ranking), `quality_classifier_apply` (point
+    accuracy), and this (rank calibration).
+
+    Determinism: margins are exact BIGINTs; the ntile orders by
+    (margin, doc_id) — no float enters until the one half-up 4-dp
+    rate; sum_margin is reported as the exact integer (means would
+    need sign-safe division; the sum carries the same information
+    loss-free). Scale notes: one extra window over the heldout
+    margins (doc-count-bounded rows, {b} output rows); everything
+    upstream is the shared train/apply pipeline.""".format(
+        b=_RELIA_BINS
+    )
+    from pyspark.sql import Window
+
+    docs_all = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    train = docs_all.where(F.col("doc_id") % _APPLY_MOD != 0)
+    tf, lab = _tf_lab(train)
+    _steps, w = _fit_steps(tf, lab)
+    held = docs_all.where(F.col("doc_id") % _APPLY_MOD == 0)
+    htf, hlab = _tf_lab(held)
+    hm = (
+        htf.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("w")).cast("bigint").alias("margin"))
+    )
+    wb = Window.orderBy("margin", "doc_id")
+    binned = (
+        hm.join(hlab, "doc_id")
+        .withColumn("bin", F.ntile(_RELIA_BINS).over(wb))
+    )
+    return (
+        binned.groupBy(F.col("bin").cast("bigint").alias("bin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("margin").cast("bigint").alias("sum_margin"),
+            F.sum((F.col("y") == 1).cast("long"))
+            .cast("bigint")
+            .alias("n_bad"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "sum_margin",
+            "n_bad",
+            (
+                F.expr(
+                    "cast((2 * n_bad * 10000 + n_docs) "
+                    "div (2 * n_docs) AS DOUBLE)"
+                )
+                / 10000
+            ).alias("bad_rate"),
+        )
+        .orderBy("bin")
     )

@@ -88,7 +88,8 @@ def register(
 #: (pagerank_pages, quality_score_auc, embedding_space_audit,
 #: token_pmi_topk, update_rollup_incremental, join_size_estimate,
 #: matryoshka_recall_eval, mmr_diverse_topk, ndcg_rank_eval,
-#: k_anonymity_census, rollup_parts_replay, page_pair_lift, quality_classifier_apply
+#: k_anonymity_census, rollup_parts_replay, page_pair_lift, quality_classifier_apply,
+#: classifier_reliability_bins
 #: — all locally green (and
 #: sf1-swept where the input scales with sf);
 #: never-rowed queries lead per the standing policy). Every yielded query remains locally oracle-gated by

@@ -893,3 +893,19 @@ def test_classifier_apply_generalizes_on_heldout(spark, reg):
     majority = max(flagged, n - flagged) / n
     assert overall >= 0.9, f"heldout accuracy {overall:.3f}"
     assert overall >= majority - 1e-9
+
+
+def test_reliability_bins_monotone(spark, reg):
+    """The bad-label rate must rise (weakly) with the margin bin —
+    the rank-calibration property that makes the margin usable as a
+    soft threshold — and separate the extremes decisively."""
+    rows = sorted(
+        reg["classifier_reliability_bins"].spark_fn(spark, SF).collect(),
+        key=lambda r: r.bin,
+    )
+    assert [r.bin for r in rows] == list(range(1, 11))
+    rates = [r.bad_rate for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(rates, rates[1:]))
+    assert rates[-1] - rates[0] > 0.5
+    margins = [r.sum_margin / r.n_docs for r in rows]
+    assert margins == sorted(margins)
