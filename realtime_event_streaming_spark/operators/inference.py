@@ -798,7 +798,8 @@ binned AS (
 )
 SELECT cast(bin AS BIGINT) AS bin,
        cast(count(*) AS BIGINT) AS n_docs,
-       cast(sum(margin) AS BIGINT) AS sum_margin,
+       cast(min(margin) AS BIGINT) AS mn_margin,
+       cast(max(margin) AS BIGINT) AS mx_margin,
        cast(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
        cast((2 * cast(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
              * 10000 + count(*))
@@ -826,9 +827,10 @@ def classifier_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: margins are exact BIGINTs; the ntile orders by
     (margin, doc_id) — no float enters until the one half-up 4-dp
-    rate; sum_margin is reported as the exact integer (means would
-    need sign-safe division; the sum carries the same information
-    loss-free). Scale notes: one extra window over the heldout
+    rate; each bin reports its exact MIN/MAX margin (a bin SUM
+    overflows BIGINT at sf1 — margins scale with the squared class
+    counts — and min/max additionally witness the ntile ordering:
+    mx of bin i <= mn of bin i+1 by construction). Scale notes: one extra window over the heldout
     margins (doc-count-bounded rows, {b} output rows); everything
     upstream is the shared train/apply pipeline.""".format(
         b=_RELIA_BINS
@@ -857,7 +859,8 @@ def classifier_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         binned.groupBy(F.col("bin").cast("bigint").alias("bin"))
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("margin").cast("bigint").alias("sum_margin"),
+            F.min("margin").cast("bigint").alias("mn_margin"),
+            F.max("margin").cast("bigint").alias("mx_margin"),
             F.sum((F.col("y") == 1).cast("long"))
             .cast("bigint")
             .alias("n_bad"),
@@ -865,7 +868,8 @@ def classifier_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "bin",
             "n_docs",
-            "sum_margin",
+            "mn_margin",
+            "mx_margin",
             "n_bad",
             (
                 F.expr(
