@@ -1067,18 +1067,31 @@ PCA_ITERS = 2
 #: fixed-point scale for the PCA integer state: vectors, means,
 #: directions and scores all live in exact BIGINT "quanta" of 1e-4.
 _PCAQ = 10000
-#: shift for sign-safe half-up integer division (see _hu).
-_PCA_HU_S = 10**8
+#: shifts for sign-safe half-up integer division (see _hu). The shift
+#: is PER CALL SITE because its two constraints pull opposite ways:
+#: correctness needs S*b > |a| (else the shifted dividend goes
+#: negative, where Spark's truncating ``div`` and DuckDB's flooring
+#: ``//`` disagree by 1), while overflow-safety needs 2*S*b + 2|a|
+#: < 2^63. Sites dividing by the quantum Q=1e4 see accumulator
+#: dividends up to ~1.3e15 (magnitude audit below), so they take
+#: S=1e12 (S*b = 1e16 > 1.3e15; 2*S*b ~ 2e16, overflow-safe); sites
+#: dividing by a row COUNT n see |a| <= n*1e4, so S=1e8 suffices for
+#: any n while 2*S*n stays < 2^63 up to n ~ 4.6e10 rows — a global
+#: S=1e12 would overflow the count sites at n > ~4.6e6.
+_PCA_HU_S = 10**12
+_PCA_HU_MEAN_S = 10**8
 
 
-def _hu(a: str, b: str, idiv: str) -> str:
+def _hu(a: str, b: str, idiv: str, s_val: int = _PCA_HU_S) -> str:
     """Engine-identical HALF-UP integer division a/b for b > 0 and
     possibly NEGATIVE a: shifting the dividend by S*b makes it
     non-negative, where Spark's truncating ``div`` and DuckDB's
     flooring ``//`` agree, then the shift is subtracted back out.
     This is the negative-dividend generalization of the
-    (2a + b) // (2b) half-up idiom used across the registry."""
-    s = f"cast({_PCA_HU_S} AS BIGINT)"  # keep literals out of INT32
+    (2a + b) // (2b) half-up idiom used across the registry.
+
+    PRECONDITION: |a| < s_val * b (see _PCA_HU_S notes above)."""
+    s = f"cast({s_val} AS BIGINT)"  # keep literals out of INT32
     return (
         f"((2 * ({a}) + 2 * {s} * ({b}) + ({b})) "
         f"{idiv} (2 * ({b})) - {s})"
@@ -1129,7 +1142,7 @@ msum AS (
   FROM vecs, UNNEST(generate_series(1, {_DIM})) AS g(i)
   GROUP BY i
 ),
-mu AS (SELECT i, {_hu("sm", "n", "//")} AS m FROM msum),
+mu AS (SELECT i, {_hu("sm", "n", "//", _PCA_HU_MEAN_S)} AS m FROM msum),
 muv AS (SELECT list(m ORDER BY i) AS mv FROM mu),
 centered0 AS MATERIALIZED (
   SELECT vec_id,
@@ -1230,7 +1243,7 @@ def _pca_centered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pos = vecs.select("vec_id", F.posexplode("vq").alias("i0", "x"))
     mu = pos.groupBy("i0").agg(
-        F.expr(_hu("sum(x)", "count(*)", "div")).alias("m")
+        F.expr(_hu("sum(x)", "count(*)", "div", _PCA_HU_MEAN_S)).alias("m")
     )
     muv = F.broadcast(
         mu.groupBy().agg(
@@ -1875,11 +1888,14 @@ hits AS (
   FROM approx a JOIN truth t ON a.qid = t.qid AND a.nid = t.nid
   GROUP BY a.dims
 )
-SELECT dims, n_hit,
-       cast((2 * n_hit * 10000 + {N_QUERIES * TOPK})
+SELECT b.dims,
+       coalesce(h.n_hit, cast(0 AS BIGINT)) AS n_hit,
+       cast((2 * coalesce(h.n_hit, cast(0 AS BIGINT)) * 10000
+             + {N_QUERIES * TOPK})
             // (2 * {N_QUERIES * TOPK}) AS DOUBLE) / 10000
          AS recall_at_k
-FROM hits ORDER BY dims
+FROM budgets b LEFT JOIN hits h ON b.dims = h.dims
+ORDER BY b.dims
 """
 
 
@@ -1940,10 +1956,26 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "nid"
     )
     denom = N_QUERIES * TOPK
-    return (
+    hits = (
         approx.join(truth, ["qid", "nid"])
         .groupBy("dims")
         .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    # LEFT-join onto the static budget list so a budget with ZERO hits
+    # still reports recall 0.0 instead of silently vanishing from the
+    # ladder (possible whenever the smallest prefix recalls nothing) —
+    # same structure in the DuckDB oracle.
+    budget_rows = spark.createDataFrame(
+        [(b,) for b in _MRL_BUDGETS], "dims int"
+    )
+    return (
+        budget_rows.join(F.broadcast(hits), "dims", "left")
+        .select(
+            "dims",
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("bigint")).alias(
+                "n_hit"
+            ),
+        )
         .select(
             "dims",
             "n_hit",

@@ -776,6 +776,8 @@ nt AS (SELECT cast(sum(c) AS BIGINT) AS n FROM uni),
 tt AS (SELECT cast(sum(c_ab) AS BIGINT) AS t FROM pc),
 scored AS (
   SELECT p.w1, p.w2, p.c_ab,
+         cast(p.c_ab AS DOUBLE)
+           / (cast(u1.c AS DOUBLE) * cast(u2.c AS DOUBLE)) AS assoc,
          cast(round(ln((p.c_ab * 1.0 / tt.t)
                        * (nt.n * 1.0 / u1.c)
                        * (nt.n * 1.0 / u2.c)) * 1000000)
@@ -788,7 +790,7 @@ scored AS (
 )
 SELECT w1, w2, c_ab, pmi_micro
 FROM scored
-ORDER BY pmi_micro DESC, w1, w2
+ORDER BY assoc DESC, w1, w2
 LIMIT {_PMI_TOPK}
 """
 
@@ -803,12 +805,15 @@ def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     {mc} occurrences (PMI is degenerate on singletons).
 
     PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ), reported as INTEGER
-    micro-nats (the bigram-LM model-table pattern: one ln per
-    DISTINCT pair computed from exact integer counts via an
-    identically-written double expression, rounded to 1e-6 — every
-    downstream comparison and the ORDER BY run on exact integers with
-    (w1, w2) tie-breaks, so the top-k cut is deterministic on both
-    engines).
+    micro-nats for display. The RANKING KEY is NOT the ln: n and t
+    are per-query constants, so PMI order equals the order of the
+    rational c_ab / (c_a * c_b), computed here as a double from exact
+    integer counts using only IEEE correctly-rounded ops (int->double
+    convert, one multiply, one divide) — bit-identical on both
+    engines, unlike ln (JVM Math.log vs libm can differ in the last
+    ulp, which near a 1e-6 rounding midpoint would flip pmi_micro by
+    1 and change the top-k cut). Ties on the key break by (w1, w2);
+    the ln survives only as the reported pmi_micro value.
 
     Plan: pair generation is two `lead()` offsets per token (NO
     self-join of positions — the window is fixed, so lateral offsets
@@ -868,6 +873,10 @@ def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "c_ab",
+            (
+                F.col("c_ab").cast("double")
+                / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+            ).alias("assoc"),
             F.round(
                 F.log(
                     (F.col("c_ab") * 1.0 / F.col("t"))
@@ -879,6 +888,7 @@ def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("pmi_micro"),
         )
-        .orderBy(F.desc("pmi_micro"), "w1", "w2")
+        .orderBy(F.desc("assoc"), "w1", "w2")
         .limit(_PMI_TOPK)
+        .select("w1", "w2", "c_ab", "pmi_micro")
     )

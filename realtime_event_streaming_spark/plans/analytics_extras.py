@@ -303,7 +303,13 @@ END
 """
 
 #: Benford expected frequencies log10(1 + 1/d), fixed 4dp literals so
-#: neither engine computes a log at query time.
+#: neither engine computes a log at query time. The literals are CAST
+#: TO DOUBLE in the output: left as raw decimals, Spark types the CASE
+#: ladder DECIMAL(4,4) while DuckDB types it DECIMAL(5,4), and the
+#: driver's value-hash is decimal-precision-sensitive — the one red
+#: driver row of rounds 3-7 (CORRECTNESS_r07, values bit-identical,
+#: hash_match false). Registry convention: outputs are double/bigint
+#: only, never raw decimal (enforced by tests/test_oracle_parity.py).
 _BENFORD_EXP = {
     1: 0.3010, 2: 0.1761, 3: 0.1249, 4: 0.0969, 5: 0.0792,
     6: 0.0669, 7: 0.0580, 8: 0.0512, 9: 0.0458,
@@ -325,8 +331,9 @@ tot AS (SELECT sum(n) AS t FROM counts)
 SELECT digit,
        cast(n AS BIGINT) AS n,
        round(cast(n AS DOUBLE) / tot.t, 4) AS observed_frac,
-       {_BENFORD_CASE} AS benford_frac,
-       round(abs(cast(n AS DOUBLE) / tot.t - {_BENFORD_CASE}), 4)
+       cast({_BENFORD_CASE} AS DOUBLE) AS benford_frac,
+       round(abs(cast(n AS DOUBLE) / tot.t
+                 - cast({_BENFORD_CASE} AS DOUBLE)), 4)
          AS abs_dev
 FROM counts CROSS JOIN tot
 ORDER BY digit

@@ -740,7 +740,16 @@ def page_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT PAGES VISITED (page-domain-bounded, 100 here), shuffled
     on user_id — the sessionizer's key; the pair census collapses to
     <= |pages|^2/2 rows; page counts broadcast back. The classic
-    a-priori first pass, expressed as joins.""".format(
+    a-priori first pass, expressed as joins.
+
+    Integer-range bound: the lift4 numerator 2*c_ab*n*10^4 stays
+    BIGINT-exact while c_ab*n < ~4.6e14 — comfortable for any
+    single-tenant page domain (c_ab <= n, so it holds up to ~21M
+    co-visiting users) but NOT unbounded: past ~2e7 x 2e7 the
+    numerator overflows. The scale-out form divides first — lift =
+    (c_ab/c_a) * (n/c_b) as two half-up ratios at 1e-2 each — or
+    computes lift4 in DuckDB HUGEINT / Spark DECIMAL(38,0); the
+    10^4-quantized output algebra is unchanged.""".format(
         m=_LIFT_MIN_USERS
     )
     register_views(spark, sf_dir, tables=("events",))

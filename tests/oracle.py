@@ -80,8 +80,14 @@ def _arrow_type_class(t: pa.DataType) -> str:
         return "float"
     if pa.types.is_decimal(t):
         # DuckDB HUGEINT arrives as decimal128(38,0); true decimals
-        # keep their own class.
-        return "int128" if t.scale == 0 and t.precision >= 38 else "decimal"
+        # carry (precision, scale) — the driver's value-hash is
+        # decimal-PRECISION-sensitive (benford_digit_census, r7: values
+        # bit-identical, Spark DECIMAL(4,4) vs DuckDB DECIMAL(5,4),
+        # hash_match false), so a coarse "decimal" class here let the
+        # local sim pass where the driver failed.
+        if t.scale == 0 and t.precision >= 38:
+            return "int128"
+        return f"decimal({t.precision},{t.scale})"
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return "str"
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
@@ -112,7 +118,9 @@ def _spark_type_class(dtype: str) -> str:
     if d.startswith("timestamp"):
         return "timestamp"
     if d.startswith("decimal"):
-        return "decimal"
+        # Keep (precision,scale) — see _arrow_type_class. Spark prints
+        # e.g. "decimal(4,4)"; normalize spacing.
+        return d.replace(" ", "")
     if d.startswith("array<"):
         return f"list<{_spark_type_class(d[6:-1])}>"
     return d
