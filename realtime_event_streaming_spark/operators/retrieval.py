@@ -588,15 +588,21 @@ ORDER BY query_id, rnk
 """
 
 
-def _ivfpq_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfpq_ranked(
+    spark: SparkSession, sf_dir: str, nprobe: int | None = None
+) -> DataFrame:
     """The full ADC candidate ranking (query_id, neighbor_id, adc_d2,
     rnk) — everything in `ivf_pq_topk` before the top-k filter; the
-    recall evaluation reads deeper ranks than the search tail keeps."""
+    recall evaluation reads deeper ranks than the search tail keeps.
+    ``nprobe`` defaults to the registered IVF_NPROBE; the recall-vs-
+    cost sweep (scripts/pq_recall_sweep.py) passes other values."""
     from .similarity import IVF_NPROBE, _kmeans_rank, _train_kmeans
 
     from ..io import load_table
     from pyspark.sql import Window
 
+    if nprobe is None:
+        nprobe = IVF_NPROBE
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select(
         "vec_id",
@@ -607,7 +613,7 @@ def _ivfpq_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked_cells = _kmeans_rank(vecs, cents)
     cells = ranked_cells.where(F.col("rn") == 1).select("vec_id", "cid")
     qprobe = ranked_cells.where(
-        (F.col("rn") <= IVF_NPROBE) & (F.col("vec_id") < PQ_NQ)
+        (F.col("rn") <= nprobe) & (F.col("vec_id") < PQ_NQ)
     ).select(F.col("vec_id").alias("qid"), "cid")
 
     # -- PQ codebooks + codes + per-query LUTs (same pipeline as
@@ -1077,18 +1083,25 @@ ORDER BY query_id, rnk
 """
 
 
-def _reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _reranked(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int | None = None,
+    shortlist: int = RERANK_SHORTLIST,
+) -> DataFrame:
     """(query_id, neighbor_id, exact_d2, rnk): the IVF-PQ ADC shortlist
     re-ranked by exact full-vector squared L2 — shared by the search
-    query and its recall evaluation."""
+    query and its recall evaluation. ``nprobe``/``shortlist`` default
+    to the registered operating point; scripts/pq_recall_sweep.py
+    sweeps them for the deployment curve."""
     from .similarity import _D2_SPARK
 
     from ..io import load_table
     from pyspark.sql import Window
 
     short = (
-        _ivfpq_ranked(spark, sf_dir)
-        .where(F.col("rnk") <= RERANK_SHORTLIST)
+        _ivfpq_ranked(spark, sf_dir, nprobe=nprobe)
+        .where(F.col("rnk") <= shortlist)
         .select("query_id", "neighbor_id")
     )
     emb = load_table(spark, sf_dir, "embeddings")

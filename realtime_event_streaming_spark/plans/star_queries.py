@@ -40,17 +40,24 @@ NTZ = "timestamp_ntz"
 # ---------------------------------------------------------------------------
 
 _T1_DUCK = """
+WITH q AS (
+  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice, l_discount,
+         cast(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS eq,
+         cast(floor(l_discount * 100 + 0.5) AS BIGINT) AS dq,
+         cast(floor(l_tax * 100 + 0.5) AS BIGINT) AS tq
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+)
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       cast(sum(cast(round(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS sum_base_price,
-       cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
-       cast(sum(cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_charge,
+       cast(sum(eq) AS DOUBLE) / 100 AS sum_base_price,
+       cast(sum(eq * (100 - dq)) AS DOUBLE) / 10000 AS sum_disc_price,
+       cast(sum(eq * (100 - dq) * (100 + tq)) AS DOUBLE) / 1000000 AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(avg(l_discount), 4) AS avg_disc,
        count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+FROM q
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
@@ -60,18 +67,46 @@ ORDER BY l_returnflag, l_linestatus
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shape pricing summary: single scan, derived measures,
     low-cardinality group-by. Whole-stage-codegen'd partial agg makes
-    the shuffle ~6 rows regardless of input size."""
+    the shuffle ~6 rows regardless of input size.
+
+    Determinism form (round-8 rework of the round-7 hardening, which
+    the r6->r7 driver bench showed cost +121% on this full-scan
+    query): price/discount/tax are 2-decimal quantities, so they
+    quantize ONCE to integer cents / basis points — cast(floor(x*100
+    + 0.5)) is a codegen intrinsic, unlike round()-on-double which
+    routes through per-row BigDecimal — and every derived measure is
+    an exact integer product of those quanta: eq*(100-dq) IS
+    round(price*(1-disc)*1e4) bit-for-bit on 2dp data (the float
+    chain sits within a few ulps of the same integer), so the output
+    is unchanged while the per-row cost drops from three BigDecimal
+    rounds on long multiply chains to three cheap floors. Measured
+    at sf0.1: 0.79s -> ~0.45s median. Sum magnitudes are unchanged
+    from the round-7 form (charge quanta <= ~1.2e11/row; BIGINT-safe
+    to ~7.7e7 rows per group, then re-scale the quantum)."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    pre = li.where(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast(NTZ)
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        F.expr("cast(floor(l_extendedprice * 100 + 0.5D) AS BIGINT)").alias("eq"),
+        F.expr("cast(floor(l_discount * 100 + 0.5D) AS BIGINT)").alias("dq"),
+        F.expr("cast(floor(l_tax * 100 + 0.5D) AS BIGINT)").alias("tq"),
+    )
     return (
-        li.where(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast(NTZ))
-        .groupBy("l_returnflag", "l_linestatus")
+        pre.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.expr("cast(sum(cast(round(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE) / 10000").alias("sum_base_price"),
-            F.expr("cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000").alias("sum_disc_price"),
-            F.expr("cast(sum(cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000").alias("sum_charge"),
+            (F.sum("eq").cast("double") / 100).alias("sum_base_price"),
+            F.expr(
+                "cast(sum(eq * (100 - dq)) AS DOUBLE) / 10000"
+            ).alias("sum_disc_price"),
+            F.expr(
+                "cast(sum(eq * (100 - dq) * (100 + tq)) AS DOUBLE) / 1000000"
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Live end-to-end latency measurement at the reference's own rate and
+formula: wire JSON produced in real time at ~100 events/s, tailed by
+the file-source stand-in for the Kafka reader, parsed and written to
+the raw sink with `created_at`; latency = created_at - ts (the
+reference's metrics_queries.sql:16). Reported: avg / P95 / max.
+
+Usage: python scripts/live_latency.py [duration_sec] [rate_per_sec]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import threading
+import time
+import uuid
+from pathlib import Path
+
+sys.path.insert(0, ".")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from realtime_event_streaming_spark.session import get_spark  # noqa: E402
+from realtime_event_streaming_spark.streaming.ingest import (  # noqa: E402
+    parse_clicks,
+    read_json_file_stream,
+    write_raw_events,
+)
+
+
+def produce(src_dir: Path, duration: float, rate: int, stop: threading.Event):
+    """One JSON-lines file per second, `rate` events each, ts = now —
+    the reference producer's default cadence (produce.py: 100 ev/s)."""
+    t_end = time.time() + duration
+    i = 0
+    while time.time() < t_end and not stop.is_set():
+        tick = time.time()
+        lines = []
+        for j in range(rate):
+            lines.append(json.dumps({
+                "event_id": str(uuid.uuid4()),
+                "user_id": f"u{j % 500}",
+                "ts": int(time.time() * 1000),
+                "page": f"/p{j % 40}",
+                "referrer": "direct",
+                "country": "US",
+                "device": "desktop",
+            }))
+        tmp = src_dir / f".{i}.json.tmp"
+        tmp.write_text("\n".join(lines) + "\n")
+        tmp.rename(src_dir / f"{i}.json")  # atomic appearance
+        i += 1
+        time.sleep(max(0.0, 1.0 - (time.time() - tick)))
+
+
+def main():
+    duration = float(sys.argv[1]) if len(sys.argv) > 1 else 60.0
+    rate = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    work = Path(tempfile.mkdtemp(prefix="live_latency_"))
+    src, sink, ckpt = work / "src", work / "raw", work / "ckpt"
+    src.mkdir()
+
+    spark = get_spark("live-latency")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    stop = threading.Event()
+    prod = threading.Thread(
+        target=produce, args=(src, duration, rate, stop), daemon=True
+    )
+    prod.start()
+
+    raw = read_json_file_stream(spark, str(src), max_files_per_trigger=None)
+    events = parse_clicks(raw)
+    q = write_raw_events(
+        events, str(sink), str(ckpt),
+        trigger={"processingTime": "2 seconds"},
+    )
+    prod.join()
+    # drain the tail: wait until two consecutive idle triggers
+    time.sleep(6)
+    q.stop()
+    stop.set()
+
+    df = spark.read.parquet(str(sink))
+    lat = df.select(
+        (F.col("created_at").cast("double") - F.col("ts").cast("double"))
+        .alias("lat")
+    )
+    stats = lat.agg(
+        F.count("*").alias("n"),
+        F.avg("lat").alias("avg"),
+        F.expr("percentile(lat, 0.95)").alias("p95"),
+        F.max("lat").alias("mx"),
+    ).collect()[0]
+    print(
+        f"events={stats.n} rate={rate}/s duration={duration}s "
+        f"avg={stats.avg:.2f}s p95={stats.p95:.2f}s max={stats.mx:.2f}s"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
