@@ -578,6 +578,47 @@ ORDER BY i.source
 """
 
 
+def _mix_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest's ONLY text pass: (doc_id, source, content_hash,
+    n_tok, q_ok) for the augmented corpus. The planted duplicates
+    (every 50th doc, ids offset above max — `dedup_exact_groups`'s
+    lazy-offset broadcast pattern) are derived from the flagged
+    ORIGINALS, not re-read from parquet: a copy shares its original's
+    hash, token count and quality verdict by construction, so the
+    text column is scanned and tokenized exactly once
+    (plan-asserted in test_plan_properties)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("content_hash"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+        (
+            (F.size(F.split("text", " ")) >= _MIX_MIN_TOKENS)
+            & (
+                F.size(F.array_distinct(F.split("text", " ")))
+                / F.size(F.split("text", " ")).cast("double")
+                >= _MIX_MIN_TTR
+            )
+        ).alias("q_ok"),
+    ).localCheckpoint(eager=False)  # the one and only text pass
+    offset_df = base.agg((F.max("doc_id") + 1).alias("_offset"))
+    planted = (
+        base.where(F.col("doc_id") % 50 == 0)
+        .crossJoin(F.broadcast(offset_df))
+        .select(
+            (F.col("doc_id") + F.col("_offset")).alias("doc_id"),
+            "source",
+            "content_hash",
+            "n_tok",
+            "q_ok",
+        )
+    )
+    return base.unionByName(planted)
+
+
 @register(
     "pretraining_mix_manifest",
     _mix_sql("len", "string_split", "list_distinct", "VARCHAR", "//"),
@@ -609,19 +650,116 @@ def pretraining_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture has no exact dups below sf0.1, and a manifest whose dedup
     column is structurally zero proves nothing about the stage.
 
-    Scale notes (100 TB): the chain is scan -> two corpus-keyed
-    shuffles (content_hash for survivorship, source for packing) ->
-    bounded per-source censuses joined on the source dimension. No
-    stage widens the data: the gate is a projection, dedup keeps the
-    FIRST row per hash (map-side-combinable rank), packing is the
-    per-shard cumulative window `sequence_pack` already ships at
-    scale (sub-shard (source, file_bucket) to bound partitions). The
-    census joins are dimension-sized broadcasts. Nothing here is a
-    second pass over text — tokens are counted once in the gate
-    projection and reused by every later stage.""".format(
+    Scale notes (100 TB): the chain is ONE text scan -> two
+    corpus-keyed shuffles (content_hash for survivorship, source for
+    packing) -> bounded per-source censuses joined on the source
+    dimension. The Spark side is DataFrame code, NOT the CTE text:
+    Spark inlines every CTE reference, and the naive CTE form
+    re-scans (and re-tokenizes) the parquet 15 times — here the
+    flagged projection (hash, token count, quality verdict: the only
+    pass that touches text) is localCheckpointed and every census
+    branch reads it back, plan-asserted to a single parquet scan by
+    test_plan_properties. No stage widens the data: the gate is a
+    projection, dedup keeps the FIRST row per hash (map-side-
+    combinable rank), packing is the per-shard cumulative window
+    `sequence_pack` already ships at scale (sub-shard
+    (source, file_bucket) to bound partitions). The census joins are
+    dimension-sized broadcasts.""".format(
         sl=_MIX_SEQ_LEN
     )
-    register_views(spark, sf_dir, tables=("documents",))
-    return spark.sql(
-        _mix_sql("size", "split", "array_distinct", "STRING", "div")
+    flagged = _mix_flagged(spark, sf_dir).localCheckpoint(eager=False)
+    wocc = Window.partitionBy("content_hash").orderBy("doc_id")
+    surv = (
+        flagged.where("q_ok")
+        .withColumn("occ", F.row_number().over(wocc))
+        .localCheckpoint(eager=False)
+    )
+    split_docs = (
+        surv.where(F.col("occ") == 1)
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.expr(
+                f"CASE WHEN {_H16.format(t='STRING')} < 52429 THEN 'train' "
+                f"WHEN {_H16.format(t='STRING')} < 58982 THEN 'val' "
+                f"ELSE 'test' END"
+            ).alias("split"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        split_docs.where(F.col("split") == "train")
+        .withColumn(
+            "tok_before", F.coalesce(F.sum("n_tok").over(wcum), F.lit(0))
+        )
+        .groupBy("source")
+        .agg(
+            F.countDistinct(
+                F.floor(F.col("tok_before") / F.lit(float(_MIX_SEQ_LEN)))
+            )
+            .cast("bigint")
+            .alias("n_train_sequences"),
+            F.sum("n_tok").cast("bigint").alias("train_tokens"),
+        )
+    )
+    input_gate = flagged.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_input"),
+        F.sum(F.when(F.col("q_ok"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("drop_quality"),
+    )
+    dup_census = surv.groupBy("source").agg(
+        F.sum(F.when(F.col("occ") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("drop_duplicate")
+    )
+    kept_census = split_docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("n_tok").cast("bigint").alias("tokens_kept"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_test"),
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        input_gate.join(F.broadcast(dup_census), "source", "left")
+        .join(F.broadcast(kept_census), "source", "left")
+        .join(F.broadcast(packed), "source", "left")
+        .select(
+            "source",
+            "n_input",
+            "drop_quality",
+            F.coalesce("drop_duplicate", z).alias("drop_duplicate"),
+            F.coalesce("n_kept", z).alias("n_kept"),
+            F.coalesce("tokens_kept", z).alias("tokens_kept"),
+            F.coalesce("n_train", z).alias("n_train"),
+            F.coalesce("n_val", z).alias("n_val"),
+            F.coalesce("n_test", z).alias("n_test"),
+            F.coalesce("n_train_sequences", z).alias("n_train_sequences"),
+            F.when(
+                F.coalesce("n_train_sequences", z) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                F.expr(
+                    f"cast((2 * train_tokens * 10000 "
+                    f"+ n_train_sequences * {_MIX_SEQ_LEN}) "
+                    f"div (2 * n_train_sequences * {_MIX_SEQ_LEN}) "
+                    f"AS DOUBLE) / 10000"
+                )
+            )
+            .alias("train_fill_rate"),
+        )
+        .orderBy("source")
     )

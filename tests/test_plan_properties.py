@@ -909,3 +909,27 @@ def test_reliability_bins_monotone(spark, reg):
     assert rates[-1] - rates[0] > 0.5
     for a, b in zip(rows, rows[1:]):
         assert a.mn_margin <= a.mx_margin <= b.mn_margin
+
+
+def test_mix_manifest_reads_checkpoints_not_parquet(spark, reg):
+    """The manifest's CTE-text form re-scanned (and re-tokenized) the
+    documents parquet 15 times — Spark inlines every CTE reference.
+    The DataFrame form funnels every census branch through
+    localCheckpointed intermediates: the final plan must contain NO
+    parquet scan (all corpus reads go through the one flagged text
+    pass), and the flagged pass itself must be a single scan."""
+    from realtime_event_streaming_spark.operators.sampling import (
+        _mix_flagged,
+    )
+
+    df = reg["pretraining_mix_manifest"].spark_fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0, (
+        "census branches must read the checkpointed text pass, "
+        "not re-scan parquet"
+    )
+    # the text pass: one full scan + nothing else touching `text`
+    # (the planted-duplicate arm derives from the checkpointed base)
+    fplan = _mix_flagged(spark, SF)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert fplan.count("Scan parquet") == 0
