@@ -301,3 +301,136 @@ def start_embedding_admission(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# streaming MANIFEST admission: the pretraining_mix_manifest twin
+# ---------------------------------------------------------------------------
+
+
+def start_manifest_admission(
+    spark: SparkSession,
+    src_path: str,
+    index_path: str,
+    out_path: str,
+    manifest_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = 1,
+    available_now: bool = True,
+):
+    """`pretraining_mix_manifest`'s streaming twin: the same admission
+    chain (quality gate -> exact-dedup survivorship), run per micro-
+    batch, with EVERY stage's kill count recorded — each batch appends
+    per-source counter rows (batch_id, source, n_input, drop_quality,
+    drop_duplicate, admitted, tokens_admitted) to ``manifest_path``
+    alongside the admitted docs and the index update, so the corpus
+    manifest accumulates live instead of being recomputed nightly.
+
+    Unlike `start_corpus_admission` (which gates BEFORE the sink and
+    so cannot count what it dropped), the raw parsed stream enters
+    foreachBatch ungated: the batch function computes the quality
+    verdict, resolves duplicates within the batch (first doc_id per
+    content hash) and against the MATERIALIZED hash index (everything
+    ever admitted), and attributes every input row to exactly one
+    fate — the same conservation invariant the batch manifest pins
+    (n_input = drop_quality + drop_duplicate + admitted, per source,
+    per batch; test_corpus_ingest pins it and stream==batch parity).
+
+    Scale notes: identical to `start_corpus_admission` — the index
+    probe is an O(batch) anti-join; the counters are one extra
+    group-by over the already-checkpointed batch (dimension-sized
+    output). Exactly-once: a recovered re-run of batch N re-probes
+    the index N's first run updated, admitting 0 and writing a
+    zero-admission counter row — admitted counts never double."""
+    parsed = parse_docs(read_doc_stream(
+        spark, src_path, max_files_per_trigger=max_files_per_trigger
+    ))
+
+    def _admit(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        from pyspark.sql import Window as W
+
+        flagged = batch_df.select(
+            "doc_id",
+            "source",
+            "text",
+            F.md5("text").alias("content_hash"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            (
+                (F.size(F.split("text", " ")) >= MIN_TOKENS)
+                & (
+                    F.size(F.array_distinct(F.split("text", " ")))
+                    / F.size(F.split("text", " ")).cast("double")
+                    >= MIN_TTR
+                )
+            ).alias("q_ok"),
+        ).localCheckpoint()
+        known = (
+            sess.read.parquet(f"{index_path}/content_hash")
+            .select("h")
+            .distinct()
+        )
+        wocc = W.partitionBy("content_hash").orderBy("doc_id")
+        fates = (
+            flagged.where("q_ok")
+            .withColumn("occ", F.row_number().over(wocc))
+            .join(known, F.col("content_hash") == F.col("h"), "left")
+            .select(
+                "doc_id", "source", "text", "content_hash", "n_tokens",
+                ((F.col("occ") > 1) | F.col("h").isNotNull()).alias("dup"),
+            )
+            .localCheckpoint()
+        )
+        admitted = fates.where(~F.col("dup"))
+        admitted.select(
+            "doc_id", "source", "text", "content_hash", "n_tokens"
+        ).write.mode("append").parquet(out_path)
+        admitted.select(
+            "doc_id", F.col("content_hash").alias("h")
+        ).write.mode("append").parquet(f"{index_path}/content_hash")
+        counters = (
+            flagged.select("doc_id", "source", F.col("q_ok"))
+            .join(
+                fates.select("doc_id", "dup"), "doc_id", "left"
+            )
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("bigint").alias("n_input"),
+                F.sum(F.when(F.col("q_ok"), 0).otherwise(1))
+                .cast("bigint")
+                .alias("drop_quality"),
+                F.sum(F.when(F.col("dup"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("drop_duplicate"),
+                F.sum(
+                    F.when(F.col("q_ok") & ~F.coalesce("dup", F.lit(False)), 1)
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias("admitted"),
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+        )
+        tokens = (
+            admitted.groupBy("source")
+            .agg(F.sum("n_tokens").cast("bigint").alias("tokens_admitted"))
+        )
+        counters.join(tokens, "source", "left").select(
+            "batch_id",
+            "source",
+            "n_input",
+            "drop_quality",
+            "drop_duplicate",
+            "admitted",
+            F.coalesce("tokens_admitted", F.lit(0).cast("bigint")).alias(
+                "tokens_admitted"
+            ),
+        ).write.mode("append").parquet(manifest_path)
+
+    writer = (
+        parsed.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -227,3 +227,89 @@ def test_embedding_admission_read_your_writes(spark, tmp_path):
     assert {
         r.vec_id for r in post.where("vec_id >= 10000").collect()
     } == {10001, 10004}
+
+
+def test_manifest_admission_counters_conserve_and_match_batch(
+    spark, tmp_path
+):
+    """The pretraining_mix_manifest streaming twin: per-batch counter
+    rows must (a) attribute every input row to exactly one fate
+    (n_input = drop_quality + drop_duplicate + admitted, per source
+    per batch), (b) admit exactly the set the batch chain (quality
+    gate + first-seen dedup incl. history) would admit, and (c) be
+    replay-safe — a second run over the same files against the grown
+    index admits nothing."""
+    from realtime_event_streaming_spark.io import load_table
+    from realtime_event_streaming_spark.operators.dedup import (
+        write_dedup_index,
+    )
+    from realtime_event_streaming_spark.streaming.corpus_ingest import (
+        start_manifest_admission,
+    )
+
+    index = str(tmp_path / "index")
+    write_dedup_index(spark, "/root/testdata/sf0.001", index)
+    corpus_text = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .where("doc_id = 10")
+        .collect()[0]
+        .text
+    )
+
+    batches = [
+        [
+            _doc(1, corpus_text, "sA", 0),   # historic dup -> index kill
+            _doc(2, GOOD_1, "sA", 1),        # admitted
+            _doc(3, JUNK_SHORT, "sA", 2),    # quality kill
+            _doc(4, GOOD_2, "sB", 3),        # admitted
+            _doc(5, GOOD_2, "sB", 4),        # within-batch dup -> kill
+        ],
+        [
+            _doc(6, GOOD_1, "sB", 100),      # re-send of batch-1 admit
+            _doc(7, JUNK_TTR, "sB", 101),    # quality kill
+            _doc(8, GOOD_3, "sA", 102),      # admitted
+        ],
+    ]
+    src = str(tmp_path / "docs")
+    _write_batches(src, batches)
+
+    q = start_manifest_admission(
+        spark,
+        src,
+        index,
+        str(tmp_path / "corpus_out"),
+        str(tmp_path / "manifest"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    man = spark.read.parquet(str(tmp_path / "manifest")).collect()
+    assert len(man) == 4  # 2 batches x 2 sources
+    for r in man:
+        assert r.n_input == r.drop_quality + r.drop_duplicate + r.admitted, r
+    assert sum(r.admitted for r in man) == 3
+    assert sum(r.drop_quality for r in man) == 2
+    assert sum(r.drop_duplicate for r in man) == 3  # historic+within+resend
+
+    admitted = spark.read.parquet(str(tmp_path / "corpus_out"))
+    assert {r.doc_id for r in admitted.collect()} == {2, 4, 8}
+    # admitted tokens match the counter rows
+    tok_manifest = sum(r.tokens_admitted for r in man)
+    tok_corpus = admitted.agg(F.sum("n_tokens")).collect()[0][0]
+    assert tok_manifest == tok_corpus
+
+    # replay the same files on a fresh checkpoint: the grown index
+    # rejects everything; counters record the rejection, not silence
+    q2 = start_manifest_admission(
+        spark,
+        src,
+        index,
+        str(tmp_path / "corpus_out"),
+        str(tmp_path / "manifest2"),
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(300)
+    man2 = spark.read.parquet(str(tmp_path / "manifest2")).collect()
+    assert sum(r.admitted for r in man2) == 0
+    assert sum(r.drop_duplicate for r in man2) == 6  # every survivor killed
+    assert spark.read.parquet(str(tmp_path / "corpus_out")).count() == 3
