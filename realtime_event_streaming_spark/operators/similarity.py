@@ -1989,3 +1989,144 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dims")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss oblivious projection + distortion census
+# ---------------------------------------------------------------------------
+
+#: target dimension budgets for the +/-1 projection
+_JL_DIMS = (16, 32)
+#: evaluation panel: pairwise distances among the first N vectors
+_JL_PANEL = 60
+
+
+def _jl_duck() -> str:
+    return _jl_body(
+        t="VARCHAR",
+        unnest64="SELECT unnest(generate_series(1, 64)) AS i",
+        unnestj=f"SELECT unnest(generate_series(1, {max(_JL_DIMS)})) AS j",
+        unnestd=f"SELECT unnest([{', '.join(str(d) for d in _JL_DIMS)}]) AS dims",
+        quant="list_transform(embedding, x -> "
+              "cast(round(cast(x AS DOUBLE) * 10000) AS BIGINT))",
+        elem="{v}[{i}]",
+        lagg="list(p ORDER BY j)",
+        isum="cast(list_sum(list_transform(generate_series(1, {n}), "
+             "q -> ({a}[q] - {b}[q]) * ({a}[q] - {b}[q]))) AS BIGINT)",
+        idiv="//",
+    )
+
+
+def _jl_spark() -> str:
+    return _jl_body(
+        t="STRING",
+        unnest64="SELECT explode(sequence(1, 64)) AS i",
+        unnestj=f"SELECT explode(sequence(1, {max(_JL_DIMS)})) AS j",
+        unnestd="SELECT explode(array("
+                f"{', '.join(str(d) for d in _JL_DIMS)})) AS dims",
+        quant="transform(embedding, x -> "
+              "cast(round(cast(x AS DOUBLE) * 10000) AS BIGINT))",
+        elem="element_at({v}, {i})",
+        lagg="transform(array_sort(collect_list(struct(j, p))), e -> e.p)",
+        isum="aggregate(zip_with(slice({a}, 1, {n}), slice({b}, 1, {n}), "
+             "(x, y) -> (x - y) * (x - y)), cast(0 AS BIGINT), "
+             "(acc, x) -> acc + x)",
+        idiv="div",
+    )
+
+
+def _jl_body(t, unnest64, unnestj, unnestd, quant, elem, lagg, isum, idiv):
+    """One body, two dialects. The sign matrix is DATA-INDEPENDENT
+    (md5 parity of the (i, j) cell string), so both engines
+    materialize the identical +/-1 matrix; every projection coordinate
+    and every squared distance is an exact BIGINT sum — no float
+    enters until the final half-up 4-dp ratios."""
+    d2_orig = isum.format(a="a.v", b="b.v", n=64)
+    d2_proj = isum.format(a="pa.pv", b="pb.pv", n="bb.dims")
+    return f"""
+WITH vq AS (
+  SELECT vec_id, {quant} AS v
+  FROM embeddings WHERE vec_id < {_JL_PANEL}
+),
+signs AS (
+  SELECT g.i, h.j,
+         CASE WHEN (instr('0123456789abcdef',
+                    substr(md5(cast(g.i AS {t}) || '_' || cast(h.j AS {t})),
+                           1, 1)) - 1) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM ({unnest64}) g CROSS JOIN ({unnestj}) h
+),
+coords AS (
+  SELECT vec_id, g.i AS i, {elem.format(v="v", i="g.i")} AS x
+  FROM vq CROSS JOIN ({unnest64}) g
+),
+proj AS (
+  SELECT c.vec_id, s.j, cast(sum(c.x * s.s) AS BIGINT) AS p
+  FROM coords c JOIN signs s ON s.i = c.i
+  GROUP BY c.vec_id, s.j
+),
+pvs AS (
+  SELECT vec_id, {lagg} AS pv
+  FROM proj GROUP BY vec_id
+),
+od AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb, {d2_orig} AS d2
+  FROM vq a JOIN vq b ON a.vec_id < b.vec_id
+),
+pd AS (
+  SELECT o.d2, bb.dims, {d2_proj} AS pj
+  FROM od o
+  JOIN pvs pa ON pa.vec_id = o.ida
+  JOIN pvs pb ON pb.vec_id = o.idb
+  CROSS JOIN ({unnestd}) bb
+),
+rt AS (
+  SELECT dims,
+         (2 * pj * 10000 + dims * d2) {idiv} (2 * dims * d2) AS r4
+  FROM pd WHERE d2 > 0
+)
+SELECT dims,
+       cast(count(*) AS BIGINT) AS n_pairs,
+       cast((2 * cast(sum(r4) AS BIGINT) + count(*))
+            {idiv} (2 * count(*)) AS DOUBLE) / 10000 AS mean_distortion,
+       cast(min(r4) AS DOUBLE) / 10000 AS min_distortion,
+       cast(max(r4) AS DOUBLE) / 10000 AS max_distortion
+FROM rt GROUP BY dims ORDER BY dims
+"""
+
+
+@register("jl_projection_distortion", _jl_duck(), tags=("similarity",))
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss oblivious dimensionality reduction with a
+    measured distortion census — the DATA-INDEPENDENT member of the
+    engine's reduction triad (PCA = learned basis, Matryoshka =
+    learned prefix, JL = no training at all): project the 64-dim
+    embeddings through a deterministic +/-1 sign matrix (Achlioptas
+    2003's database-friendly JL transform; the sign of cell (i, j) is
+    the md5 parity of its coordinate string, so every engine, run and
+    shard materializes the IDENTICAL matrix — no RNG) and report, per
+    target dimension {dims}, the spread of the JL distortion ratio
+    ||R(a-b)||^2 / (d' * ||a-b||^2) over the {panel}-vector panel's
+    pairs (E[ratio] = 1 by the JL lemma; spread ~ sqrt(2/d')).
+
+    The pre-flight check before swapping a full-width ANN/LSH index
+    for a projected one: if max/min distortion at d'=16 is inside the
+    recall budget, every downstream bucketing operator (`ann_lsh_topk`,
+    `embedding_near_dup`) runs on 4x fewer dimensions unchanged.
+
+    Determinism: vectors quantize once to BIGINT quanta (the PCA
+    recipe); projection coordinates and both squared distances are
+    exact integer sums; ratios are half-up integer 4-dp divisions —
+    no float, log or sqrt anywhere, so the census value-hashes
+    identically on both engines at any scale.
+
+    Scale notes (100 TB): the sign matrix is 64 x {dmax} rows
+    broadcast everywhere; projecting the FULL corpus is map-only
+    (per-vector integer sums — the production path feeding LSH/IVF on
+    d' dims); only the distortion CENSUS pairs the bounded panel
+    (O(panel^2), the labeled-baseline convention of `ann_bruteforce`).
+    """.format(dims=_JL_DIMS, panel=_JL_PANEL, dmax=max(_JL_DIMS))
+    from ..io import register_views
+
+    register_views(spark, sf_dir, tables=("embeddings",))
+    return spark.sql(_jl_spark())

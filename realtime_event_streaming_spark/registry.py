@@ -82,12 +82,14 @@ def register(
 #: bit-identical), now fixed by casting the registry's only raw-
 #: decimal output to DOUBLE; (b) the 14 round-7 second-wave debuts
 #: that have never had a driver row (the queue written here last
-#: round); (c) the round-8 debut pretraining_mix_manifest (the
-#: end-to-end composed admission chain); (d) the 15 yielded round-2-
-#: cohort queries (lang_id_markers .. weekly_retention_cohorts);
-#: (e) the remaining 19 slots re-confirm the ENTIRE stalest green
-#: cohort — every query whose last green row is round 4 (19 names,
-#: name order). The round-5 cohort (50 queries) queues for round 9.
+#: round); (c) the round-8 debuts — pretraining_mix_manifest (the
+#: end-to-end composed admission chain) and jl_projection_distortion
+#: (the oblivious member of the dimension-reduction triad); (d) the
+#: 15 yielded round-2-cohort queries (lang_id_markers ..
+#: weekly_retention_cohorts); (e) the remaining 18 slots re-confirm
+#: the stalest green cohort — the first 18 (name order) of the 19
+#: queries whose last green row is round 4. top_pages (the 19th) and
+#: the round-5 cohort (50 queries) queue for round 9.
 #: Every yielded query remains locally oracle-gated by
 #: tests/test_oracle_parity.py on the FULL registry at every run.
 DRIVER_QUERIES: tuple[str, ...] = (
@@ -108,8 +110,9 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "page_pair_lift",
     "quality_classifier_apply",
     "classifier_reliability_bins",
-    # -- (c) round-8 debut: the composed admission chain
+    # -- (c) round-8 debuts
     "pretraining_mix_manifest",
+    "jl_projection_distortion",
     # -- (d) the yielded round-2 cohort
     "lang_id_markers",
     "multimodal_features",
@@ -146,7 +149,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "sequence_pack",
     "simhash_docs",
     "token_stats",
-    "top_pages",
 )
 
 
