@@ -706,3 +706,83 @@ def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, tables=("events",))
     return spark.sql(_kanon_sql("div"))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction round-trip: the scrub TRANSFORM pii_scan only censuses
+# ---------------------------------------------------------------------------
+
+
+def _redact_sql(cnt: str, gflag: str) -> str:
+    """One body, two dialects. ``cnt`` counts regex matches;
+    ``gflag`` is DuckDB's ', ''g''' (its regexp_replace replaces only
+    the FIRST match without it — Spark replaces all by default)."""
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % {PII_MOD} = 0
+              THEN text || ' contact user' || doc_id
+                   || '@example.com from 10.0.' || (doc_id % 256) || '.7'
+              ELSE text END AS text
+  FROM documents
+),
+red AS (
+  SELECT doc_id, source, text,
+         regexp_replace(
+           regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>'{gflag}),
+           '{_IPV4_RE}', '<IP>'{gflag}) AS redacted
+  FROM corpus
+),
+scan AS (
+  SELECT source,
+         {cnt.format(col="text", re=_EMAIL_RE)} AS e_cnt,
+         {cnt.format(col="text", re=_IPV4_RE)} AS i_cnt,
+         {cnt.format(col="redacted", re=_EMAIL_RE)}
+           + {cnt.format(col="redacted", re=_IPV4_RE)} AS residual,
+         {cnt.format(col="redacted", re="<EMAIL>")} AS e_tags,
+         {cnt.format(col="redacted", re="<IP>")} AS i_tags,
+         CASE WHEN redacted = text THEN 1 ELSE 0 END AS unchanged
+  FROM red
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(e_cnt) AS BIGINT) AS emails_redacted,
+       cast(sum(i_cnt) AS BIGINT) AS ips_redacted,
+       cast(sum(e_tags) AS BIGINT) AS email_tags,
+       cast(sum(i_tags) AS BIGINT) AS ip_tags,
+       cast(sum(residual) AS BIGINT) AS residual_pii,
+       cast(sum(unchanged) AS BIGINT) AS docs_unchanged,
+       cast(sum(1 - unchanged) AS BIGINT) AS docs_redacted
+FROM scan GROUP BY source ORDER BY source
+"""
+
+
+_REDACT_DUCK = _redact_sql(
+    "len(regexp_extract_all({col}, '{re}'))", ", 'g'"
+)
+_REDACT_SPARK = _redact_sql("regexp_count({col}, '{re}')", "")
+
+
+@register("pii_redaction_roundtrip", _REDACT_DUCK, tags=("curation",))
+def pii_redaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII SCRUB pass itself, self-checking (`pii_scan` counts
+    exposure; this one removes it and PROVES the removal): emails and
+    IPv4s are replaced with typed placeholder tags, and the output
+    row carries the proof obligations — residual_pii (post-redaction
+    re-scan, must be 0), tag conservation (email_tags ==
+    emails_redacted: every match became exactly one tag), and
+    clean-document integrity (docs_unchanged: a doc with no PII is
+    byte-identical after the pass — the scrubber touches nothing it
+    shouldn't). Deterministic PII is planted on every {m}th doc (the
+    `pii_scan` recipe) so the transform has real work at any scale
+    factor; the round-trip discipline of `text_normalize_roundtrip`.
+
+    Scale notes (100 TB): pure map — two regexp_replace and six
+    regexp counts per row inside whole-stage codegen, one bounded
+    per-source aggregation. The production form writes `redacted`
+    back as the curated text column; this census is its audit
+    side-output.""".format(m=PII_MOD)
+    from ..io import register_views
+
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_REDACT_SPARK)

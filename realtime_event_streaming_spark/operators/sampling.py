@@ -763,3 +763,110 @@ def pretraining_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-phase temperature annealing schedule (the mix PLAN over time)
+# ---------------------------------------------------------------------------
+
+#: (phase, alpha, budget_numerator, budget_denominator): 50% of the
+#: token budget at strong flattening, 30% at mild, 20% at the natural
+#: distribution — the curriculum that starts diverse and anneals
+#: toward the true mix. Alphas are restricted to {0.25, 0.5, 1.0}
+#: DELIBERATELY: they evaluate as sqrt(sqrt(x)) / sqrt(x) / x, all
+#: IEEE-correctly-rounded on both engines, where a general pow(x, a)
+#: can drift a libm ulp (the temperature_resample_counts precedent).
+_SCHED_PHASES = ((1, "0.25", 5, 10), (2, "0.5", 3, 10), (3, "1.0", 2, 10))
+#: fixed-point quantum for the temperature weights: small enough that
+#: alpha=1 weights (= tokens * Q) stay BIGINT-summable across sources
+#: at ~1e12 tokens/source, large enough that sqrt-scale weights keep
+#: 3+ significant decimals at any corpus size.
+_SCHED_Q = 1000
+
+
+def _sched_sql(len_fn: str, split_fn: str, values: str, idiv: str) -> str:
+    return f"""
+WITH per_source AS (
+  SELECT source, cast(sum({len_fn}({split_fn}(text, ' '))) AS BIGINT) AS t
+  FROM documents GROUP BY source
+),
+tot AS (SELECT cast(sum(t) AS BIGINT) AS tt FROM per_source),
+phases AS ({values}),
+w AS (
+  SELECT p.phase, p.temp, p.bnum, p.bden, s.source, s.t,
+         cast(floor(CASE p.phase
+              WHEN 1 THEN sqrt(sqrt(cast(s.t AS DOUBLE)))
+              WHEN 2 THEN sqrt(cast(s.t AS DOUBLE))
+              ELSE cast(s.t AS DOUBLE) END * {_SCHED_Q} + 0.5) AS BIGINT)
+           AS wq
+  FROM per_source s CROSS JOIN phases p
+),
+ws AS (
+  SELECT phase, cast(sum(wq) AS BIGINT) AS wsum FROM w GROUP BY phase
+),
+sh AS (
+  SELECT w.phase, w.temp, w.source, w.t, w.bnum, w.bden,
+         (2 * w.wq * 10000 + ws.wsum) {idiv} (2 * ws.wsum) AS share4
+  FROM w JOIN ws ON ws.phase = w.phase
+),
+pt AS (
+  SELECT phase, temp, source, t, share4,
+         (2 * ((bnum * tot.tt) {idiv} bden) * share4 + 10000)
+           {idiv} (2 * 10000) AS ptok
+  FROM sh CROSS JOIN tot
+)
+SELECT cast(phase AS BIGINT) AS phase,
+       cast(temp AS DOUBLE) AS temperature,
+       source,
+       t AS natural_tokens,
+       cast(share4 AS DOUBLE) / 10000 AS phase_share,
+       cast(ptok AS BIGINT) AS phase_tokens,
+       cast((2 * ptok * 10000 + t) {idiv} (2 * t) AS DOUBLE) / 10000
+         AS oversample
+FROM pt ORDER BY phase, source
+"""
+
+
+def _sched_values(spark_form: bool) -> str:
+    rows = ", ".join(
+        f"({p}, {a}, {n}, {d})" for p, a, n, d in _SCHED_PHASES
+    )
+    if spark_form:
+        return f"SELECT * FROM VALUES {rows} AS p(phase, temp, bnum, bden)"
+    return f"SELECT * FROM (VALUES {rows}) AS p(phase, temp, bnum, bden)"
+
+
+@register(
+    "mix_schedule_plan",
+    _sched_sql("len", "string_split", _sched_values(False), "//"),
+    tags=("sampling",),
+)
+def mix_schedule_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-phase temperature-annealed mixture schedule — the PLAN a
+    phased pretraining run executes (50% of the token budget at
+    alpha=0.25 flattening, 30% at alpha=0.5, 20% at the natural
+    alpha=1.0 mix): per (phase, source), the temperature share
+    w_s = t_s^alpha / sum(t^alpha), the phase token quota, and the
+    oversampling factor (phase quota / natural tokens — how many
+    epochs of that source the phase consumes; the number that warns
+    when a small source will be over-epoched by flattening). The
+    multi-phase extension of `temperature_resample_counts` (one
+    phase, doc grain) feeding `weighted_doc_sample`'s sampler.
+
+    Determinism: alphas are restricted to sqrt-composable values so
+    both engines compute IEEE-identical weights (no libm pow); each
+    weight quantizes ONCE to integer quanta, after which every share,
+    quota and oversample is an exact integer half-up 4-dp ratio —
+    value-hash-identical at any scale, any partitioning.
+
+    Scale notes (100 TB): one corpus scan for the per-source token
+    census, then everything is |sources| x |phases| rows of integer
+    arithmetic. Weight quanta stay BIGINT-summable to ~1e12
+    tokens/source x thousands of sources (Q={q}); past that, raise
+    the census to per-source terabins before weighting.""".format(
+        q=_SCHED_Q
+    )
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(
+        _sched_sql("size", "split", _sched_values(True), "div")
+    )
