@@ -579,3 +579,117 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash audience-overlap estimation (behavioral set sketches)
+# ---------------------------------------------------------------------------
+
+#: signature length. 10000/16 = 625 exactly, so the estimate
+#: m/16 quantizes to 4 decimals with NO division at all.
+_AOV_K = 16
+#: the dedup family's prime (operators/dedup.py MH_P) — same
+#: Kirsch-Mitzenmacher derived family, identical in both engines.
+_AOV_P = 268435399
+_AOV_TOPK = 20
+
+
+def _aov_sql(hexparse: str, idiv: str) -> str:
+    """One body, two dialects (``hexparse`` turns 7 md5 hex chars into
+    a 28-bit BIGINT). Signatures are per-page MIN aggregates of the
+    derived hash family over the page's distinct users — mergeable by
+    MIN, so partial signatures combine map-side exactly like the
+    dedup MinHash."""
+    page = "try_cast(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS INT)"
+    seeds = ", ".join(str(s) for s in range(_AOV_K))
+    return f"""
+WITH baskets AS (
+  SELECT DISTINCT user_id, {page} AS page FROM events
+  WHERE {page} IS NOT NULL
+),
+uh AS (
+  SELECT user_id,
+         {hexparse.format(off=1)} AS ha,
+         {hexparse.format(off=8)} AS hb
+  FROM (SELECT DISTINCT user_id FROM baskets)
+),
+sig AS (
+  SELECT b.page, s.i,
+         cast(min((uh.ha + s.i * uh.hb) % {_AOV_P}) AS BIGINT) AS mh
+  FROM baskets b
+  JOIN uh ON uh.user_id = b.user_id
+  CROSS JOIN (SELECT unnest([{seeds}]) AS i) s
+  GROUP BY b.page, s.i
+),
+m AS (
+  SELECT a.page AS pa, b.page AS pb,
+         cast(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match
+  FROM sig a JOIN sig b ON a.i = b.i AND a.page < b.page
+  GROUP BY a.page, b.page
+),
+cnt AS (SELECT page, cast(count(*) AS BIGINT) AS c FROM baskets GROUP BY page),
+inter AS (
+  SELECT a.page AS pa, b.page AS pb, cast(count(*) AS BIGINT) AS i
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.page < b.page
+  GROUP BY a.page, b.page
+),
+scored AS (
+  SELECT m.pa, m.pb,
+         coalesce(inter.i, 0) AS n_common,
+         (2 * coalesce(inter.i, 0) * 10000 + (ca.c + cb.c - coalesce(inter.i, 0)))
+           {idiv} (2 * (ca.c + cb.c - coalesce(inter.i, 0))) AS exact4,
+         m.n_match * {10000 // _AOV_K} AS est4
+  FROM m
+  JOIN cnt ca ON ca.page = m.pa
+  JOIN cnt cb ON cb.page = m.pb
+  LEFT JOIN inter ON inter.pa = m.pa AND inter.pb = m.pb
+)
+SELECT pa, pb, n_common,
+       cast(exact4 AS DOUBLE) / 10000 AS exact_jaccard,
+       cast(est4 AS DOUBLE) / 10000 AS est_jaccard,
+       cast(abs(exact4 - est4) AS DOUBLE) / 10000 AS abs_err
+FROM scored
+ORDER BY exact4 DESC, pa, pb
+LIMIT {_AOV_TOPK}
+"""
+
+
+_AOV_DUCK = _aov_sql(
+    "('0x' || substr(md5(cast(user_id AS VARCHAR)), {off}, 7))::BIGINT", "//"
+)
+_AOV_SPARK = _aov_sql(
+    "cast(conv(substr(md5(cast(user_id AS STRING)), {off}, 7), 16, 10) AS BIGINT)", "div"
+).replace("unnest([", "explode(array(").replace("]) AS i", ")) AS i")
+
+
+@register("audience_overlap_minhash", _AOV_DUCK, tags=("sketch", "behavior"))
+def audience_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation by MinHash set signatures — the
+    SKETCH path beside `audience_set_ops`' exact set algebra: each
+    page's distinct-visitor set compresses to a {k}-value signature
+    (the dedup family's derived (ha + seed*hb) mod P hashes over ONE
+    md5 per user), pairwise Jaccard is estimated as matching-
+    coordinate fraction, and the census reports estimate vs exact vs
+    absolute error for the top-{t} overlapping page pairs — the
+    audience-similarity primitive behind lookalike targeting and
+    content clustering, at signature (not set) cost.
+
+    Determinism: signatures are integer MIN aggregates (order-free),
+    the estimate m * {q} is exact integer arithmetic (16 divides
+    10^4, so NO division exists), exact Jaccard is the half-up 4-dp
+    integer ratio — both engines value-hash identically.
+
+    Scale notes (100 TB): signatures merge by MIN (map-side partial
+    agg — the same mergeability as the HLL/CMS family), so the
+    shuffle carries |pages| x {k} rows regardless of corpus size; the
+    pairwise compare is bounded by the page domain squared. The EXACT
+    arm (basket self-join) is the labeled baseline the estimate is
+    audited against — production drops it and keeps the sketch.""".format(
+        k=_AOV_K, t=_AOV_TOPK, q=10000 // _AOV_K
+    )
+    from ..io import register_views
+
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_AOV_SPARK)
