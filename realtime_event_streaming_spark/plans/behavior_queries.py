@@ -836,3 +836,62 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (Siegel) at identical plan shape. One corpus scan total."""
     register_views(spark, sf_dir, tables=("events",))
     return spark.sql(_THEIL_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# second-order path mining (event-type trigrams, session-bounded)
+# ---------------------------------------------------------------------------
+
+_PATH3_TOPK = 20
+
+_PATH3_BODY = f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3,
+         lead({{ep}}, 2) OVER w - {{ep}} AS span_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT event_type AS t1, t2, t3, count(*) AS n,
+         count(DISTINCT user_id) AS n_users
+  FROM ordered
+  WHERE t3 IS NOT NULL AND span_s <= 1800
+  GROUP BY event_type, t2, t3
+)
+SELECT t1, t2, t3,
+       cast(n AS BIGINT) AS n_paths,
+       cast(n_users AS BIGINT) AS n_users
+FROM paths
+ORDER BY n DESC, t1, t2, t3
+LIMIT {_PATH3_TOPK}
+"""
+
+
+@register(
+    "path_trigrams_topk",
+    _PATH3_BODY.format(ep=D.EPOCH_S_DUCK.format(col="ts")),
+    tags=("behavior",),
+)
+def path_trigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} three-step user paths (event-type trigrams whose three
+    steps fall within a 30-minute span — the sessionization bound of
+    `user_sessions`, applied windowless via the lead-offset epoch
+    delta): the second-order extension of `event_transition_matrix`
+    (first-order Markov bigrams) that exposes the multi-step journeys
+    funnel design starts from — `funnel_three_step` measures ONE
+    chosen path; this query DISCOVERS which paths are worth
+    measuring.
+
+    Scale notes (100 TB): one shuffle on user_id (the sessionizer's
+    key) for the lead window, then a group-by bounded by the
+    event-type domain CUBED (5^3 here); the top-k cut is
+    TakeOrderedAndProject. Exact counts, deterministic
+    (count, path) tie order — no float anywhere.""".format(
+        k=_PATH3_TOPK
+    )
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(
+        _PATH3_BODY.format(ep=D.EPOCH_S_SPARK.format(col="ts"))
+    )
