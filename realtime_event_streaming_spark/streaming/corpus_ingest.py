@@ -434,3 +434,107 @@ def start_manifest_admission(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# incremental sequence packing: `sequence_pack`'s streaming twin
+# ---------------------------------------------------------------------------
+
+
+def start_incremental_packing(
+    spark: SparkSession,
+    src_path: str,
+    out_path: str,
+    checkpoint: str,
+    seq_len: int = 256,
+    max_files_per_trigger: int | None = 1,
+    available_now: bool = True,
+):
+    """`operators/chunking.sequence_pack`'s streaming twin: documents
+    stream in and each micro-batch extends the per-source token
+    concatenation EXACTLY where the previous batches left off, so the
+    packed (source, seq_idx) assignments over the whole stream equal
+    the batch packer's output on the same concatenation — training
+    sequences can be cut continuously as the crawl lands instead of
+    nightly.
+
+    State is the parts-store discipline (`streaming/agg.
+    write_rollup_parts`), NOT a mutable offset cell: the output table
+    is partitioned by batch_id and written with dynamic partition
+    overwrite, and batch N's starting offset per source is derived by
+    SUMMING the token totals of parts batch_id < N at write time.
+    Replay of batch N therefore reads the identical prefix and
+    overwrites its own partition with identical rows — idempotent by
+    construction, no read-modify-write race.
+
+    Scale notes (100 TB): per batch, one window cumsum partitioned by
+    source (the batch is micro-batch-sized) plus one bounded
+    aggregate over the prior parts' per-source totals (parts x
+    sources rows, compactable like the rollup parts). The assignment
+    table IS the training manifest — a sequence is complete once a
+    later batch starts a higher seq_idx for its source."""
+    from pyspark.sql import Window as W
+
+    parsed = parse_docs(read_doc_stream(
+        spark, src_path, max_files_per_trigger=max_files_per_trigger
+    ))
+
+    def _pack(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        toks = batch_df.select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        )
+        try:
+            prior = (
+                sess.read.parquet(out_path)
+                .where(F.col("batch_id") < batch_id)
+                .groupBy("source")
+                .agg(F.sum("n_tok").alias("tok_offset"))
+            )
+        except Exception:  # first batch: no table yet
+            prior = None
+        wcum = (
+            W.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        cum = toks.withColumn(
+            "tok_before_batch",
+            F.coalesce(F.sum("n_tok").over(wcum), F.lit(0)),
+        )
+        if prior is not None:
+            cum = cum.join(F.broadcast(prior), "source", "left")
+        else:
+            cum = cum.withColumn("tok_offset", F.lit(None).cast("long"))
+        (
+            cum.select(
+                "doc_id",
+                "source",
+                "n_tok",
+                (
+                    F.col("tok_before_batch")
+                    + F.coalesce("tok_offset", F.lit(0))
+                ).alias("tok_before"),
+            )
+            .withColumn(
+                "seq_idx",
+                F.floor(F.col("tok_before") / F.lit(float(seq_len))).cast(
+                    "long"
+                ),
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    writer = (
+        parsed.writeStream.foreachBatch(_pack)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

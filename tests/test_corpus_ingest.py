@@ -313,3 +313,78 @@ def test_manifest_admission_counters_conserve_and_match_batch(
     assert sum(r.admitted for r in man2) == 0
     assert sum(r.drop_duplicate for r in man2) == 6  # every survivor killed
     assert spark.read.parquet(str(tmp_path / "corpus_out")).count() == 3
+
+
+def test_incremental_packing_matches_batch_and_replays(spark, tmp_path):
+    """The sequence_pack streaming twin: (a) streamed per-batch packing
+    with parts-derived offsets must equal the batch packer's global
+    cumsum over the same concatenation (doc_ids arrive monotone, so
+    arrival order == doc_id order); (b) a replay over the same files
+    overwrites its own batch partitions with identical rows."""
+    import pyspark.sql.functions as FF
+    from pyspark.sql import Window as W
+
+    from realtime_event_streaming_spark.streaming.corpus_ingest import (
+        start_incremental_packing,
+    )
+
+    texts = {
+        1: " ".join(f"a{i}" for i in range(100)),
+        2: " ".join(f"b{i}" for i in range(200)),
+        3: " ".join(f"c{i}" for i in range(90)),
+        4: " ".join(f"d{i}" for i in range(150)),
+        5: " ".join(f"e{i}" for i in range(300)),
+        6: " ".join(f"f{i}" for i in range(60)),
+    }
+    batches = [
+        [_doc(1, texts[1], "sA", 0), _doc(2, texts[2], "sB", 1)],
+        [_doc(3, texts[3], "sA", 10), _doc(4, texts[4], "sA", 11)],
+        [_doc(5, texts[5], "sB", 20), _doc(6, texts[6], "sA", 21)],
+    ]
+    src = str(tmp_path / "docs")
+    _write_batches(src, batches)
+
+    out = str(tmp_path / "packed")
+    q = start_incremental_packing(
+        spark, src, out, str(tmp_path / "ckpt"), seq_len=256
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.doc_id: (r.source, r.tok_before, r.seq_idx)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == 6
+
+    # batch twin: global cumsum over (source, doc_id)
+    rows = [(d, s, len(texts[d].split())) for d, s in
+            [(1, "sA"), (2, "sB"), (3, "sA"), (4, "sA"), (5, "sB"), (6, "sA")]]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    wcum = (
+        W.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    want = {
+        r.doc_id: (r.source, r.tok_before, r.seq_idx)
+        for r in df.withColumn(
+            "tok_before", FF.coalesce(FF.sum("n_tok").over(wcum), FF.lit(0))
+        )
+        .withColumn(
+            "seq_idx", FF.floor(FF.col("tok_before") / 256.0).cast("long")
+        )
+        .collect()
+    }
+    assert got == want
+
+    # replay over the same files (fresh checkpoint, same out table):
+    # batch ids restart at 0 and dynamic overwrite lands identical rows
+    q2 = start_incremental_packing(
+        spark, src, out, str(tmp_path / "ckpt2"), seq_len=256
+    )
+    q2.awaitTermination(300)
+    again = {
+        r.doc_id: (r.source, r.tok_before, r.seq_idx)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == want
+    assert spark.read.parquet(out).count() == 6
