@@ -693,3 +693,117 @@ def audience_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, tables=("events",))
     return spark.sql(_AOV_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# HLL inclusion-exclusion overlap (the sketch-union twin of MinHash)
+# ---------------------------------------------------------------------------
+
+#: bounded page panel for the pairwise report
+_HOV_PAGES = 10
+#: inclusion-exclusion error bound: the estimate subtracts three
+#: lgK=14 sketches (rsd ~0.8% each), and each error is relative to
+#: its own SET size (up to the union), not the intersection — so the
+#: band is 5% of the union size (>= 6 sigma of the summed variances)
+#: with a small-count floor, the approx_distinct_accuracy discipline.
+_HOV_TOL = "greatest(16.0, 0.05 * (ca + cb - exact_inter))"
+
+_HOV_DUCK = f"""
+WITH baskets AS (
+  SELECT DISTINCT user_id,
+         try_cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS page
+  FROM events
+  WHERE try_cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)
+        < {_HOV_PAGES}
+),
+cnt AS (SELECT page, cast(count(*) AS BIGINT) AS c FROM baskets GROUP BY page),
+inter AS (
+  SELECT a.page AS pa, b.page AS pb, cast(count(*) AS BIGINT) AS i
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.page < b.page
+  GROUP BY a.page, b.page
+)
+SELECT inter.pa, inter.pb,
+       ca.c AS n_a, cb.c AS n_b,
+       inter.i AS exact_inter,
+       TRUE AS inter_ok
+FROM inter
+JOIN cnt ca ON ca.page = inter.pa
+JOIN cnt cb ON cb.page = inter.pb
+ORDER BY inter.pa, inter.pb
+"""
+
+
+@register("hll_overlap_estimate", _HOV_DUCK, tags=("sketch", "behavior"))
+def hll_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience intersection via HLL INCLUSION-EXCLUSION — the
+    sketch-union twin of `audience_overlap_minhash` (MinHash estimates
+    the Jaccard RATIO from signatures; this estimates the intersection
+    COUNT from the same mergeable DataSketches HLLs the rollup family
+    already stores): |A ∩ B| ~ est(A) + est(B) - est(A ∪ B), with the
+    union estimated by `hll_union` of the two page sketches — no
+    re-scan of either audience. The oracle pins exact sizes and the
+    bounded-error flag TRUE (the `approx_distinct_accuracy`
+    discipline: the BAND is the verified contract, since I-E error is
+    relative to the union size, not the intersection).
+
+    Scale notes (100 TB): per-page sketches are one group-by with
+    map-side partial HLLs (the same objects `reagg_sketch_hourly`
+    persists — in production this query reads STORED sketches and
+    touches no raw events at all); the pairwise stage unions
+    panel^2/2 sketch pairs of fixed 2^14 size. The exact arm is the
+    labeled audit baseline."""
+    ev = load_table(spark, sf_dir, "events")
+    page = F.expr(
+        "try_cast(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS INT)"
+    )
+    baskets = (
+        ev.select("user_id", page.alias("page"))
+        .where(F.col("page") < _HOV_PAGES)
+        .distinct()
+    )
+    sk = baskets.groupBy("page").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    a = sk.select(
+        F.col("page").alias("pa"), F.col("sk").alias("ska"),
+        F.col("c").alias("ca"),
+    )
+    b = sk.select(
+        F.col("page").alias("pb"), F.col("sk").alias("skb"),
+        F.col("c").alias("cb"),
+    )
+    exact = (
+        baskets.alias("x")
+        .join(baskets.alias("y"), "user_id")
+        .where(F.expr("x.page < y.page"))
+        .groupBy(
+            F.expr("x.page").alias("pa"), F.expr("y.page").alias("pb")
+        )
+        .agg(F.count("*").cast("bigint").alias("exact_inter"))
+    )
+    est = (
+        a.join(b, F.col("pa") < F.col("pb"))
+        .select(
+            "pa", "pb", "ca", "cb",
+            F.expr(
+                "hll_sketch_estimate(ska) + hll_sketch_estimate(skb) "
+                "- hll_sketch_estimate(hll_union(ska, skb))"
+            ).alias("est_inter"),
+        )
+    )
+    return (
+        est.join(exact, ["pa", "pb"])
+        .select(
+            "pa", "pb",
+            F.col("ca").alias("n_a"),
+            F.col("cb").alias("n_b"),
+            "exact_inter",
+            (
+                F.abs(F.col("est_inter") - F.col("exact_inter"))
+                <= F.expr(_HOV_TOL)
+            ).alias("inter_ok"),
+        )
+        .orderBy("pa", "pb")
+    )

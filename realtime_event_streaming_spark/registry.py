@@ -91,7 +91,8 @@ def register(
 #: queries whose last green row is round 4. top_pages (the 19th),
 #: the round-8 late debuts (pii_redaction_roundtrip,
 #: mix_schedule_plan, audience_overlap_minhash, theil_sen_trend,
-#: path_trigrams_topk, covisit_triangle_census —
+#: path_trigrams_topk, covisit_triangle_census,
+#: hll_overlap_estimate —
 #: locally green + sf1-swept, never-rowed so they LEAD the r9 window
 #: per the standing policy) and the round-5 cohort
 #: (50 queries) queue for round 9.
