@@ -211,3 +211,95 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(_segment_batches, SEGMENTS_SCHEMA).orderBy(
         "doc_id", "seg_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-video duplicate detection by shared frame fingerprints
+# ---------------------------------------------------------------------------
+
+#: minimum shared frames for a video pair to count as near-duplicate
+_VDUP_MIN_SHARED = 2
+_VDUP_TOPK = 10
+
+_VDUP_DUCK = f"""
+WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+corpus AS (
+  SELECT doc_id, text, n_chars FROM documents
+  UNION ALL
+  SELECT d.doc_id + off.o, d.text, d.n_chars
+  FROM documents d CROSS JOIN off WHERE d.doc_id % 50 = 0
+),
+frames AS (
+  SELECT doc_id, i AS frame_idx,
+         substr(md5(substr(text, i * (n_chars // {N_FRAMES}) + 1,
+                           n_chars // {N_FRAMES})), 1, 8) AS frame_fp
+  FROM corpus CROSS JOIN
+       (SELECT unnest(generate_series(0, {N_FRAMES - 1})) AS i) AS g
+  WHERE n_chars // {N_FRAMES} > 0
+),
+pairs AS (
+  SELECT a.doc_id AS va, b.doc_id AS vb,
+         cast(count(*) AS BIGINT) AS shared_frames
+  FROM frames a JOIN frames b
+    ON a.frame_fp = b.frame_fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {_VDUP_MIN_SHARED}
+)
+SELECT va, vb, shared_frames
+FROM pairs
+ORDER BY shared_frames DESC, va, vb
+LIMIT {_VDUP_TOPK}
+"""
+
+
+@register("video_frame_dup_pairs", _VDUP_DUCK, tags=("multimodal", "dedup"))
+def video_frame_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO detection by shared frame fingerprints —
+    the content-ID shape: `multimodal_frame_sample`'s sampled-frame
+    fingerprints become the blocking key, and two videos sharing >=
+    {m} frames are a duplicate-candidate pair (re-encodes, re-uploads
+    and trims share most sampled frames even when the container bytes
+    differ). Composes the multimodal leg with the dedup family's
+    discipline: the join is on the FINGERPRINT (bounded collision
+    clusters), never all video pairs. Planted copies of every 50th
+    asset (the `dedup_exact_groups` recipe) guarantee real positives
+    at any scale factor.
+
+    Plan: Arrow-batched mapInPandas explodes each asset into
+    {n} fingerprinted frames (the stubbed ffmpeg step — swap for a
+    real decoder, nothing else changes), then one group-by on
+    frame_fp-equality pairs. Scale notes (100 TB): the pair join is
+    fingerprint-blocked — its cost is sum over fingerprint clusters
+    of cluster^2, the same bounded shape as the MinHash band join;
+    frames-per-video is fixed ({n}), so the exploded table is
+    n x videos rows with an 8-byte key.""".format(
+        m=_VDUP_MIN_SHARED, n=N_FRAMES
+    )
+    assets = binary_assets(spark, sf_dir)
+    offset_df = assets.agg((F.max("doc_id") + 1).alias("_offset"))
+    planted = (
+        assets.where(F.col("doc_id") % 50 == 0)
+        .crossJoin(F.broadcast(offset_df))
+        .select(
+            (F.col("doc_id") + F.col("_offset")).alias("doc_id"),
+            "meta",
+            "content",
+        )
+    )
+    corpus = assets.unionByName(planted)
+    frames = corpus.mapInPandas(_frame_batches, FRAMES_SCHEMA)
+    a = frames.select(
+        F.col("doc_id").alias("va"), F.col("frame_fp").alias("fp")
+    )
+    b = frames.select(
+        F.col("doc_id").alias("vb"), F.col("frame_fp").alias("fp")
+    )
+    return (
+        a.join(b, "fp")
+        .where(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.count("*").cast("bigint").alias("shared_frames"))
+        .where(F.col("shared_frames") >= _VDUP_MIN_SHARED)
+        .orderBy(F.desc("shared_frames"), "va", "vb")
+        .limit(_VDUP_TOPK)
+    )

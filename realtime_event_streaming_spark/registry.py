@@ -92,7 +92,7 @@ def register(
 #: the round-8 late debuts (pii_redaction_roundtrip,
 #: mix_schedule_plan, audience_overlap_minhash, theil_sen_trend,
 #: path_trigrams_topk, covisit_triangle_census,
-#: hll_overlap_estimate —
+#: hll_overlap_estimate, video_frame_dup_pairs —
 #: locally green + sf1-swept, never-rowed so they LEAD the r9 window
 #: per the standing policy) and the round-5 cohort
 #: (50 queries) queue for round 9.
