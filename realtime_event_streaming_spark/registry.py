@@ -92,7 +92,8 @@ def register(
 #: the round-8 late debuts (pii_redaction_roundtrip,
 #: mix_schedule_plan, audience_overlap_minhash, theil_sen_trend,
 #: path_trigrams_topk, covisit_triangle_census,
-#: hll_overlap_estimate, video_frame_dup_pairs —
+#: hll_overlap_estimate, video_frame_dup_pairs,
+#: manifest_admission_replay —
 #: locally green + sf1-swept, never-rowed so they LEAD the r9 window
 #: per the standing policy) and the round-5 cohort
 #: (50 queries) queue for round 9.
@@ -188,6 +189,7 @@ def load_all() -> dict[str, Query]:
     from .plans import funnel_queries  # noqa: F401
     from .plans import sql_surface  # noqa: F401
     from .plans import streaming_replay  # noqa: F401
+    from .plans import manifest_replay  # noqa: F401
     from .plans import layout_queries  # noqa: F401
     from .plans import index_queries  # noqa: F401
     from .plans import diagnostics  # noqa: F401

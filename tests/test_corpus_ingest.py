@@ -388,3 +388,22 @@ def test_incremental_packing_matches_batch_and_replays(spark, tmp_path):
     }
     assert again == want
     assert spark.read.parquet(out).count() == 6
+
+
+def test_committed_manifest_fixture_matches_generator():
+    """The committed wire fixture is byte-pinned to the generator that
+    defines it (the replay_wire discipline) — a drift in either is a
+    test failure, so the driver's oracle and the streaming replay can
+    never silently diverge from the code."""
+    from pathlib import Path
+
+    from realtime_event_streaming_spark.plans.manifest_replay import (
+        FIXTURE_DIR,
+        manifest_fixture_batches,
+    )
+
+    gen = manifest_fixture_batches()
+    parts = sorted(Path(FIXTURE_DIR).glob("part-*.txt"))
+    assert len(parts) == len(gen)
+    for p, lines in zip(parts, gen):
+        assert p.read_text() == "\n".join(lines) + "\n", p
