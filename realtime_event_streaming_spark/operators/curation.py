@@ -786,3 +786,128 @@ def pii_redaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_REDACT_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# generation provenance: attribute "generated" text back to its sources
+# ---------------------------------------------------------------------------
+
+#: every Nth doc contributes a generation excerpt
+_PROV_MOD = 97
+#: excerpt geometry: tokens [start, start+len)
+_PROV_START = 6
+_PROV_LEN = 20
+
+_PROV_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+),
+gens AS (
+  SELECT doc_id AS gen_id,
+         tk[{_PROV_START + 1}:{_PROV_START + _PROV_LEN}] AS gtk
+  FROM toks
+  WHERE doc_id % {_PROV_MOD} = 0
+    AND len(tk) >= {_PROV_START + _PROV_LEN}
+),
+gg AS (
+  SELECT DISTINCT gen_id,
+         gtk[i] || ' ' || gtk[i+1] || ' ' || gtk[i+2] || ' '
+                || gtk[i+3] || ' ' || gtk[i+4] AS s
+  FROM gens, UNNEST(generate_series(1, len(gtk) - 4)) AS g(i)
+),
+gtot AS (SELECT gen_id, cast(count(*) AS BIGINT) AS n_total FROM gg
+         GROUP BY gen_id),
+cg AS (
+  SELECT DISTINCT doc_id,
+         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+               || ' ' || tk[i+4] AS s
+  FROM toks, UNNEST(generate_series(1, len(tk) - 4)) AS g(i)
+),
+hits AS (
+  SELECT gg.gen_id, cg.doc_id, cast(count(*) AS BIGINT) AS n_match
+  FROM gg JOIN cg USING (s)
+  GROUP BY gg.gen_id, cg.doc_id
+),
+top AS (
+  SELECT gen_id, doc_id AS top_doc, n_match,
+         row_number() OVER (PARTITION BY gen_id
+                            ORDER BY n_match DESC, doc_id) AS rn
+  FROM hits
+)
+SELECT t.gen_id,
+       t.top_doc,
+       t.n_match,
+       g.n_total,
+       cast((2 * t.n_match * 10000 + g.n_total)
+            // (2 * g.n_total) AS DOUBLE) / 10000 AS coverage,
+       (t.top_doc = t.gen_id) AS self_attributed
+FROM top t JOIN gtot g ON g.gen_id = t.gen_id
+WHERE t.rn = 1
+ORDER BY t.gen_id
+"""
+
+
+@register("generation_provenance", _PROV_DUCK, tags=("curation", "text"))
+def generation_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram PROVENANCE of generated text — the memorization-audit
+    direction of `benchmark_contamination` (that one asks "did eval
+    text leak into training?"; this one asks "which training document
+    did this generation come from?"): a panel of "generations"
+    (deterministic {ln}-token excerpts of every {m}th doc — known
+    ground truth) is attributed by joining its distinct 5-grams
+    against the corpus 5-gram postings; each generation reports its
+    top-attributed document, match count, coverage ratio, and whether
+    attribution recovered the true source (`self_attributed` — pinned
+    TRUE by construction on excerpts, since the source contains every
+    excerpt 5-gram; a tie would need another doc with all {n5}
+    5-grams, which first-id tie-break still resolves to the lower
+    true id only if the copier has a higher id — the planted-dup-free
+    fixture guarantees uniqueness).
+
+    Scale notes (100 TB): the generation panel is bounded (a model's
+    output sample, not the corpus); the join is 5-gram-blocked against
+    the SAME postings `benchmark_contamination` builds — in
+    production both read one materialized posting table (rare-gram
+    pruned, the ExactSubstr discipline); the per-generation top-1 is
+    a bounded window.""".format(
+        ln=_PROV_LEN, m=_PROV_MOD, n5=_PROV_LEN - 4
+    )
+    from ..io import register_views
+
+    register_views(spark, sf_dir, tables=("documents",))
+    spark_sql = (
+        _PROV_DUCK
+        .replace("string_split(text, ' ')", "split(text, ' ')")
+        .replace("len(", "size(")
+        .replace(
+            f"tk[{_PROV_START + 1}:{_PROV_START + _PROV_LEN}]",
+            f"slice(tk, {_PROV_START + 1}, {_PROV_LEN})",
+        )
+        .replace(
+            "gtk[i] || ' ' || gtk[i+1] || ' ' || gtk[i+2] || ' '\n"
+            "                || gtk[i+3] || ' ' || gtk[i+4]",
+            "concat_ws(' ', element_at(gtk, i), element_at(gtk, i+1), "
+            "element_at(gtk, i+2), element_at(gtk, i+3), "
+            "element_at(gtk, i+4))",
+        )
+        .replace(
+            "tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]\n"
+            "               || ' ' || tk[i+4]",
+            "concat_ws(' ', element_at(tk, i), element_at(tk, i+1), "
+            "element_at(tk, i+2), element_at(tk, i+3), "
+            "element_at(tk, i+4))",
+        )
+        .replace(
+            "FROM gens, UNNEST(generate_series(1, size(gtk) - 4)) AS g(i)",
+            "FROM gens LATERAL VIEW explode(sequence(1, size(gtk) - 4)) "
+            "g AS i",
+        )
+        .replace(
+            "FROM toks, UNNEST(generate_series(1, size(tk) - 4)) AS g(i)",
+            "FROM toks LATERAL VIEW explode(sequence(1, size(tk) - 4)) "
+            "g AS i",
+        )
+        .replace("//", "div")
+    )
+    return spark.sql(spark_sql)
