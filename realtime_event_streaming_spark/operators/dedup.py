@@ -2283,3 +2283,148 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"ge_{str(t).replace('.', '_')}")
         )
     return est.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# LSH banding S-curve calibration (the (bands, rows) design tool)
+# ---------------------------------------------------------------------------
+
+#: graded-overlap ladder: variant k replaces the last 3k of the 30
+#: base tokens with salted ones, sweeping Jaccard from ~1.0 to ~0.0
+_SCURVE_KS = 10
+_SCURVE_PANEL = 80
+_SCURVE_BASE_TOKENS = 30
+
+_SCURVE_DUCK = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ')[1:{_SCURVE_BASE_TOKENS}] AS bt
+  FROM documents
+  WHERE doc_id < {_SCURVE_PANEL}
+    AND len(string_split(text, ' ')) >= {_SCURVE_BASE_TOKENS}
+),
+pairs AS (
+  SELECT doc_id, k.k AS k, bt,
+         list_concat(bt[1:{_SCURVE_BASE_TOKENS}] [1:({_SCURVE_BASE_TOKENS} - 3 * k.k)],
+                     list_transform(generate_series(1, 3 * k.k),
+                       j -> 'z' || doc_id || 'k' || k.k || 'n' || j)) AS vt
+  FROM base CROSS JOIN
+       (SELECT unnest(generate_series(0, {_SCURVE_KS - 1})) AS k) k
+),
+sh AS (
+  SELECT doc_id, k,
+         list_distinct(list_transform(
+           generate_series(1, len(bt) - 2),
+           i -> bt[i] || ' ' || bt[i+1] || ' ' || bt[i+2])) AS sa,
+         list_distinct(list_transform(
+           generate_series(1, len(vt) - 2),
+           i -> vt[i] || ' ' || vt[i+1] || ' ' || vt[i+2])) AS sb
+  FROM pairs
+),
+jm AS (
+  SELECT doc_id, k,
+         len(list_intersect(sa, sb)) AS ni,
+         len(sa) + len(sb) - len(list_intersect(sa, sb)) AS nu,
+         list_transform(generate_series(0, {N_HASHES - 1}), seed ->
+           list_min(list_transform(sa, s ->
+             (('0x' || substr(md5(s), 1, 7))::BIGINT
+              + seed * ('0x' || substr(md5(s), 8, 7))::BIGINT)
+             % {MH_P}))) AS siga,
+         list_transform(generate_series(0, {N_HASHES - 1}), seed ->
+           list_min(list_transform(sb, s ->
+             (('0x' || substr(md5(s), 1, 7))::BIGINT
+              + seed * ('0x' || substr(md5(s), 8, 7))::BIGINT)
+             % {MH_P}))) AS sigb
+  FROM sh
+),
+scored AS (
+  SELECT k,
+         (2 * ni * 10000 + nu) // (2 * nu) AS j4,
+         CASE WHEN len(list_filter(generate_series(0, {N_HASHES // 2 - 1}),
+                b -> siga[2*b+1] = sigb[2*b+1]
+                     AND siga[2*b+2] = sigb[2*b+2])) > 0
+              THEN 1 ELSE 0 END AS cand
+  FROM jm
+)
+SELECT cast(k AS BIGINT) AS k,
+       cast(count(*) AS BIGINT) AS n_pairs,
+       cast((2 * cast(sum(j4) AS BIGINT) + count(*))
+            // (2 * count(*)) AS DOUBLE) / 10000 AS mean_jaccard,
+       cast((2 * cast(sum(cand) AS BIGINT) * 10000 + count(*))
+            // (2 * count(*)) AS DOUBLE) / 10000 AS candidate_rate
+FROM scored GROUP BY k ORDER BY k
+"""
+
+_SCURVE_SPARK = (
+    _SCURVE_DUCK
+    .replace("string_split(text, ' ')[1:" + str(_SCURVE_BASE_TOKENS) + "]",
+             f"slice(split(text, ' '), 1, {_SCURVE_BASE_TOKENS})")
+    .replace("len(string_split(text, ' '))", "size(split(text, ' '))")
+    .replace(
+        f"list_concat(bt[1:{_SCURVE_BASE_TOKENS}] "
+        f"[1:({_SCURVE_BASE_TOKENS} - 3 * k.k)],",
+        f"concat(slice(bt, 1, {_SCURVE_BASE_TOKENS} - 3 * k.k),")
+    .replace("list_transform", "transform")
+    .replace("list_distinct", "array_distinct")
+    .replace("list_intersect", "array_intersect")
+    .replace("list_min", "array_min")
+    .replace("list_filter", "filter")
+    .replace("generate_series(", "sequence(")
+    .replace("(SELECT unnest(sequence(0, " + str(_SCURVE_KS - 1) + ")) AS k) k",
+             f"(SELECT explode(sequence(0, {_SCURVE_KS - 1})) AS k) k")
+    .replace("len(", "size(")
+    .replace("('0x' || substr(md5(s), 1, 7))::BIGINT",
+             "cast(conv(substr(md5(s), 1, 7), 16, 10) AS BIGINT)")
+    .replace("('0x' || substr(md5(s), 8, 7))::BIGINT",
+             "cast(conv(substr(md5(s), 8, 7), 16, 10) AS BIGINT)")
+    .replace("bt[i] || ' ' || bt[i+1] || ' ' || bt[i+2]",
+             "concat_ws(' ', element_at(bt, i), element_at(bt, i+1), "
+             "element_at(bt, i+2))")
+    .replace("vt[i] || ' ' || vt[i+1] || ' ' || vt[i+2]",
+             "concat_ws(' ', element_at(vt, i), element_at(vt, i+1), "
+             "element_at(vt, i+2))")
+    .replace("siga[2*b+1]", "element_at(siga, 2*b+1)")
+    .replace("sigb[2*b+1]", "element_at(sigb, 2*b+1)")
+    .replace("siga[2*b+2]", "element_at(siga, 2*b+2)")
+    .replace("sigb[2*b+2]", "element_at(sigb, 2*b+2)")
+    # Spark sequence(1, 0) is [1, 0] (descending), not empty like
+    # DuckDB's generate_series(1, 0) — slice the longest index list
+    # down to 3k so k = 0 yields the empty salt.
+    .replace("sequence(1, 3 * k.k)",
+             "slice(sequence(1, 27), 1, 3 * k.k)")
+    .replace("'z' || doc_id || 'k' || k.k || 'n' || j",
+             "concat('z', doc_id, 'k', k.k, 'n', j)")
+    .replace("//", "div")
+)
+
+
+@register("lsh_scurve_calibration", _SCURVE_DUCK, tags=("dedup",))
+def lsh_scurve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH BANDING DESIGN TOOL: measured candidate-capture rate of
+    the engine's production banding ({b} bands x {r} rows over the
+    {f}-function KM-derived MinHash family) across a CONTROLLED
+    Jaccard ladder — for each panel doc, variant k replaces the last
+    3k of its 30 base tokens with salted ones, sweeping pair
+    similarity from ~1.0 (k=0) down to ~0 (k=9); per rung the census
+    reports mean Jaccard and the fraction of pairs the banding would
+    emit as candidates. This is the measured S-curve
+    P(candidate | j) ~ 1-(1-j^r)^b that picks (b, r) against a
+    dedup threshold: read the rung where capture crosses ~0.5 and
+    compare it to the threshold `dedup_minhash_lsh` enforces.
+
+    Fully per-row: variants, shingles, exact Jaccard (array
+    intersections) and both signatures are higher-order-function
+    expressions over the panel — NO joins, no explode; the heaviest
+    object is a {f}-value integer array per pair. All arithmetic is
+    exact integers with half-up 4-dp ratios.
+
+    Scale notes (100 TB): the panel is bounded BY DESIGN (a
+    calibration runs on a sample, not the corpus); cost is
+    panel x {ks} rows of array math. The production banding this
+    calibrates is the bucketed band join of `dedup_minhash_lsh`,
+    unchanged.""".format(
+        b=N_HASHES // 2, r=2, f=N_HASHES, ks=_SCURVE_KS
+    )
+    from ..io import register_views
+
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_SCURVE_SPARK)

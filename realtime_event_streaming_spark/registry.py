@@ -93,7 +93,8 @@ def register(
 #: mix_schedule_plan, audience_overlap_minhash, theil_sen_trend,
 #: path_trigrams_topk, covisit_triangle_census,
 #: hll_overlap_estimate, video_frame_dup_pairs,
-#: manifest_admission_replay, generation_provenance —
+#: manifest_admission_replay, generation_provenance,
+#: lsh_scurve_calibration —
 #: locally green + sf1-swept, never-rowed so they LEAD the r9 window
 #: per the standing policy) and the round-5 cohort
 #: (50 queries) queue for round 9.
