@@ -537,11 +537,15 @@ def _pq_duck_ctes(prefix: str, src: str = "vecs") -> str:
 )"""
 
 
-def _ivfpq_ctes() -> str:
+def _ivfpq_ctes(nprobe: int | None = None) -> str:
     """All IVF-PQ CTEs up to ``ranked`` (the full ADC candidate
-    ranking) — shared by the search query and the recall evaluation."""
+    ranking) — shared by the search query and the recall evaluation.
+    ``nprobe`` defaults to the registered IVF_NPROBE; the recall
+    curve passes other values."""
     from .similarity import IVF_NPROBE, _KMEANS_CTES, _duck_kmeans_round
 
+    if nprobe is None:
+        nprobe = IVF_NPROBE
     return f"""{_KMEANS_CTES},
 {_duck_kmeans_round(3, "c2")},
 qprobe AS (
@@ -549,7 +553,7 @@ qprobe AS (
     SELECT vec_id, cid,
            row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
     FROM dist3 WHERE vec_id < {PQ_NQ}
-  ) WHERE rn <= {IVF_NPROBE}
+  ) WHERE rn <= {nprobe}
 ),
 {_pq_duck_ctes("p")},
 pair AS (
@@ -1666,3 +1670,139 @@ def ndcg_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# nprobe recall curve: the deployment tuning table, driver-gated
+# ---------------------------------------------------------------------------
+
+#: probe budgets swept by the registered curve (8 cells total; 4 = half)
+_CURVE_NPROBES = (1, 2, 4)
+
+
+def _nprobe_curve_arm(np: int) -> str:
+    from .similarity import _D2_DUCK
+
+    d2s = _D2_DUCK.replace("vv", "q.v").replace("cv", "c.v")
+    denom = PQ_NQ * PQ_TOPK
+    return f"""
+(WITH {_ivfpq_ctes(np)},
+short AS (
+  SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {RERANK_SHORTLIST}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, round({d2s}, 4) AS exact_d2
+  FROM short s
+  JOIN vecs q ON q.vec_id = s.query_id
+  JOIN vecs c ON c.vec_id = s.neighbor_id
+),
+rr AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY exact_d2, neighbor_id) AS rnk
+  FROM rer
+),
+exact AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid, round({d2s}, 4) AS dd
+  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {PQ_NQ}
+),
+exact_rank AS (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY dd, nid) AS ern
+  FROM exact
+),
+truth AS (SELECT qid, nid FROM exact_rank WHERE ern <= {PQ_TOPK}),
+hits AS (
+  SELECT t.qid, count(r.neighbor_id) AS n_hit
+  FROM truth t LEFT JOIN rr r
+    ON r.query_id = t.qid AND r.neighbor_id = t.nid AND r.rnk <= {PQ_TOPK}
+  GROUP BY t.qid
+)
+SELECT cast({np} AS BIGINT) AS nprobe,
+       cast(sum(n_hit) AS BIGINT) AS n_hit,
+       cast((2 * cast(sum(n_hit) AS BIGINT) * 10000 + {denom})
+            // (2 * {denom}) AS DOUBLE) / 10000 AS recall_at_k
+FROM hits)"""
+
+
+def _nprobe_curve_duck() -> str:
+    arms = "\nUNION ALL\n".join(
+        _nprobe_curve_arm(np) for np in _CURVE_NPROBES
+    )
+    return f"SELECT * FROM (\n{arms}\n) ORDER BY nprobe"
+
+
+@register("ivf_nprobe_recall_curve", _nprobe_curve_duck(),
+          tags=("similarity", "retrieval"))
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe HALF of the PQ re-rank deployment curve as a
+    driver-gated query (the shortlist half lives in
+    scripts/pq_recall_sweep.py + PERF.md): aggregate recall@{k} of the
+    exact-re-ranked IVF-PQ search at probe budgets {nps}, against the
+    exact squared-L2 truth — the table a deployment reads to set
+    nprobe against its latency budget. One row per budget; the
+    registered operating point (nprobe=2) sits inside the curve it is
+    judged by.
+
+    Scale notes (100 TB): each arm prunes candidates to its nprobe
+    cells before anything pairwise (the `ivf_pq_topk` plan); the
+    exact-truth arm is the bounded evaluation panel shared by the
+    whole recall family. The three arms share the trained quantizer
+    in the Spark plan (computed once, reused across budgets); the
+    oracle restates each arm independently.""".format(
+        k=PQ_TOPK, nps=_CURVE_NPROBES
+    )
+    from .similarity import _D2_SPARK
+
+    from ..io import load_table
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v"),
+    )
+    q = vecs.where(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v")
+    )
+    c = vecs.select(F.col("vec_id").alias("nid"), F.col("v").alias("cv"))
+    wq = Window.partitionBy("qid").orderBy("dd", "nid")
+    truth = (
+        F.broadcast(q)
+        .join(c, F.col("nid") != F.col("qid"))
+        .select("qid", "nid", F.round(F.expr(_D2_SPARK), 4).alias("dd"))
+        .withColumn("ern", F.row_number().over(wq))
+        .where(F.col("ern") <= PQ_TOPK)
+        .select("qid", "nid")
+        .localCheckpoint(eager=False)  # shared by all three arms
+    )
+    denom = PQ_NQ * PQ_TOPK
+    out = None
+    for np_ in _CURVE_NPROBES:
+        rr = (
+            _reranked(spark, sf_dir, nprobe=np_)
+            .where(F.col("rnk") <= PQ_TOPK)
+            .select(
+                F.col("query_id").alias("qid"),
+                F.col("neighbor_id").alias("nid"),
+                F.lit(1).alias("hit"),
+            )
+        )
+        arm = (
+            truth.join(rr, ["qid", "nid"], "left")
+            .agg(F.count("hit").cast("bigint").alias("n_hit"))
+            .select(
+                F.lit(np_).cast("bigint").alias("nprobe"),
+                "n_hit",
+                (
+                    F.expr(
+                        f"cast((2 * n_hit * 10000 + {denom}) "
+                        f"div (2 * {denom}) AS DOUBLE)"
+                    )
+                    / 10000
+                ).alias("recall_at_k"),
+            )
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out.orderBy("nprobe")

@@ -94,7 +94,7 @@ def register(
 #: path_trigrams_topk, covisit_triangle_census,
 #: hll_overlap_estimate, video_frame_dup_pairs,
 #: manifest_admission_replay, generation_provenance,
-#: lsh_scurve_calibration —
+#: lsh_scurve_calibration, ivf_nprobe_recall_curve —
 #: locally green + sf1-swept, never-rowed so they LEAD the r9 window
 #: per the standing policy) and the round-5 cohort
 #: (50 queries) queue for round 9.
