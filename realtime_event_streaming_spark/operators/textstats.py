@@ -892,3 +892,93 @@ def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PMI_TOPK)
         .select("w1", "w2", "c_ab", "pmi_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov length-drift census (source vs rest)
+# ---------------------------------------------------------------------------
+
+#: alpha = 0.05 two-sample critical coefficient c(alpha) = 1.358;
+#: the flag compares D^2 against c^2 * (n1+n2)/(n1*n2) with c^2
+#: embedded as the exact rational 461041/250000 — no runtime sqrt.
+_KS_C2_NUM = 461041
+_KS_C2_DEN = 250000
+
+
+def _ks_sql(len_fn: str, split_fn: str, idiv: str) -> str:
+    return f"""
+WITH lens AS (
+  SELECT source, {len_fn}({split_fn}(text, ' ')) AS v FROM documents
+),
+tot AS (SELECT source, cast(count(*) AS BIGINT) AS n FROM lens
+        GROUP BY source),
+alln AS (SELECT cast(count(*) AS BIGINT) AS nn FROM lens),
+grid AS (SELECT DISTINCT v FROM lens),
+cnt AS (SELECT source, v, cast(count(*) AS BIGINT) AS c FROM lens
+        GROUP BY source, v),
+acnt AS (SELECT v, cast(count(*) AS BIGINT) AS ca FROM lens GROUP BY v),
+acum AS (
+  SELECT v, cast(sum(ca) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS call
+  FROM acnt
+),
+sg AS (SELECT t.source, t.n, g.v FROM tot t CROSS JOIN grid g),
+cum AS (
+  SELECT sg.source, sg.n, sg.v,
+         cast(sum(coalesce(c.c, 0)) OVER (PARTITION BY sg.source
+              ORDER BY sg.v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cs
+  FROM sg LEFT JOIN cnt c ON c.source = sg.source AND c.v = sg.v
+),
+d AS (
+  SELECT cum.source, cum.n, alln.nn - cum.n AS nr,
+         max(abs(cum.cs * (alln.nn - cum.n)
+                 - (ac.call - cum.cs) * cum.n)) AS dnum
+  FROM cum JOIN acum ac ON ac.v = cum.v CROSS JOIN alln
+  GROUP BY cum.source, cum.n, alln.nn
+)
+SELECT source,
+       n AS n_docs,
+       cast((2 * dnum * 10000 + n * nr) {idiv} (2 * n * nr) AS DOUBLE)
+         / 10000 AS ks_d,
+       (cast({_KS_C2_DEN} AS DOUBLE) * cast(dnum AS DOUBLE)
+          * cast(dnum AS DOUBLE)
+        > cast({_KS_C2_NUM} AS DOUBLE) * cast(n + nr AS DOUBLE)
+          * cast(n AS DOUBLE) * cast(nr AS DOUBLE)) AS drift_flag
+FROM d ORDER BY source
+"""
+
+
+@register(
+    "ks_length_drift",
+    _ks_sql("len", "string_split", "//"),
+    tags=("text", "anomaly"),
+)
+def ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test of each source's token-length
+    distribution against the REST of the corpus — the SHAPE-drift
+    detector beside `unigram_kl_drift`'s content drift (KL sees WHAT
+    words shifted; KS sees whether a source's length profile stopped
+    looking like everyone else's, the signature of a scraper change
+    or truncation bug). D = max_v |F_s(v) - F_rest(v)| with the
+    alpha=0.05 significance flag.
+
+    Determinism: the statistic never touches floats until display —
+    D's numerator is the exact integer max |c_s*n_r - c_r*n_s| over
+    the pooled value grid, the reported D is a half-up 4-dp integer
+    ratio, and the significance compare squares the classical
+    c(alpha)*sqrt((n1+n2)/(n1*n2)) criterion into the exact rational
+    D^2 > c^2(n1+n2)/(n1*n2) with c^2 = 461041/250000 — evaluated in
+    doubles built from identical integers by correctly-rounded ops,
+    so both engines decide identically and NO runtime sqrt exists.
+
+    Scale notes (100 TB): one scan makes the (source, length) counts;
+    the CDF grid is |sources| x |distinct lengths| rows (length is a
+    bounded domain in any curated corpus) with per-source window
+    cumsums. Integer-range bound: the half-up display division needs
+    2 * dnum * 10^4 < 2^63, i.e. n_s * n_rest < ~4.6e14 — past that
+    (trillion-doc corpora), report D from the double form directly."""
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_ks_sql("size", "split", "div"))
