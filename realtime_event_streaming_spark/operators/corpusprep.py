@@ -1349,3 +1349,161 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus yields byte-identical spans.""".format(p=_SPAN_NOISE_PCT)
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_SPANPLAN_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# BPE DECODE round-trip: encode is lossless, proven per document
+# ---------------------------------------------------------------------------
+
+_BPE_DECODE_DUCK = (
+    f"""
+WITH toks0 AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i, j) AS pos,
+         tk[i] AS t
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       UNNEST(generate_series(1, len(tk))) AS g(i),
+       UNNEST(generate_series(1,
+         CASE WHEN (i - 1) % {_BPE_RUN_DUP_EVERY} = 0 THEN 2 ELSE 1 END))
+         AS r(j)
+),
+"""
+    + ",".join(_duck_bpe_run_round(n) for n in range(1, _BPE_RUN_ROUNDS + 1))
+    + f"""
+, dec AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos, k) AS dpos,
+         ps[k] AS t
+  FROM (SELECT doc_id, pos, string_split(t, '{_BPE_SEP}') AS ps
+        FROM toks{_BPE_RUN_ROUNDS}),
+       UNNEST(generate_series(1, len(ps))) AS u(k)
+),
+deccnt AS (SELECT doc_id, cast(count(*) AS BIGINT) AS nd FROM dec
+           GROUP BY doc_id),
+cmp AS (
+  SELECT o.doc_id,
+         cast(count(*) AS BIGINT) AS n_orig,
+         cast(sum(CASE WHEN d.t = o.t THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match
+  FROM toks0 o
+  LEFT JOIN dec d ON d.doc_id = o.doc_id AND d.dpos = o.pos
+  GROUP BY o.doc_id
+)
+SELECT doc.source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(CASE WHEN c.n_match = c.n_orig AND dc.nd = c.n_orig
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_restored,
+       cast(sum(c.n_orig) AS BIGINT) AS orig_tokens,
+       cast(sum(dc.nd) AS BIGINT) AS decoded_tokens
+FROM documents doc
+JOIN cmp c ON c.doc_id = doc.doc_id
+JOIN deccnt dc ON dc.doc_id = doc.doc_id
+GROUP BY doc.source
+ORDER BY doc.source
+"""
+)
+
+
+@register("bpe_decode_roundtrip", _BPE_DECODE_DUCK, tags=("corpusprep", "text"))
+def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECODE side of the tokenizer family, self-checking: encode
+    the corpus with the {r}-round trained merge sequence
+    (`bpe_encode_lengths`' exact pipeline), decode by splitting every
+    symbol on the merge separator, and prove LOSSLESSNESS per
+    document — decoded position-by-position equality with the
+    pre-merge stream and exact count restoration, reported per source
+    (docs_restored must equal n_docs; the oracle hash pins it). The
+    `text_normalize_roundtrip` discipline applied to tokenization:
+    a tokenizer you cannot invert is a tokenizer you cannot debug.
+    Decode correctness relies on base tokens never containing the
+    separator ('{sep}'), which holds for this corpus and is exactly
+    the invariant real BPE vocabularies maintain with reserved
+    separator bytes.
+
+    Scale notes (100 TB): encode cost is `bpe_encode_lengths`
+    (per-round pair census + per-doc windows); decode adds one
+    map-only split-explode and a doc-keyed position join — shuffles
+    stay keyed by doc_id throughout.""".format(
+        r=_BPE_RUN_ROUNDS, sep=_BPE_SEP
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "t")
+        )
+        .select(
+            "doc_id",
+            "i0",
+            "t",
+            F.explode(
+                F.expr(
+                    f"sequence(1, IF(i0 % {_BPE_RUN_DUP_EVERY} = 0, 2, 1))"
+                )
+            ).alias("j"),
+        )
+    )
+    w0 = Window.partitionBy("doc_id").orderBy("i0", "j")
+    toks0 = toks.select(
+        "doc_id", F.row_number().over(w0).alias("pos"), "t"
+    ).localCheckpoint(eager=False)
+    merged = toks0
+    for _ in range(_BPE_RUN_ROUNDS):
+        _, _, merged = _bpe_run_round(merged)
+        merged = merged.localCheckpoint(eager=False)
+    wdec = Window.partitionBy("doc_id").orderBy("pos", "k")
+    dec = (
+        merged.select(
+            "doc_id",
+            "pos",
+            F.posexplode(F.split("t", f"[{_BPE_SEP}]")).alias("k", "piece"),
+        )
+        .select(
+            "doc_id",
+            F.row_number().over(wdec).alias("dpos"),
+            F.col("piece").alias("t"),
+        )
+    )
+    deccnt = dec.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("nd")
+    )
+    cmp = (
+        toks0.alias("o")
+        .join(
+            dec.alias("d"),
+            (F.col("d.doc_id") == F.col("o.doc_id"))
+            & (F.col("d.dpos") == F.col("o.pos")),
+            "left",
+        )
+        .groupBy(F.col("o.doc_id").alias("doc_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orig"),
+            F.sum(
+                F.when(F.col("d.t") == F.col("o.t"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_match"),
+        )
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(cmp, "doc_id")
+        .join(deccnt, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("n_match") == F.col("n_orig"))
+                    & (F.col("nd") == F.col("n_orig")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("docs_restored"),
+            F.sum("n_orig").cast("bigint").alias("orig_tokens"),
+            F.sum("nd").cast("bigint").alias("decoded_tokens"),
+        )
+        .orderBy("source")
+    )
