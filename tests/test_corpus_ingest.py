@@ -407,3 +407,66 @@ def test_committed_manifest_fixture_matches_generator():
     assert len(parts) == len(gen)
     for p, lines in zip(parts, gen):
         assert p.read_text() == "\n".join(lines) + "\n", p
+
+
+def test_manifest_admission_recovers_from_checkpoint(spark, tmp_path):
+    """Checkpoint recovery for the manifest admission: a restart
+    against the SAME checkpoint must process ONLY the files that
+    arrived after the first run (offset tracking), never re-admit or
+    re-count the already-processed batches, and the accumulated
+    manifest must equal the one-shot truth over all files."""
+    import os
+    import time
+
+    from realtime_event_streaming_spark.streaming.corpus_ingest import (
+        start_manifest_admission,
+    )
+
+    index = str(tmp_path / "index")
+    spark.createDataFrame(
+        [(-1, "0" * 32)], "doc_id long, h string"
+    ).write.parquet(f"{index}/content_hash")
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    t0 = time.time()
+
+    def _deliver(i, lines):
+        f = os.path.join(src, f"b{i}.json")
+        with open(f, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        os.utime(f, (t0 + i, t0 + i))
+
+    _deliver(0, [_doc(1, GOOD_1, "sA", 0), _doc(2, JUNK_SHORT, "sA", 1)])
+    _deliver(1, [_doc(3, GOOD_2, "sB", 10), _doc(4, GOOD_2, "sB", 11)])
+
+    args = (
+        spark,
+        src,
+        index,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "manifest"),
+        str(tmp_path / "ckpt"),
+    )
+    q1 = start_manifest_admission(*args)
+    q1.awaitTermination(300)
+    man1 = spark.read.parquet(str(tmp_path / "manifest"))
+    assert {r.batch_id for r in man1.collect()} == {0, 1}
+    assert sum(r.admitted for r in man1.collect()) == 2  # docs 1, 3
+
+    # late file arrives; restart against the SAME checkpoint
+    _deliver(2, [_doc(5, GOOD_3, "sA", 20), _doc(6, GOOD_1, "sA", 21)])
+    q2 = start_manifest_admission(*args)
+    q2.awaitTermination(300)
+
+    man = spark.read.parquet(str(tmp_path / "manifest")).collect()
+    # exactly one new batch; earlier rows untouched
+    assert {r.batch_id for r in man} == {0, 1, 2}
+    assert len(man) == len(man1.collect()) + 1
+    for r in man:
+        assert r.n_input == r.drop_quality + r.drop_duplicate + r.admitted
+    # doc 6 is a re-send of batch-0's admit -> index kill; doc 5 admits
+    assert sum(r.admitted for r in man) == 3
+    admitted = spark.read.parquet(str(tmp_path / "corpus"))
+    assert {r.doc_id for r in admitted.collect()} == {1, 3, 5}
+    assert admitted.count() == 3  # no duplicated rows across restarts
