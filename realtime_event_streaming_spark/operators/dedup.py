@@ -2344,14 +2344,21 @@ scored AS (
                      AND siga[2*b+2] = sigb[2*b+2])) > 0
               THEN 1 ELSE 0 END AS cand
   FROM jm
-)
-SELECT cast(k AS BIGINT) AS k,
-       cast(count(*) AS BIGINT) AS n_pairs,
-       cast((2 * cast(sum(j4) AS BIGINT) + count(*))
-            // (2 * count(*)) AS DOUBLE) / 10000 AS mean_jaccard,
-       cast((2 * cast(sum(cand) AS BIGINT) * 10000 + count(*))
-            // (2 * count(*)) AS DOUBLE) / 10000 AS candidate_rate
-FROM scored GROUP BY k ORDER BY k
+),
+agg AS (
+  SELECT cast(k AS BIGINT) AS k,
+         cast(count(*) AS BIGINT) AS n_pairs,
+         cast((2 * cast(sum(j4) AS BIGINT) + count(*))
+              // (2 * count(*)) AS DOUBLE) / 10000 AS mean_jaccard,
+         cast((2 * cast(sum(cand) AS BIGINT) * 10000 + count(*))
+              // (2 * count(*)) AS DOUBLE) / 10000 AS candidate_rate
+  FROM scored GROUP BY k
+),
+e1 AS (SELECT agg.*, 1 - mean_jaccard * mean_jaccard AS e FROM agg),
+e4 AS (SELECT e1.*, (e * e) * (e * e) AS ev4 FROM e1)
+SELECT k, n_pairs, mean_jaccard, candidate_rate,
+       1 - ev4 * ev4 AS theory_rate
+FROM e4 ORDER BY k
 """
 
 _SCURVE_SPARK = (
@@ -2405,11 +2412,17 @@ def lsh_scurve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ladder — for each panel doc, variant k replaces the last
     3k of its 30 base tokens with salted ones, sweeping pair
     similarity from ~1.0 (k=0) down to ~0 (k=9); per rung the census
-    reports mean Jaccard and the fraction of pairs the banding would
-    emit as candidates. This is the measured S-curve
-    P(candidate | j) ~ 1-(1-j^r)^b that picks (b, r) against a
-    dedup threshold: read the rung where capture crosses ~0.5 and
-    compare it to the threshold `dedup_minhash_lsh` enforces.
+    reports mean Jaccard, the fraction of pairs the banding would
+    emit as candidates, AND the theoretical S-curve value
+    1-(1-j^2)^8 evaluated at the rung's mean Jaccard — computed by
+    MULTIPLICATION ONLY (e^8 as ((e^2)^2)^2, the nDCG
+    literal-discount discipline: no runtime pow exists to drift a
+    ulp). Read the rung where capture crosses ~0.5 and compare it
+    to the threshold `dedup_minhash_lsh` enforces; measured capture
+    sits slightly UNDER theory mid-curve because the KM-derived
+    family has higher estimator variance than 16 independent
+    permutations — the module's disclosed trade-off, now visible
+    in one table.
 
     Fully per-row: variants, shingles, exact Jaccard (array
     intersections) and both signatures are higher-order-function
