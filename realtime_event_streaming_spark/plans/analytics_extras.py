@@ -423,3 +423,80 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, tables=("documents", "embeddings", "events")
     )
     return spark.sql(_DATACARD_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# segmented Benford screen (per-country forensic ranking)
+# ---------------------------------------------------------------------------
+
+#: Benford expectations as INTEGER 1e-4 fractions, so every deviation
+#: is an exact rational |n*10^4 - b4*t| / t — the corpus-level query's
+#: double literals never enter an ordering or a rounded difference.
+_BENFORD_B4 = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {round(p * 10000)}" for d, p in _BENFORD_EXP.items()
+) + " END"
+
+
+def _benford_seg_sql(idiv: str) -> str:
+    return f"""
+WITH digits AS (
+  SELECT {D.COUNTRY_SQL} AS country, {_BENFORD_DIGIT} AS digit
+  FROM events WHERE value IS NOT NULL AND value > 0
+),
+counts AS (
+  SELECT country, digit, cast(count(*) AS BIGINT) AS n FROM digits
+  WHERE digit IS NOT NULL GROUP BY country, digit
+),
+tot AS (SELECT country, cast(sum(n) AS BIGINT) AS t FROM counts
+        GROUP BY country),
+dev AS (
+  SELECT c.country, c.digit,
+         (2 * abs(c.n * 10000 - ({_BENFORD_B4}) * tt.t) + tt.t)
+           {idiv} (2 * tt.t) AS dev4,
+         tt.t
+  FROM counts c JOIN tot tt ON tt.country = c.country
+),
+ranked AS (
+  SELECT country, digit, dev4,
+         row_number() OVER (PARTITION BY country
+                            ORDER BY dev4 DESC, digit) AS rn
+  FROM dev
+),
+agg AS (
+  SELECT country, max(t) AS n_values,
+         cast(sum(dev4) AS BIGINT) AS total_dev4
+  FROM dev GROUP BY country
+)
+SELECT a.country,
+       a.n_values,
+       cast(a.total_dev4 AS DOUBLE) / 10000 AS total_abs_dev,
+       cast(r.digit AS BIGINT) AS worst_digit,
+       cast(r.dev4 AS DOUBLE) / 10000 AS worst_digit_dev
+FROM agg a JOIN ranked r ON r.country = a.country AND r.rn = 1
+ORDER BY a.total_dev4 DESC, a.country
+"""
+
+
+@register("benford_by_source", _benford_seg_sql("//"), tags=("anomaly",))
+def benford_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEGMENTED Benford screen — forensic practice runs the
+    first-digit test per reporting unit, because a single fabricated
+    segment disappears into the corpus-level average
+    (`benford_digit_census` is the aggregate view): per country, the
+    total absolute deviation from Benford across all nine digits,
+    ranked worst-first, with the single worst digit named — the
+    triage order an auditor works down.
+
+    Determinism: expectations are INTEGER 1e-4 fractions, so each
+    digit's deviation is the exact rational |n*10^4 - b4*t| / t
+    (half-up 4-dp), the ranking key is an exact integer SUM of those,
+    and the worst-digit pick is a deterministic (dev, digit) window —
+    no double ever enters a comparison. Same range-ladder digit
+    extraction (no log10) as the corpus screen.
+
+    Scale notes (100 TB): one scan, a (segments x 9)-row census,
+    per-segment 9-row windows. The cheapest per-unit fraud screen a
+    warehouse can run — and the segment key generalizes to supplier/
+    account/region unchanged."""
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_benford_seg_sql("div"))

@@ -96,7 +96,7 @@ def register(
 #: manifest_admission_replay, generation_provenance,
 #: lsh_scurve_calibration, ivf_nprobe_recall_curve,
 #: funnel_time_to_convert, ks_length_drift, bpe_decode_roundtrip,
-#: jl_ann_recall —
+#: jl_ann_recall, benford_by_source —
 #: locally green + sf1-swept, never-rowed so they LEAD the r9 window
 #: per the standing policy) and the round-5 cohort
 #: (50 queries) queue for round 9.
