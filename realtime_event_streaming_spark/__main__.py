@@ -2,10 +2,15 @@
 
     python -m realtime_event_streaming_spark list
     python -m realtime_event_streaming_spark run <query> [--sf-dir DIR] [-n N]
+    python -m realtime_event_streaming_spark audit <query> [--sf-dir DIR] [--full]
     python -m realtime_event_streaming_spark bench [--sf-dir DIR]
     python -m realtime_event_streaming_spark pipeline [--events N] [--out DIR]
 
 ``run`` executes any registered query and prints the first N rows;
+``audit`` prints one JSON line of plan-quality counters for any
+query (scans / shuffles / broadcasts / codegen spans / top-k /
+Python boundary) from the AQE-FINAL plan — the scale-review
+checklist, on demand;
 ``pipeline`` runs the full streaming deployment (generator -> ingest ->
 raw table + exact rollup -> anomaly alerts) against a temp or given
 directory — the quickest way to see the engine end-to-end.
@@ -115,6 +120,54 @@ def cmd_pipeline(args) -> int:
     return 0
 
 
+def cmd_audit(args) -> int:
+    """Plan-quality audit for any registered query: the counters a
+    scale review reads off `.explain` (scans, shuffles, broadcasts,
+    codegen spans, top-k operators), printed as one JSON line — the
+    CLI form of the checks tests/test_plan_properties.py pins for the
+    audited queries, available for ALL of them."""
+    from .registry import load_all
+
+    reg = load_all()
+    if args.query not in reg:
+        print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = _spark()
+    df = reg[args.query].spark_fn(spark, args.sf_dir)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    # pushdown is a static scan property: read "formatted" BEFORE
+    # execution (AQE-final strings duplicate the scan sections)
+    formatted = qe.explainString(mode.fromString("formatted"))
+    df.collect()  # finalize the AQE plan so codegen spans and the
+    # runtime-chosen join strategies are the audited reality;
+    # audit only the FINAL plan section of the simple string
+    plan = qe.explainString(mode.fromString("simple"))
+    plan = plan.split("== Initial Plan ==")[0]
+    audit = {
+        "query": args.query,
+        "parquet_scans": plan.count("Scan parquet"),
+        "shuffle_exchanges": plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition"),
+        "broadcast_exchanges": plan.count("BroadcastExchange"),
+        "broadcast_joins": plan.count("BroadcastHashJoin")
+        + plan.count("BroadcastNestedLoopJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "codegen_spans": plan.count("*("),  # WholeStageCodegen ids in the tree
+        "take_ordered": plan.count("TakeOrderedAndProject"),
+        "pushed_filters": formatted.count("PushedFilters: ["),
+        "row_at_a_time_python": plan.count("BatchEvalPython"),
+        "arrow_python": plan.count("ArrowEvalPython")
+        + plan.count("MapInPandas")
+        + plan.count("FlatMapGroupsInPandas"),
+    }
+    print(json.dumps(audit))
+    if args.full:
+        print(formatted)
+    return 0
+
+
 def main() -> int:
     p = argparse.ArgumentParser(prog="realtime_event_streaming_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -124,6 +177,10 @@ def main() -> int:
     pr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     pr.add_argument("-n", type=int, default=20)
     pr.add_argument("--explain", action="store_true")
+    pa = sub.add_parser("audit")
+    pa.add_argument("query")
+    pa.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pa.add_argument("--full", action="store_true")
     pb = sub.add_parser("bench")
     pb.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     pp = sub.add_parser("pipeline")
@@ -134,6 +191,7 @@ def main() -> int:
     return {
         "list": cmd_list,
         "run": cmd_run,
+        "audit": cmd_audit,
         "bench": cmd_bench,
         "pipeline": cmd_pipeline,
     }[args.cmd](args)

@@ -35,3 +35,26 @@ def test_unknown_query_fails_cleanly():
     r = _run("run", "nope")
     assert r.returncode == 2
     assert "unknown query" in r.stderr
+
+
+def test_audit_command_counts_plan_properties(capsys):
+    """`audit` reports the plan-quality counters from the AQE-final
+    plan: the no-parquet-rescan property of the manifest and the
+    Arrow-only Python boundary of the multimodal leg are visible in
+    one JSON line each."""
+    import json
+
+    from realtime_event_streaming_spark.__main__ import main
+
+    sys.argv = ["prog", "audit", "pretraining_mix_manifest",
+                "--sf-dir", "/root/testdata/sf0.001"]
+    assert main() == 0
+    a = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a["parquet_scans"] == 0  # every branch reads the checkpoint
+    assert a["row_at_a_time_python"] == 0
+
+    sys.argv = ["prog", "audit", "multimodal_features",
+                "--sf-dir", "/root/testdata/sf0.001"]
+    assert main() == 0
+    a = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert a["arrow_python"] >= 1 and a["row_at_a_time_python"] == 0
