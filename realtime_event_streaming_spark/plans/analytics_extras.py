@@ -438,6 +438,10 @@ _BENFORD_B4 = "CASE digit " + " ".join(
 
 
 def _benford_seg_sql(idiv: str) -> str:
+    # the CASE constant references bare `digit`; in dev both grid and
+    # counts carry a digit column, so qualify the grid's
+    b4_g = _BENFORD_B4.replace("CASE digit", "CASE g.digit")
+    domain = " UNION ALL ".join(f"SELECT {d} AS digit" for d in range(1, 10))
     return f"""
 WITH digits AS (
   SELECT {D.COUNTRY_SQL} AS country, {_BENFORD_DIGIT} AS digit
@@ -449,12 +453,21 @@ counts AS (
 ),
 tot AS (SELECT country, cast(sum(n) AS BIGINT) AS t FROM counts
         GROUP BY country),
+grid AS (
+  -- full country x 1..9 domain: a digit ABSENT from a segment still
+  -- contributes its full |0 - expected| deviation (the strongest
+  -- fabrication signal for sparse segments), and worst_digit can
+  -- name a completely missing digit
+  SELECT tt.country, dd.digit, tt.t
+  FROM tot tt CROSS JOIN ({domain}) dd
+),
 dev AS (
-  SELECT c.country, c.digit,
-         (2 * abs(c.n * 10000 - ({_BENFORD_B4}) * tt.t) + tt.t)
-           {idiv} (2 * tt.t) AS dev4,
-         tt.t
-  FROM counts c JOIN tot tt ON tt.country = c.country
+  SELECT g.country, g.digit,
+         (2 * abs(coalesce(c.n, 0) * 10000 - ({b4_g}) * g.t) + g.t)
+           {idiv} (2 * g.t) AS dev4,
+         g.t
+  FROM grid g LEFT JOIN counts c
+    ON c.country = g.country AND c.digit = g.digit
 ),
 ranked AS (
   SELECT country, digit, dev4,
@@ -483,9 +496,12 @@ def benford_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-digit test per reporting unit, because a single fabricated
     segment disappears into the corpus-level average
     (`benford_digit_census` is the aggregate view): per country, the
-    total absolute deviation from Benford across all nine digits,
-    ranked worst-first, with the single worst digit named — the
-    triage order an auditor works down.
+    total absolute deviation from Benford across ALL nine digits —
+    the country x 1..9 domain is completed by cross join, so a digit
+    entirely absent from a segment contributes its full expected-
+    fraction deviation and can be named worst_digit (sparse fabricated
+    segments are exactly where digits go missing) — ranked worst-
+    first, the triage order an auditor works down.
 
     Determinism: expectations are INTEGER 1e-4 fractions, so each
     digit's deviation is the exact rational |n*10^4 - b4*t| / t

@@ -127,23 +127,34 @@ GROUP BY f.source ORDER BY f.source
 def _stage_fixture() -> str:
     """Copy the committed files to a temp dir with strictly increasing
     mtimes (FileStreamSource orders by mtime; git gives arbitrary
-    ones) — the streaming_replay staging discipline."""
+    ones) — the streaming_replay staging discipline. The staging dir
+    is keyed on a CONTENT hash of the fixture files (not a version
+    suffix), so editing the committed fixture can never silently
+    replay stale staged bytes; it is built in a private mkdtemp and
+    published with an atomic rename, so concurrent sessions race
+    harmlessly (first rename wins, losers discard their copy)."""
     import os
     import time
 
-    root = Path(tempfile.gettempdir()) / "rtes_manifest_fixture_v1"
-    marker = root / "_COMPLETE"
+    parts = sorted(FIXTURE_DIR.glob("part-*.txt"))
+    digest = hashlib.md5(
+        b"".join(p.name.encode() + b"\0" + p.read_bytes() for p in parts)
+    ).hexdigest()[:16]
+    root = Path(tempfile.gettempdir()) / f"rtes_manifest_fixture_{digest}"
     in_dir = root / "in"
-    if not marker.exists():
-        shutil.rmtree(root, ignore_errors=True)
-        in_dir.mkdir(parents=True)
-        parts = sorted(FIXTURE_DIR.glob("part-*.txt"))
+    if not in_dir.is_dir():
+        tmp = Path(tempfile.mkdtemp(prefix="rtes_manifest_stage_"))
+        stage = tmp / "in"
+        stage.mkdir()
         base = time.time() - len(parts)
         for i, src in enumerate(parts):
-            dst = in_dir / src.name
+            dst = stage / src.name
             shutil.copy(src, dst)
             os.utime(dst, (base + i, base + i))
-        marker.touch()
+        try:
+            os.rename(tmp, root)  # atomic publish; fails if root exists
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
     return str(in_dir)
 
 

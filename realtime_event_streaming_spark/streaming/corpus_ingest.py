@@ -37,6 +37,7 @@ digest/source only.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     LongType,
@@ -336,15 +337,28 @@ def start_manifest_admission(
     (n_input = drop_quality + drop_duplicate + admitted, per source,
     per batch; test_corpus_ingest pins it and stream==batch parity).
 
-    Scale notes: identical to `start_corpus_admission` — the index
-    probe is an O(batch) anti-join; the counters are one extra
-    group-by over the already-checkpointed batch (dimension-sized
-    output). Exactly-once: a recovered re-run of batch N re-probes
-    the index N's first run updated, admitting 0 and writing a
-    zero-admission counter row — admitted counts never double."""
+    Exactly-once (ALL columns, every crash window): the parts-store
+    discipline of `start_incremental_packing`, applied to all three
+    sinks. The stream's own index appends land in a SEPARATE
+    provenance-keyed table ``{index_path}/content_hash_stream``
+    partitioned by (run_id, batch_id) — ``run_id`` derives from the
+    checkpoint location, so a recovered re-run of batch N (same
+    checkpoint) probes seed + stream rows with batch_id < N only,
+    EXCLUDING its own first run's appends, and therefore recomputes
+    byte-identical fates; corpus, index and manifest all write with
+    dynamic partition overwrite on (run_id, batch_id), so the re-run
+    overwrites its own partitions with identical rows. No ordering of
+    the three writes can double-count a counter column or duplicate a
+    corpus row. A NEW checkpoint is a new logical run: its run_id
+    differs, so it sees every prior run's admissions as history (the
+    grown index) and appends alongside rather than overwriting."""
+    import hashlib
+
     parsed = parse_docs(read_doc_stream(
         spark, src_path, max_files_per_trigger=max_files_per_trigger
     ))
+    run_id = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    stream_index = f"{index_path}/content_hash_stream"
 
     def _admit(batch_df, batch_id):
         sess = batch_df.sparkSession
@@ -365,11 +379,21 @@ def start_manifest_admission(
                 )
             ).alias("q_ok"),
         ).localCheckpoint()
-        known = (
-            sess.read.parquet(f"{index_path}/content_hash")
-            .select("h")
-            .distinct()
-        )
+        known = sess.read.parquet(f"{index_path}/content_hash").select("h")
+        try:
+            # history EXCLUDING this run's own batch N (replay safety):
+            # other runs' rows always count; this run's only below N
+            known = known.unionByName(
+                sess.read.parquet(stream_index)
+                .where(
+                    (F.col("run_id") != run_id)
+                    | (F.col("batch_id") < batch_id)
+                )
+                .select("h")
+            )
+        except AnalysisException:
+            pass  # no streamed admissions yet
+        known = known.distinct()
         wocc = W.partitionBy("content_hash").orderBy("doc_id")
         fates = (
             flagged.where("q_ok")
@@ -382,12 +406,26 @@ def start_manifest_admission(
             .localCheckpoint()
         )
         admitted = fates.where(~F.col("dup"))
-        admitted.select(
-            "doc_id", "source", "text", "content_hash", "n_tokens"
-        ).write.mode("append").parquet(out_path)
-        admitted.select(
-            "doc_id", F.col("content_hash").alias("h")
-        ).write.mode("append").parquet(f"{index_path}/content_hash")
+        (
+            admitted.select(
+                "doc_id", "source", "text", "content_hash", "n_tokens"
+            )
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id", "batch_id")
+            .parquet(out_path)
+        )
+        (
+            admitted.select("doc_id", F.col("content_hash").alias("h"))
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id", "batch_id")
+            .parquet(stream_index)
+        )
         counters = (
             flagged.select("doc_id", "source", F.col("q_ok"))
             .join(
@@ -415,17 +453,25 @@ def start_manifest_admission(
             admitted.groupBy("source")
             .agg(F.sum("n_tokens").cast("bigint").alias("tokens_admitted"))
         )
-        counters.join(tokens, "source", "left").select(
-            "batch_id",
-            "source",
-            "n_input",
-            "drop_quality",
-            "drop_duplicate",
-            "admitted",
-            F.coalesce("tokens_admitted", F.lit(0).cast("bigint")).alias(
-                "tokens_admitted"
-            ),
-        ).write.mode("append").parquet(manifest_path)
+        (
+            counters.join(tokens, "source", "left")
+            .select(
+                "batch_id",
+                "source",
+                "n_input",
+                "drop_quality",
+                "drop_duplicate",
+                "admitted",
+                F.coalesce("tokens_admitted", F.lit(0).cast("bigint")).alias(
+                    "tokens_admitted"
+                ),
+            )
+            .withColumn("run_id", F.lit(run_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id", "batch_id")
+            .parquet(manifest_path)
+        )
 
     writer = (
         parsed.writeStream.foreachBatch(_admit)
@@ -493,7 +539,10 @@ def start_incremental_packing(
                 .groupBy("source")
                 .agg(F.sum("n_tok").alias("tok_offset"))
             )
-        except Exception:  # first batch: no table yet
+        except AnalysisException:  # first batch: no table yet
+            # ONLY path-not-found counts as "first batch" — a transient
+            # read failure at batch N>0 must fail the batch (and retry
+            # under the checkpoint), never silently reset offsets to 0
             prior = None
         wcum = (
             W.partitionBy("source")

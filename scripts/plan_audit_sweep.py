@@ -63,4 +63,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    main()
+    # propagate the documented non-zero exit (row-at-a-time Python is
+    # a hard invariant) — a discarded return value can never fail CI
+    raise SystemExit(main())

@@ -315,6 +315,86 @@ def test_manifest_admission_counters_conserve_and_match_batch(
     assert spark.read.parquet(str(tmp_path / "corpus_out")).count() == 3
 
 
+def test_manifest_admission_batch_replay_is_exactly_once(spark, tmp_path):
+    """A RECOVERED re-run of an already-executed batch (crash after
+    the sinks wrote but before the checkpoint commit — simulated by
+    deleting the last commit marker and restarting) must leave every
+    manifest column, the corpus rows AND the stream index byte-stable:
+    the (run_id, batch_id) parts-store discipline recomputes identical
+    fates because the probe excludes the run's own batch-N appends."""
+    import shutil
+
+    from realtime_event_streaming_spark.streaming.corpus_ingest import (
+        start_manifest_admission,
+    )
+
+    index = str(tmp_path / "index")
+    spark.createDataFrame(
+        [(-1, "0" * 32)], "doc_id long, h string"
+    ).write.parquet(f"{index}/content_hash")
+
+    batches = [
+        [_doc(1, GOOD_1, "sA", 0), _doc(2, JUNK_SHORT, "sA", 1)],
+        [_doc(3, GOOD_2, "sB", 10), _doc(4, GOOD_2, "sB", 11)],
+    ]
+    src = str(tmp_path / "docs")
+    _write_batches(src, batches)
+
+    ckpt = str(tmp_path / "ckpt")
+    args = (
+        spark,
+        src,
+        index,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "manifest"),
+        ckpt,
+    )
+    q1 = start_manifest_admission(*args)
+    q1.awaitTermination(300)
+
+    def _snapshot():
+        man = sorted(
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / "manifest"))
+            .select(
+                "batch_id", "source", "n_input", "drop_quality",
+                "drop_duplicate", "admitted", "tokens_admitted",
+            )
+            .collect()
+        )
+        corpus = sorted(
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / "corpus"))
+            .select("doc_id", "content_hash", "n_tokens")
+            .collect()
+        )
+        idx = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{index}/content_hash_stream")
+            .select("doc_id", "h", "batch_id")
+            .collect()
+        )
+        return man, corpus, idx
+
+    before = _snapshot()
+    assert sum(r[5] for r in before[0]) == 2  # docs 1, 3 admitted
+
+    # simulate the crash window: batch 1's sinks committed, the
+    # checkpoint commit didn't — Spark will re-run batch 1 on restart
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    shutil.rmtree(str(tmp_path / "corpus") + "/_spark_metadata",
+                  ignore_errors=True)
+
+    q2 = start_manifest_admission(*args)
+    q2.awaitTermination(300)
+    assert _snapshot() == before
+
+
 def test_incremental_packing_matches_batch_and_replays(spark, tmp_path):
     """The sequence_pack streaming twin: (a) streamed per-batch packing
     with parts-derived offsets must equal the batch packer's global
