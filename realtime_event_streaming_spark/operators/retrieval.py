@@ -1059,15 +1059,27 @@ def residual_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: convention of k' = 10x the final k (IVFPQR / IndexRefineFlat).
 RERANK_SHORTLIST = 50
 
+#: The MEASURED deployment operating point (scripts/pq_recall_sweep.py;
+#: PERF.md sweep table): shortlist depth is the dominant recall knob,
+#: nprobe the expensive one — nprobe=1/shortlist=200 reaches
+#: recall@5 >= 0.8 at the MINIMUM ADC candidate cost on the sweep
+#: grid (2,460 scored rows vs 4,917 at the FAISS-default point, which
+#: measures 0.60). `pq_rerank_tuned` ships this point;
+#: `pq_rerank_tuned_recall` pins the >= 0.8 contract.
+TUNED_NPROBE = 1
+TUNED_SHORTLIST = 200
 
-def _rerank_duck() -> str:
+
+def _rerank_duck(
+    nprobe: int | None = None, shortlist: int = RERANK_SHORTLIST
+) -> str:
     from .similarity import _D2_DUCK
 
     d2 = _D2_DUCK.replace("vv", "q.v").replace("cv", "c.v")
     return f"""
-WITH {_ivfpq_ctes()},
+WITH {_ivfpq_ctes(nprobe)},
 short AS (
-  SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {RERANK_SHORTLIST}
+  SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {shortlist}
 ),
 rer AS (
   SELECT s.query_id, s.neighbor_id, round({d2}, 4) AS exact_d2
@@ -1165,14 +1177,16 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rerank_recall_duck() -> str:
+def _rerank_recall_duck(
+    nprobe: int | None = None, shortlist: int = RERANK_SHORTLIST
+) -> str:
     from .similarity import _D2_DUCK
 
     d2s = _D2_DUCK.replace("vv", "q.v").replace("cv", "c.v")
     return f"""
-WITH {_ivfpq_ctes()},
+WITH {_ivfpq_ctes(nprobe)},
 short AS (
-  SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {RERANK_SHORTLIST}
+  SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {shortlist}
 ),
 rer AS (
   SELECT s.query_id, s.neighbor_id, round({d2s}, 4) AS exact_d2
@@ -1224,12 +1238,27 @@ def pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries x {s} refinement reads.""".format(
         k=PQ_TOPK, s=RERANK_SHORTLIST
     )
+    return _rerank_recall_frame(spark, sf_dir)
+
+
+def _rerank_recall_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int | None = None,
+    shortlist: int = RERANK_SHORTLIST,
+) -> DataFrame:
+    """Per-query recall@k of the re-ranked path at a given
+    (nprobe, shortlist) against the exact ground truth — shared by
+    `pq_rerank_recall` (FAISS-default point) and
+    `pq_rerank_tuned_recall` (measured deployment point)."""
     from .similarity import _D2_SPARK
 
     from ..io import load_table
     from pyspark.sql import Window
 
-    rr = _reranked(spark, sf_dir).localCheckpoint(eager=False)
+    rr = _reranked(
+        spark, sf_dir, nprobe=nprobe, shortlist=shortlist
+    ).localCheckpoint(eager=False)
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select(
         "vec_id",
@@ -1270,6 +1299,49 @@ def pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     ).orderBy("query_id")
+
+
+@register("pq_rerank_tuned", _rerank_duck(TUNED_NPROBE, TUNED_SHORTLIST),
+          tags=("similarity", "retrieval"))
+def pq_rerank_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pq_rerank_topk` at the MEASURED deployment operating point
+    (nprobe={np}, shortlist={s}) instead of the FAISS textbook default:
+    the (nprobe, shortlist) sweep (scripts/pq_recall_sweep.py; PERF.md
+    curve) showed shortlist depth — not cell fan-out — buys back the
+    recall the noisy 12-bit ADC ordering loses, so this point reaches
+    recall@{k} >= 0.8 while ADC-scoring HALF the candidate rows of the
+    default point (which measures 0.60). `pq_rerank_tuned_recall` pins
+    the contract.
+
+    Scale notes (100 TB): strictly cheaper than `pq_rerank_topk` on
+    the scan side (one probed cell per query); the refinement arm
+    reads queries x {s} full vectors — still id-pruned point reads
+    against the materialized postings, never a corpus scan. The sweep
+    generalizes: re-derive the curve from `pq_rerank_recall` on the
+    production index, then ship the cheapest >= target point.""".format(
+        np=TUNED_NPROBE, s=TUNED_SHORTLIST, k=PQ_TOPK
+    )
+    return (
+        _reranked(
+            spark, sf_dir, nprobe=TUNED_NPROBE, shortlist=TUNED_SHORTLIST
+        )
+        .where(F.col("rnk") <= PQ_TOPK)
+        .select("query_id", "rnk", "neighbor_id", "exact_d2")
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register("pq_rerank_tuned_recall",
+          _rerank_recall_duck(TUNED_NPROBE, TUNED_SHORTLIST),
+          tags=("similarity", "retrieval"))
+def pq_rerank_tuned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of `pq_rerank_tuned` against the exact ground truth,
+    per query — the published operating point's contract, driver-
+    hashable. tests/test_retrieval_contract.py asserts mean recall
+    >= 0.8 at the sweep's sf0.1 measurement scale.""".format(k=PQ_TOPK)
+    return _rerank_recall_frame(
+        spark, sf_dir, nprobe=TUNED_NPROBE, shortlist=TUNED_SHORTLIST
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,54 @@
+"""Deployment contracts for the PQ re-rank operating point.
+
+`pq_rerank_tuned` ships the MEASURED (nprobe, shortlist) point the
+sweep found (scripts/pq_recall_sweep.py; PERF.md curve). These tests
+pin the two claims that justify shipping it: it meets the recall
+target at the sweep's measurement scale, and it is strictly cheaper
+on the ADC-candidate side than the FAISS-default point. The recall
+contract runs against the DuckDB restatement at sf0.1 (the full
+registry's oracle parity pins spark == oracle, so the restatement IS
+the registered query's semantics — and DuckDB evaluates the heavy
+self-join far faster than a test-budget Spark run would).
+"""
+
+from __future__ import annotations
+
+import os
+
+from realtime_event_streaming_spark.operators.retrieval import (
+    TUNED_NPROBE,
+    TUNED_SHORTLIST,
+    _ivfpq_ctes,
+    _rerank_recall_duck,
+)
+from tests.oracle import duck_connection
+
+SWEEP_SF = os.environ.get("ORACLE_SWEEP_SF", "/root/testdata/sf0.1")
+
+
+def test_tuned_point_meets_recall_contract():
+    """Mean recall@5 of the registered tuned point must be >= 0.8 at
+    the sweep's measurement scale — the published deployment claim
+    (PERF.md: nprobe=1/shortlist=200 measures exactly 0.80)."""
+    con = duck_connection(SWEEP_SF)
+    rows = con.sql(
+        _rerank_recall_duck(TUNED_NPROBE, TUNED_SHORTLIST)
+    ).fetchall()
+    assert rows, "recall eval returned no rows"
+    mean = sum(r[2] for r in rows) / len(rows)
+    assert mean >= 0.8, f"tuned-point mean recall@5 {mean} < 0.8"
+
+
+def test_tuned_point_is_cheaper_than_default():
+    """The tuned point's candidate-generation cost (ADC-scored rows)
+    must be strictly below the FAISS-default point's — the other half
+    of the sweep's conclusion (recall comes from shortlist depth, not
+    cell fan-out)."""
+    con = duck_connection(SWEEP_SF)
+
+    def adc_rows(nprobe):
+        q = f"WITH {_ivfpq_ctes(nprobe)} SELECT count(*) FROM adc"
+        return con.sql(q).fetchone()[0]
+
+    tuned, default = adc_rows(TUNED_NPROBE), adc_rows(None)
+    assert tuned < default, (tuned, default)
