@@ -17,13 +17,17 @@ Scale notes: unchanged from the twin — state is three scalars per
 (page, country) key, RocksDB-backed here (the new API's requirement,
 and the right store once keys exceed executor memory anyway).
 
-ENVIRONMENT CEILING (documented, same class as the Kafka broker
-socket): this container lacks the `protobuf` package the
-transformWithState Python worker imports for its JVM side-channel, so
-the reconciliation test skips here; the operator wiring is accepted by
-the JVM planner up to that import, and the scoring semantics are the
-fully-tested twin's. On any standard Spark 4 deployment (protobuf
-ships with pyspark's requirements) the test runs as written.
+ENVIRONMENT NOTE (ceiling UNLOCKED in round 9): this container lacks
+the `protobuf` package the transformWithState Python worker imports
+for its JVM side-channel, but `protobuf_compat.ensure_protobuf`
+discovers a vendored pure-Python runtime on disk and exports it to the
+forked workers, so the reconciliation test
+(tests/test_streaming_tws.py) now RUNS — and passes — end to end:
+the full protobuf handshake, RocksDB state server round-trips, and
+stream==batch equality with the applyInPandasWithState twin are all
+exercised, not just accepted by the planner. On any standard Spark 4
+deployment (protobuf ships with pyspark's requirements) nothing
+special is needed.
 """
 
 from __future__ import annotations

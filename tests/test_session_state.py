@@ -4,7 +4,6 @@ gaps and event-time timeout expiry — through the real ingest path
 
 from __future__ import annotations
 
-import importlib.util
 import json
 import os
 import time
@@ -136,16 +135,17 @@ def test_batch_spanning_multiple_sessions_splits_runs(spark, tmp_path):
 
 
 def _has_protobuf() -> bool:
-    try:
-        return importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:
-        return False
+    from realtime_event_streaming_spark.protobuf_compat import (
+        ensure_protobuf,
+    )
+
+    return ensure_protobuf()
 
 
 @pytest.mark.skipif(
     not _has_protobuf(),
-    reason="transformWithState Python protocol needs protobuf "
-    "(not shipped in this container)",
+    reason="transformWithState Python protocol needs protobuf and no "
+    "vendorable pure-Python copy was found (see protobuf_compat)",
 )
 def test_sessions_tws_state_v2_path(spark, tmp_path):
     """Same scenario through the Spark 4 transformWithStateInPandas

@@ -5,16 +5,16 @@ The new API needs the RocksDB state store provider — set per-query
 here via the session conf (restored after), so the rest of the suite
 keeps the default provider.
 
-ENVIRONMENT GATE: transformWithState's Python worker speaks protobuf
-to the JVM (pyspark/sql/streaming/proto/StateMessage_pb2) and this
-container has no `protobuf` package (and no pip). The JVM planner
-accepts the operator and launches the driver worker; the worker dies
-at `from google.protobuf import descriptor`. Everything on OUR side of
-that import — processor class shape, state schema, output schema,
-grouping, timeMode — is exercised up to the protobuf handshake; the
-semantics themselves are the applyInPandasWithState twin's, which is
-fully tested. Same documented-ceiling policy as the Kafka broker
-socket (COVERAGE.md).
+ENVIRONMENT GATE (unlocked round 9): transformWithState's Python
+worker speaks protobuf to the JVM
+(pyspark/sql/streaming/proto/StateMessage_pb2) and this container has
+no `protobuf` package (and no pip) — but
+`protobuf_compat.ensure_protobuf` (called in conftest BEFORE the JVM
+launches, so workers inherit PYTHONPATH) discovers a vendored
+pure-Python runtime on disk, and the reconciliation now runs fully:
+the protobuf handshake, the RocksDB state server round-trips, and
+stream==batch equality with the applyInPandasWithState twin. The
+skipif remains only for systems with no discoverable copy at all.
 """
 
 from __future__ import annotations
@@ -77,18 +77,18 @@ def rollup_fixture(spark, tmp_path):
 
 
 def _protobuf_available() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    from realtime_event_streaming_spark.protobuf_compat import (
+        ensure_protobuf,
+    )
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf()
 
 
 @pytest.mark.skipif(
     not _protobuf_available(),
-    reason="transformWithState Python worker needs protobuf; not in this "
-    "container (documented environment ceiling, see module docstring)",
+    reason="transformWithState Python worker needs protobuf; no package "
+    "and no vendorable pure-Python copy found on this system "
+    "(see protobuf_compat)",
 )
 def test_tws_matches_apply_in_pandas_twin(spark, rollup_fixture):
     schema, fixture = rollup_fixture
