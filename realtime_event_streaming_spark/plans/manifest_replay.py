@@ -169,6 +169,7 @@ def manifest_admission_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches, within-batch survivorship) computes exactly the one-shot
     relational answer. ``sf_dir`` is unused — the fixture IS the
     input, like `rollup_parts_replay`."""
+    from ..session import fixture_scale_shuffle
     from ..streaming.corpus_ingest import start_manifest_admission
 
     src = _stage_fixture()
@@ -178,15 +179,16 @@ def manifest_admission_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(-1, _HIST_HASH)], "doc_id long, h string"
     )
     seed.write.parquet(f"{index}/content_hash")
-    q = start_manifest_admission(
-        spark,
-        src,
-        index,
-        f"{work}/corpus",
-        f"{work}/manifest",
-        f"{work}/ckpt",
-    )
-    q.awaitTermination(300)
+    with fixture_scale_shuffle(spark):
+        q = start_manifest_admission(
+            spark,
+            src,
+            index,
+            f"{work}/corpus",
+            f"{work}/manifest",
+            f"{work}/ckpt",
+        )
+        q.awaitTermination(300)
     out = (
         spark.read.parquet(f"{work}/manifest")
         .groupBy("source")

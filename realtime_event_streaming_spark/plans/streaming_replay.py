@@ -115,22 +115,25 @@ def streaming_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine's own wire format, not a warehouse table). The oracle
     computes the batch twin over the same files, so the driver's hash
     match IS the stream==batch reconciliation at the value level."""
+    from ..session import fixture_scale_shuffle
+
     in_dir = _ensure_fixture(spark)
-    stream = parse_clicks(
-        read_json_file_stream(spark, in_dir), watermark=EXACT_WATERMARK
-    )
     name = "replay_rollup"
     if any(t.name == name for t in spark.catalog.listTables()):
         spark.catalog.dropTempView(name)
-    q = (
-        minute_rollup_stream_exact(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with fixture_scale_shuffle(spark):
+        stream = parse_clicks(
+            read_json_file_stream(spark, in_dir), watermark=EXACT_WATERMARK
+        )
+        q = (
+            minute_rollup_stream_exact(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return (
         spark.table(name)
         .select(
@@ -202,35 +205,38 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id (the join key), same partitioning as the sessionizer, and
     skewed hot users salt the same way the batch joins do. sf_dir is
     unused: the input is the engine's own wire format."""
+    from ..session import fixture_scale_shuffle
+
     in_dir = _ensure_fixture(spark)
-    ev = parse_clicks(
-        read_json_file_stream(spark, in_dir), watermark=EXACT_WATERMARK
-    )
-    visits = ev.where(F.col("page") == "/").select(
-        F.col("user_id").alias("h_user"), F.col("ts").alias("visit_t")
-    )
-    acts = ev.where(F.col("page") == "/checkout").select(
-        "user_id", F.col("ts").alias("act_t"), "country"
-    )
-    joined = visits.join(
-        acts,
-        F.expr(
-            f"h_user = user_id AND act_t > visit_t "
-            f"AND act_t <= visit_t + interval {ATTR_WINDOW_S} seconds"
-        ),
-        "inner",
-    )
     name = "attr_pairs"
     if any(t.name == name for t in spark.catalog.listTables()):
         spark.catalog.dropTempView(name)
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with fixture_scale_shuffle(spark):
+        ev = parse_clicks(
+            read_json_file_stream(spark, in_dir), watermark=EXACT_WATERMARK
+        )
+        visits = ev.where(F.col("page") == "/").select(
+            F.col("user_id").alias("h_user"), F.col("ts").alias("visit_t")
+        )
+        acts = ev.where(F.col("page") == "/checkout").select(
+            "user_id", F.col("ts").alias("act_t"), "country"
+        )
+        joined = visits.join(
+            acts,
+            F.expr(
+                f"h_user = user_id AND act_t > visit_t "
+                f"AND act_t <= visit_t + interval {ATTR_WINDOW_S} seconds"
+            ),
+            "inner",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return (
         spark.table(name)
         .select(
@@ -267,17 +273,20 @@ def _ensure_parts_store(spark: SparkSession) -> str:
 
     from ..streaming.agg import compact_rollup_parts, write_rollup_parts
 
+    from ..session import fixture_scale_shuffle
+
     in_dir = _ensure_fixture(spark)
     out = tempfile.mkdtemp(prefix="rtes_replay_parts_")
     try:
-        stream = parse_clicks(read_json_file_stream(spark, in_dir))
-        q = write_rollup_parts(
-            stream,
-            f"{out}/parts",
-            f"{out}/ck",
-            trigger={"availableNow": True},
-        )
-        q.awaitTermination(300)
+        with fixture_scale_shuffle(spark):
+            stream = parse_clicks(read_json_file_stream(spark, in_dir))
+            q = write_rollup_parts(
+                stream,
+                f"{out}/parts",
+                f"{out}/ck",
+                trigger={"availableNow": True},
+            )
+            q.awaitTermination(300)
         compact_rollup_parts(spark, f"{out}/parts")
     except BaseException:
         shutil.rmtree(out, ignore_errors=True)
