@@ -1302,7 +1302,7 @@ def _rerank_recall_frame(
 
 
 @register("pq_rerank_tuned", _rerank_duck(TUNED_NPROBE, TUNED_SHORTLIST),
-          tags=("similarity", "retrieval"))
+          headline=True, tags=("similarity", "retrieval"))
 def pq_rerank_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`pq_rerank_topk` at the MEASURED deployment operating point
     (nprobe={np}, shortlist={s}) instead of the FAISS textbook default:
