@@ -1603,6 +1603,145 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# prototypicality pruning (data pruning by cluster-centroid cosine)
+# ---------------------------------------------------------------------------
+
+#: Fraction of each cluster pruned (the paper prunes the EASY — most
+#: prototypical — examples in the abundant-data regime; 20% is their
+#: mid-curve operating region). Integer floor per cluster so the count
+#: is exact on both engines.
+PROTO_PRUNE_DEN = 5
+
+_PROTO_DUCK = f"""
+WITH {_KMEANS_CTES},
+vn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM vecs),
+cn AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM c2),
+proto AS (
+  SELECT a2.vec_id, a2.cid,
+         cast(round(list_dot_product(x.v, c.cv)
+                    / (x.norm * c.cnorm) * 10000) AS BIGINT) AS p_u
+  FROM a2 JOIN vn x ON x.vec_id = a2.vec_id
+          JOIN cn c ON c.cid = a2.cid
+),
+ranked AS (
+  SELECT cid, vec_id, p_u,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY p_u DESC, vec_id) AS rn
+  FROM proto
+),
+sz AS (
+  SELECT cid, cast(count(*) AS BIGINT) AS n_vecs, sum(p_u) AS sp
+  FROM proto GROUP BY cid
+),
+cut AS (
+  SELECT r.cid, min(r.p_u) AS cut_u
+  FROM ranked r JOIN sz ON sz.cid = r.cid
+  WHERE r.rn <= sz.n_vecs // {PROTO_PRUNE_DEN}
+  GROUP BY r.cid
+)
+SELECT sz.cid,
+       sz.n_vecs,
+       cast(sz.n_vecs // {PROTO_PRUNE_DEN} AS BIGINT) AS n_pruned,
+       round(cast(sz.sp AS DOUBLE) / (sz.n_vecs * 10000), 4) AS mean_proto,
+       cast(cut.cut_u AS DOUBLE) / 10000 AS cut_proto
+FROM sz LEFT JOIN cut ON cut.cid = sz.cid
+ORDER BY sz.cid
+"""
+
+
+@register("prototypicality_prune", _PROTO_DUCK,
+          tags=("similarity", "sampling"))
+def prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality-based data pruning (Sorscher et al. 2022,
+    "Beyond neural scaling laws: beating power law scaling via data
+    pruning"): cluster the embedding corpus with the shared k-means
+    (`kmeans_centroids`' deterministic Lloyd rounds), score every
+    point by its cosine to its OWN cluster centroid (its
+    prototypicality — how "easy"/redundant the example is), and prune
+    the most prototypical 1/{den} of each cluster — the paper's
+    abundant-data policy (keep hard examples), the self-supervised
+    metric that let them beat power-law scaling without labels.
+    Census per cluster: size, pruned count, mean prototypicality, and
+    the realized cut threshold (the lowest pruned score; NULL for
+    clusters too small to prune). SemDeDup (`semantic_dedup_prune`)
+    removes near-COPIES; this removes the redundant CORE — production
+    pipelines run both, in that order.
+
+    Determinism: scores are exact integers cast(round(cos * 1e4) AS
+    BIGINT) (the MMR cs_u discipline), ranking ties break on vec_id,
+    the mean divides an exact integer sum once, and the per-cluster
+    prune count is an integer floor — no float enters a comparison.
+
+    Scale notes (100 TB): one assignment-table join against a
+    broadcast K-row centroid table — O(corpus) with a single cid
+    shuffle for the window; no pairwise compute anywhere (unlike
+    SemDeDup's within-cluster pairs, pruning needs only
+    point-vs-centroid). The census is O(K); the per-point (vec_id,
+    p_u, rn) table IS the keep/drop manifest a pipeline materializes.
+    Cites reference scope: sampling/curation family (SURVEY.md §2
+    LLM-pipeline extensions).""".format(den=PROTO_PRUNE_DEN)
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v"),
+    )
+    cents, assign = _train_kmeans(vecs)
+    assign = assign.localCheckpoint(eager=False)
+    vn = vecs.select(
+        "vec_id",
+        "v",
+        F.sqrt(F.expr(_DOT.format(a="v", b="v"))).alias("norm"),
+    )
+    cn = cents.select(
+        "cid",
+        "cv",
+        F.sqrt(F.expr(_DOT.format(a="cv", b="cv"))).alias("cnorm"),
+    )
+    proto = (
+        assign.join(vn, "vec_id")
+        .join(F.broadcast(cn), "cid")
+        .select(
+            "cid",
+            "vec_id",
+            F.round(
+                F.expr(_DOT.format(a="v", b="cv"))
+                / (F.col("norm") * F.col("cnorm"))
+                * 10000
+            )
+            .cast("bigint")
+            .alias("p_u"),
+        )
+        .localCheckpoint(eager=False)  # window + two aggregates below
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("p_u"), "vec_id")
+    ranked = proto.withColumn("rn", F.row_number().over(w))
+    sz = proto.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("p_u").alias("sp"),
+    )
+    cut = (
+        ranked.join(sz, "cid")
+        .where(F.col("rn") <= F.expr(f"n_vecs div {PROTO_PRUNE_DEN}"))
+        .groupBy("cid")
+        .agg(F.min("p_u").alias("cut_u"))
+    )
+    return (
+        sz.join(cut, "cid", "left")
+        .select(
+            "cid",
+            "n_vecs",
+            F.expr(f"n_vecs div {PROTO_PRUNE_DEN}")
+            .cast("bigint")
+            .alias("n_pruned"),
+            F.round(
+                F.col("sp").cast("double") / (F.col("n_vecs") * 10000), 4
+            ).alias("mean_proto"),
+            (F.col("cut_u").cast("double") / 10000).alias("cut_proto"),
+        )
+        .orderBy("cid")
+    )
+
+
+# ---------------------------------------------------------------------------
 # margin-scored mutual nearest neighbors (bitext-mining shape)
 # ---------------------------------------------------------------------------
 
