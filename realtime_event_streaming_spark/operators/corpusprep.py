@@ -1507,3 +1507,94 @@ def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+# ---------------------------------------------------------------------------
+# TOKENIZER FERTILITY: subword tokens per word / per char, by language
+# ---------------------------------------------------------------------------
+
+_FERTILITY_DUCK = (
+    f"""
+WITH toks0 AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS pos,
+         tk[i] AS t
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       UNNEST(generate_series(1, len(tk))) AS g(i)
+),
+"""
+    + ",".join(_duck_bpe_run_round(n) for n in range(1, _BPE_RUN_ROUNDS + 1))
+    + f"""
+, per_doc AS (
+  SELECT doc_id, count(*) AS n1 FROM toks{_BPE_RUN_ROUNDS} GROUP BY doc_id
+)
+SELECT d.lang,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(len(string_split(d.text, ' '))) AS BIGINT) AS words,
+       cast(sum(d.n_chars) AS BIGINT) AS chars,
+       cast(sum(p.n1) AS BIGINT) AS tokens,
+       round(cast(sum(p.n1) AS DOUBLE)
+             / sum(len(string_split(d.text, ' '))), 4) AS fertility,
+       round(cast(sum(p.n1) AS DOUBLE) * 100.0 / sum(d.n_chars), 4)
+         AS tokens_per_100_chars
+FROM documents d
+JOIN per_doc p ON p.doc_id = d.doc_id
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+)
+
+
+@register(
+    "tokenizer_fertility_by_lang", _FERTILITY_DUCK, tags=("corpusprep", "text")
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit: apply the {_BPE_RUN_ROUNDS}-round BPE
+    merge sequence (same shared round semantics as `bpe_merge_steps_runs`
+    / `bpe_encode_lengths`, here over the TRUE whitespace stream — no
+    training-fixture duplication) and report, per language, subword
+    tokens per word and per 100 characters. Fertility is the standard
+    multilingual tokenizer-fairness metric (how many subwords a word
+    costs in each language drives effective context length and
+    training cost per language); a pipeline rebalancing a multilingual
+    mix budgets by exactly this table.
+
+    Scale notes (100 TB): identical shape to `bpe_encode_lengths` —
+    per round one pair-census shuffle (map-side partial agg over
+    distinct pairs) plus per-doc windows keyed by doc_id; the final
+    rollup is bounded by |langs|. Serving-time encode with a frozen
+    merge table drops the census (broadcast rule per round)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "t")
+        )
+        .select("doc_id", (F.col("i0") + 1).alias("pos"), "t")
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_BPE_RUN_ROUNDS):
+        _top, _keep, toks = _bpe_run_round(toks)
+        toks = toks.localCheckpoint(eager=False)
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("n1"))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).alias("nw"),
+            "n_chars",
+        )
+        .join(per_doc, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nw").cast("bigint").alias("words"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+            F.sum("n1").cast("bigint").alias("tokens"),
+            F.round(
+                F.sum("n1").cast("double") / F.sum("nw"), 4
+            ).alias("fertility"),
+            F.round(
+                F.sum("n1").cast("double") * 100.0 / F.sum("n_chars"), 4
+            ).alias("tokens_per_100_chars"),
+        )
+        .orderBy("lang")
+    )
