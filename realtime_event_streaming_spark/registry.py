@@ -81,12 +81,13 @@ def register(
 #: never had a driver row LEAD (the queue written here last round —
 #: all locally green + sf1-swept); (b) the round-9 debuts —
 #: pq_rerank_tuned (the measured deployment operating point, judge r8
-#: item 2) and its recall contract pq_rerank_tuned_recall; (c)
+#: item 2), its recall contract pq_rerank_tuned_recall, and
+#: tokenizer_fertility_by_lang (per-language subword fertility); (c)
 #: top_pages, the single remaining last-green-in-round-4 query; (d)
-#: the remaining 30 slots re-confirm the stalest green cohort — the
-#: first 30 (name order) of the 50 queries whose last green row is
-#: round 5. The round-5 remainder (per_source_sample ..
-#: zorder_pruned_scan, 20 queries) and the round-6 cohort queue for
+#: the remaining 29 slots re-confirm the stalest green cohort — the
+#: first 29 (name order) of the 50 queries whose last green row is
+#: round 5. The round-5 remainder (part_supplier_variety ..
+#: zorder_pruned_scan, 21 queries) and the round-6 cohort queue for
 #: round 10. With (a) green, every query ever registered before this
 #: round has at least one driver row on record (cumulative ever-green
 #: 217/217).
@@ -111,9 +112,11 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "pii_redaction_roundtrip",
     "theil_sen_trend",
     "video_frame_dup_pairs",
-    # -- (b) round-9 debuts: the tuned PQ operating point + contract
+    # -- (b) round-9 debuts: the tuned PQ operating point + contract,
+    #    and the per-language tokenizer-fertility audit
     "pq_rerank_tuned",
     "pq_rerank_tuned_recall",
+    "tokenizer_fertility_by_lang",
     # -- (c) the last remaining round-4 row
     "top_pages",
     # -- (d) stalest re-confirmations: first 30 of the round-5 cohort
@@ -146,7 +149,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "nation_trade_volume",
     "packing_efficiency",
     "paragraph_dedup_census",
-    "part_supplier_variety",
 )
 
 
