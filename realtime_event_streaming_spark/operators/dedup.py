@@ -2441,3 +2441,128 @@ def lsh_scurve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_SCURVE_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# WINNOWING fingerprint dup pairs (Schleimer, Wilkerson, Aiken 2003)
+# ---------------------------------------------------------------------------
+
+#: word-k-gram size and winnowing window (in grams). Any shared run of
+#: at least _WIN_W + _WIN_K - 1 = 6 words between two documents is
+#: GUARANTEED to contribute at least one shared fingerprint — the
+#: winnowing detection guarantee (the 1-hash MinHash of
+#: `doc_fingerprint` has no such property).
+_WIN_K = 3
+_WIN_W = 4
+#: blocking cap: fingerprints shared by more than this many docs are
+#: boilerplate and excluded from the pair join (same discipline as the
+#: rare-shingle cap in dedup_ngram_jaccard).
+_WIN_CAP = 50
+#: report pairs sharing at least this many selected fingerprints.
+_WIN_MIN_SHARED = 3
+
+_WINNOW_DUCK = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+  WHERE len(string_split(text, ' ')) >= {_WIN_K + _WIN_W - 1}
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         substr(md5(array_to_string(tk[i:i+{_WIN_K - 1}], ' ')), 1, 16) AS gh
+  FROM t, UNNEST(generate_series(1, len(tk) - {_WIN_K - 1})) AS g(i)
+),
+winmin AS (
+  SELECT doc_id, pos,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW)
+           AS fp
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM winmin WHERE pos >= {_WIN_W}
+),
+rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {_WIN_CAP}
+)
+SELECT f1.doc_id AS doc1, f2.doc_id AS doc2,
+       cast(count(*) AS BIGINT) AS n_shared
+FROM fps f1
+JOIN rare USING (fp)
+JOIN fps f2 ON f2.fp = f1.fp AND f1.doc_id < f2.doc_id
+GROUP BY f1.doc_id, f2.doc_id
+HAVING count(*) >= {_WIN_MIN_SHARED}
+ORDER BY n_shared DESC, doc1, doc2
+"""
+
+
+@register("winnowing_dup_pairs", _WINNOW_DUCK, tags=("dedup", "text"))
+def winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (Schleimer, Wilkerson,
+    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS algorithm): hash every word-{_WIN_K}-gram,
+    slide a {_WIN_W}-gram window and SELECT the minimum hash of each
+    window, then join documents on the selected fingerprint set. The
+    guarantee that MinHash sampling lacks: any shared word run of
+    length >= {_WIN_W + _WIN_K - 1} produces a shared selected
+    fingerprint, so sufficiently long verbatim overlap CANNOT be
+    missed, while the expected fingerprint density stays ~2/(w+1) of
+    the gram stream.
+
+    Scale notes (100 TB): the fingerprint table is the winnowed
+    subset (~2/(w+1) of grams) — one per-doc window pass, no
+    cross-doc work; the pair join is a posting self-join on
+    fingerprint with a {_WIN_CAP}-doc boilerplate cap bounding every
+    posting list (the dedup_ngram_jaccard discipline), then a pair
+    group-by. All shuffles keyed by fp/doc pair; no quadratic stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("tk")).where(
+        F.size("tk") >= _WIN_K + _WIN_W - 1
+    )
+    grams = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {_WIN_K - 1}), i -> "
+                f"substr(md5(concat_ws(' ', slice(tk, i, {_WIN_K}))), 1, 16))"
+            )
+        ).alias("i0", "gh"),
+    ).select("doc_id", (F.col("i0") + 1).alias("pos"), "gh")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WIN_W - 1), 0)
+    )
+    # one winnowed-posting materialization feeds BOTH sides of the
+    # pair self-join and the boilerplate census (the
+    # dedup_ngram_jaccard discipline) — without it the scan + window
+    # pass runs three times.
+    fps = (
+        grams.select("doc_id", "pos", F.min("gh").over(w).alias("fp"))
+        .where(F.col("pos") >= _WIN_W)
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") <= _WIN_CAP)
+        .select("fp")
+    )
+    f1 = fps.join(rare, "fp").alias("f1")
+    f2 = fps.alias("f2")
+    return (
+        f1.join(
+            f2,
+            (F.col("f1.fp") == F.col("f2.fp"))
+            & (F.col("f1.doc_id") < F.col("f2.doc_id")),
+        )
+        .groupBy(
+            F.col("f1.doc_id").alias("doc1"),
+            F.col("f2.doc_id").alias("doc2"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= _WIN_MIN_SHARED)
+        .orderBy(F.desc("n_shared"), "doc1", "doc2")
+    )
