@@ -81,13 +81,14 @@ def register(
 #: never had a driver row LEAD (the queue written here last round —
 #: all locally green + sf1-swept); (b) the round-9 debuts —
 #: pq_rerank_tuned (the measured deployment operating point, judge r8
-#: item 2), its recall contract pq_rerank_tuned_recall, and
-#: tokenizer_fertility_by_lang (per-language subword fertility); (c)
+#: item 2), its recall contract pq_rerank_tuned_recall,
+#: tokenizer_fertility_by_lang (per-language subword fertility), and
+#: winnowing_dup_pairs (MOSS fingerprint near-dup pairs); (c)
 #: top_pages, the single remaining last-green-in-round-4 query; (d)
-#: the remaining 29 slots re-confirm the stalest green cohort — the
-#: first 29 (name order) of the 50 queries whose last green row is
-#: round 5. The round-5 remainder (part_supplier_variety ..
-#: zorder_pruned_scan, 21 queries) and the round-6 cohort queue for
+#: the remaining 28 slots re-confirm the stalest green cohort — the
+#: first 28 (name order) of the 50 queries whose last green row is
+#: round 5. The round-5 remainder (paragraph_dedup_census ..
+#: zorder_pruned_scan, 22 queries) and the round-6 cohort queue for
 #: round 10. With (a) green, every query ever registered before this
 #: round has at least one driver row on record (cumulative ever-green
 #: 217/217).
@@ -113,13 +114,15 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "theil_sen_trend",
     "video_frame_dup_pairs",
     # -- (b) round-9 debuts: the tuned PQ operating point + contract,
-    #    and the per-language tokenizer-fertility audit
+    #    the per-language tokenizer-fertility audit, and the MOSS
+    #    winnowing near-dup pairs
     "pq_rerank_tuned",
     "pq_rerank_tuned_recall",
     "tokenizer_fertility_by_lang",
+    "winnowing_dup_pairs",
     # -- (c) the last remaining round-4 row
     "top_pages",
-    # -- (d) stalest re-confirmations: first 30 of the round-5 cohort
+    # -- (d) stalest re-confirmations: first 28 of the round-5 cohort
     "ann_ivf_kmeans_topk",
     "ann_lsh_multiprobe",
     "anomaly_zscore_batch",
@@ -148,7 +151,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "multimodal_audio_segments",
     "nation_trade_volume",
     "packing_efficiency",
-    "paragraph_dedup_census",
 )
 
 
