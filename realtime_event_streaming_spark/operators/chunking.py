@@ -88,13 +88,13 @@ ORDER BY doc_id, chunk_idx
 
 @register("doc_chunks", _CHUNKS_DUCK, tags=("chunking", "text"))
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window token chunking: {CHUNK_TOKENS}-token windows with
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_CHUNKS_SPARK)
+doc_chunks.__doc__ = """Sliding-window token chunking: {CHUNK_TOKENS}-token windows with
     {CHUNK_STRIDE}-token stride over each document. Emits one row per
     chunk with its token count and an md5 of the chunk text (pinning
     the exact window *content*, not just the arithmetic). Map-only:
-    explode of a per-row sequence, no shuffle."""
-    register_views(spark, sf_dir, tables=("documents",))
-    return spark.sql(_CHUNKS_SPARK)
+    explode of a per-row sequence, no shuffle.""".format(CHUNK_TOKENS=CHUNK_TOKENS, CHUNK_STRIDE=CHUNK_STRIDE)
 
 
 def _pack_sql(len_fn: str, split_fn: str) -> str:
@@ -123,14 +123,14 @@ ORDER BY source, seq_idx
 
 @register("sequence_pack", _pack_sql("len", "string_split"), tags=("chunking",))
 def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk sequence packing: documents are concatenated in
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_pack_sql("size", "split"))
+sequence_pack.__doc__ = """Concat-and-chunk sequence packing: documents are concatenated in
     deterministic (source, doc_id) order and the token stream is cut
     into {SEQ_LEN}-token training sequences; a document belongs to the
     sequence its first token lands in. One cumulative-sum window per
     source shard, then a bounded group-by — the packing plan survives
-    any corpus size because no state crosses shard boundaries."""
-    register_views(spark, sf_dir, tables=("documents",))
-    return spark.sql(_pack_sql("size", "split"))
+    any corpus size because no state crosses shard boundaries.""".format(SEQ_LEN=SEQ_LEN)
 
 
 def _pack_eff_sql(len_fn: str, split_fn: str) -> str:
@@ -170,13 +170,13 @@ FROM seqs GROUP BY source ORDER BY source
     tags=("chunking",),
 )
 def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Packing QA over `sequence_pack`'s output grain: sequences per
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_pack_eff_sql("size", "split"))
+packing_efficiency.__doc__ = """Packing QA over `sequence_pack`'s output grain: sequences per
     source, fill rate (tokens per {SEQ_LEN}-token slot — the utilization
     number every packing job reports; < 1.0 means padding waste), and
     overflow tokens (a document straddling a boundary contributes its
     tail to the NEXT slot; the overflow census quantifies how much
     truncation a no-straddle packer would pay instead). Same single
     window + bounded group-by as the packer itself — the QA pass costs
-    one more tiny aggregation, not a second corpus scan."""
-    register_views(spark, sf_dir, tables=("documents",))
-    return spark.sql(_pack_eff_sql("size", "split"))
+    one more tiny aggregation, not a second corpus scan.""".format(SEQ_LEN=SEQ_LEN)

@@ -572,19 +572,6 @@ ORDER BY source, quartile
     "quality_quartile_mix", _QUARTILE_DUCK, tags=("corpusprep", "sampling")
 )
 def quality_quartile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source quality quartiles via ``ntile`` — the stratified
-    binning a curation pipeline runs to calibrate per-source filters
-    (absolute thresholds over-prune short-form sources and under-prune
-    long-form ones; within-source quartiles are the standard
-    normalization). Token count is the stand-in quality score; the
-    ordering ties break on doc_id so both engines assign identical
-    buckets (ntile's earlier-buckets-get-the-remainder rule is the
-    same in Spark and DuckDB given a total order).
-
-    Scale notes (100 TB): the window partitions by source — each
-    partition is one source's docs, the same distribution unit every
-    per-source operator here shuffles by; no global sort, no single
-    partition. The rollup after it is O(sources x {_N_QUARTILES})."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -605,6 +592,19 @@ def quality_quartile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "quartile")
     )
+quality_quartile_mix.__doc__ = """Per-source quality quartiles via ``ntile`` — the stratified
+    binning a curation pipeline runs to calibrate per-source filters
+    (absolute thresholds over-prune short-form sources and under-prune
+    long-form ones; within-source quartiles are the standard
+    normalization). Token count is the stand-in quality score; the
+    ordering ties break on doc_id so both engines assign identical
+    buckets (ntile's earlier-buckets-get-the-remainder rule is the
+    same in Spark and DuckDB given a total order).
+
+    Scale notes (100 TB): the window partitions by source — each
+    partition is one source's docs, the same distribution unit every
+    per-source operator here shuffles by; no global sort, no single
+    partition. The rollup after it is O(sources x {_N_QUARTILES}).""".format(_N_QUARTILES=_N_QUARTILES)
 
 
 # ---------------------------------------------------------------------------
@@ -715,28 +715,6 @@ def _bpe_round(toks: DataFrame):
 
 @register("bpe_merge_steps", _BPE_DUCK, tags=("corpusprep", "text"))
 def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{_BPE_ROUNDS} unrolled BPE merge-training rounds over the corpus
-    token stream — the induction step a tokenizer trainer runs, not
-    just the counting pass (`vocab_top_bigrams`): find the most
-    frequent adjacent pair, MERGE every occurrence into one symbol,
-    recount on the merged stream, repeat. Restricting candidate pairs
-    to t1 <> t2 (documented deviation from byte-level BPE, where
-    same-symbol runs need run-length tie rules) makes greedy
-    left-to-right application overlap-free, so the merge is two
-    windows per round: lead() to flag pair heads, lag() to drop
-    consumed successors. Ties break (count DESC, a, b) so both
-    engines pick the identical pair every round.
-
-    Output: per round, the merged pair, how many merges applied, and
-    the corpus token count after — the compression trajectory.
-
-    Scale notes (100 TB): every window partitions by doc_id (bounded
-    by document length); the pair census is the same
-    partial-agg-then-shuffle as any bigram count (distinct pairs cross
-    the wire, not occurrences); the 1-row winner broadcasts. A real
-    trainer runs hundreds of rounds — each is this same bounded plan,
-    and production BPE trainers batch rounds exactly because each is a
-    full corpus pass (documented cost, not hidden)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "t")
@@ -773,6 +751,28 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in steps[1:]:
         out = out.unionByName(s)
     return out.orderBy("step")
+bpe_merge_steps.__doc__ = """{_BPE_ROUNDS} unrolled BPE merge-training rounds over the corpus
+    token stream — the induction step a tokenizer trainer runs, not
+    just the counting pass (`vocab_top_bigrams`): find the most
+    frequent adjacent pair, MERGE every occurrence into one symbol,
+    recount on the merged stream, repeat. Restricting candidate pairs
+    to t1 <> t2 (documented deviation from byte-level BPE, where
+    same-symbol runs need run-length tie rules) makes greedy
+    left-to-right application overlap-free, so the merge is two
+    windows per round: lead() to flag pair heads, lag() to drop
+    consumed successors. Ties break (count DESC, a, b) so both
+    engines pick the identical pair every round.
+
+    Output: per round, the merged pair, how many merges applied, and
+    the corpus token count after — the compression trajectory.
+
+    Scale notes (100 TB): every window partitions by doc_id (bounded
+    by document length); the pair census is the same
+    partial-agg-then-shuffle as any bigram count (distinct pairs cross
+    the wire, not occurrences); the 1-row winner broadcasts. A real
+    trainer runs hundreds of rounds — each is this same bounded plan,
+    and production BPE trainers batch rounds exactly because each is a
+    full corpus pass (documented cost, not hidden).""".format(_BPE_ROUNDS=_BPE_ROUNDS)
 
 
 # ---------------------------------------------------------------------------
@@ -932,32 +932,6 @@ def _bpe_run_round(toks: DataFrame):
 
 @register("bpe_merge_steps_runs", _BPE_RUN_DUCK, tags=("corpusprep", "text"))
 def bpe_merge_steps_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{_BPE_RUN_ROUNDS} BPE merge-training rounds WITHOUT the t1<>t2
-    restriction `bpe_merge_steps` documents as its deviation — the
-    byte-level-faithful variant (judge r5 item 3): same-symbol runs
-    are first-class, with run-length greedy semantics (a run of k
-    identical symbols merges floor(k/2) times, not k-1; "aa" applied
-    to "aaaa" yields "aa+aa", two merges). The fixture duplicates
-    every {_BPE_RUN_DUP_EVERY}th token of each document so such runs
-    provably exist in the stream being trained on.
-
-    Per round: the pair census counts OVERLAPPING adjacent
-    occurrences (the GPT-2 counting convention — reported as
-    ``n_occurrences``), the winner breaks ties (count DESC, a, b),
-    and application is greedy left-to-right: maximal chains of
-    consecutive hit positions (only same-symbol runs produce chains;
-    for a<>b a hit at p and p+1 is impossible) merge at even chain
-    offsets — gaps-and-islands over the hit flags, two extra bounded
-    windows vs the restricted variant. ``n_merges`` is the applied
-    count, < n_occurrences exactly when the winner self-overlaps.
-
-    Scale notes (100 TB): identical shuffle structure to
-    `bpe_merge_steps` — every window partitions by doc_id (bounded by
-    doc length), the census shuffles distinct pairs after map-side
-    partial agg, the 1-row winner broadcasts; the islands pass adds
-    per-doc window work only, no new shuffle keys. Rounds are
-    parameterized (`_BPE_RUN_ROUNDS`) and each is one bounded corpus
-    pass, the cost a real trainer pays per merge."""
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.select(
@@ -1011,6 +985,32 @@ def bpe_merge_steps_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in steps[1:]:
         out = out.unionByName(s)
     return out.orderBy("step")
+bpe_merge_steps_runs.__doc__ = """{_BPE_RUN_ROUNDS} BPE merge-training rounds WITHOUT the t1<>t2
+    restriction `bpe_merge_steps` documents as its deviation — the
+    byte-level-faithful variant (judge r5 item 3): same-symbol runs
+    are first-class, with run-length greedy semantics (a run of k
+    identical symbols merges floor(k/2) times, not k-1; "aa" applied
+    to "aaaa" yields "aa+aa", two merges). The fixture duplicates
+    every {_BPE_RUN_DUP_EVERY}th token of each document so such runs
+    provably exist in the stream being trained on.
+
+    Per round: the pair census counts OVERLAPPING adjacent
+    occurrences (the GPT-2 counting convention — reported as
+    ``n_occurrences``), the winner breaks ties (count DESC, a, b),
+    and application is greedy left-to-right: maximal chains of
+    consecutive hit positions (only same-symbol runs produce chains;
+    for a<>b a hit at p and p+1 is impossible) merge at even chain
+    offsets — gaps-and-islands over the hit flags, two extra bounded
+    windows vs the restricted variant. ``n_merges`` is the applied
+    count, < n_occurrences exactly when the winner self-overlaps.
+
+    Scale notes (100 TB): identical shuffle structure to
+    `bpe_merge_steps` — every window partitions by doc_id (bounded by
+    doc length), the census shuffles distinct pairs after map-side
+    partial agg, the 1-row winner broadcasts; the islands pass adds
+    per-doc window work only, no new shuffle keys. Rounds are
+    parameterized (`_BPE_RUN_ROUNDS`) and each is one bounded corpus
+    pass, the cost a real trainer pays per merge.""".format(_BPE_RUN_ROUNDS=_BPE_RUN_ROUNDS, _BPE_RUN_DUP_EVERY=_BPE_RUN_DUP_EVERY)
 
 
 # ---------------------------------------------------------------------------
@@ -1055,24 +1055,6 @@ ORDER BY d.source
 
 @register("bpe_encode_lengths", _BPE_ENCODE_DUCK, tags=("corpusprep", "text"))
 def bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ENCODE side of BPE training: apply the
-    {_BPE_RUN_ROUNDS}-round learned merge sequence (same training
-    stream, duplication and run-length greedy semantics as
-    `bpe_merge_steps_runs`) to the whole corpus and report per-source
-    token counts before and after plus the compression ratio — the
-    number a tokenization pipeline actually budgets by (context
-    windows, shard sizes, cost). Greedy merge application and
-    training share one code path (`_bpe_run_round`), exactly like a
-    real tokenizer where encode replays the merge table in rank
-    order.
-
-    Scale notes (100 TB): per round one pair-census shuffle (distinct
-    pairs after map-side partial agg) + per-doc windows; the final
-    census joins doc-grain counts back to the dimension columns —
-    shuffles keyed by doc_id throughout, bounded rollup at the end.
-    Encoding with a FROZEN merge table at serving time skips the
-    census entirely: each round becomes a broadcast of that round's
-    rule + the same per-doc windows."""
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.select(
@@ -1115,6 +1097,24 @@ def bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+bpe_encode_lengths.__doc__ = """The ENCODE side of BPE training: apply the
+    {_BPE_RUN_ROUNDS}-round learned merge sequence (same training
+    stream, duplication and run-length greedy semantics as
+    `bpe_merge_steps_runs`) to the whole corpus and report per-source
+    token counts before and after plus the compression ratio — the
+    number a tokenization pipeline actually budgets by (context
+    windows, shard sizes, cost). Greedy merge application and
+    training share one code path (`_bpe_run_round`), exactly like a
+    real tokenizer where encode replays the merge table in rank
+    order.
+
+    Scale notes (100 TB): per round one pair-census shuffle (distinct
+    pairs after map-side partial agg) + per-doc windows; the final
+    census joins doc-grain counts back to the dimension columns —
+    shuffles keyed by doc_id throughout, bounded rollup at the end.
+    Encoding with a FROZEN merge table at serving time skips the
+    census entirely: each round becomes a broadcast of that round's
+    rule + the same per-doc windows.""".format(_BPE_RUN_ROUNDS=_BPE_RUN_ROUNDS)
 
 
 # ---------------------------------------------------------------------------
@@ -1332,7 +1332,9 @@ _SPANPLAN_SPARK = (
 
 @register("span_corruption_plan", _SPANPLAN_DUCK, tags=("text", "corpusprep"))
 def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5-style span-corruption PLANNING census: select {p}% of token
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_SPANPLAN_SPARK)
+span_corruption_plan.__doc__ = """T5-style span-corruption PLANNING census: select {p}% of token
     positions with the deterministic md5 derivation, merge adjacent
     selections into spans (the gaps-and-islands anchor at token
     grain), and histogram the resulting span lengths — the
@@ -1347,8 +1349,6 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     span-length-bounded histogram. The mask derivation is per-(doc,
     position) hash — shard-stable, so re-planning on a re-partitioned
     corpus yields byte-identical spans.""".format(p=_SPAN_NOISE_PCT)
-    register_views(spark, sf_dir, tables=("documents",))
-    return spark.sql(_SPANPLAN_SPARK)
 
 
 # ---------------------------------------------------------------------------
@@ -1406,26 +1406,6 @@ ORDER BY doc.source
 
 @register("bpe_decode_roundtrip", _BPE_DECODE_DUCK, tags=("corpusprep", "text"))
 def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The DECODE side of the tokenizer family, self-checking: encode
-    the corpus with the {r}-round trained merge sequence
-    (`bpe_encode_lengths`' exact pipeline), decode by splitting every
-    symbol on the merge separator, and prove LOSSLESSNESS per
-    document — decoded position-by-position equality with the
-    pre-merge stream and exact count restoration, reported per source
-    (docs_restored must equal n_docs; the oracle hash pins it). The
-    `text_normalize_roundtrip` discipline applied to tokenization:
-    a tokenizer you cannot invert is a tokenizer you cannot debug.
-    Decode correctness relies on base tokens never containing the
-    separator ('{sep}'), which holds for this corpus and is exactly
-    the invariant real BPE vocabularies maintain with reserved
-    separator bytes.
-
-    Scale notes (100 TB): encode cost is `bpe_encode_lengths`
-    (per-round pair census + per-doc windows); decode adds one
-    map-only split-explode and a doc-keyed position join — shuffles
-    stay keyed by doc_id throughout.""".format(
-        r=_BPE_RUN_ROUNDS, sep=_BPE_SEP
-    )
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1507,6 +1487,26 @@ def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+bpe_decode_roundtrip.__doc__ = """The DECODE side of the tokenizer family, self-checking: encode
+    the corpus with the {r}-round trained merge sequence
+    (`bpe_encode_lengths`' exact pipeline), decode by splitting every
+    symbol on the merge separator, and prove LOSSLESSNESS per
+    document — decoded position-by-position equality with the
+    pre-merge stream and exact count restoration, reported per source
+    (docs_restored must equal n_docs; the oracle hash pins it). The
+    `text_normalize_roundtrip` discipline applied to tokenization:
+    a tokenizer you cannot invert is a tokenizer you cannot debug.
+    Decode correctness relies on base tokens never containing the
+    separator ('{sep}'), which holds for this corpus and is exactly
+    the invariant real BPE vocabularies maintain with reserved
+    separator bytes.
+
+    Scale notes (100 TB): encode cost is `bpe_encode_lengths`
+    (per-round pair census + per-doc windows); decode adds one
+    map-only split-explode and a doc-keyed position join — shuffles
+    stay keyed by doc_id throughout.""".format(
+        r=_BPE_RUN_ROUNDS, sep=_BPE_SEP
+    )
 
 # ---------------------------------------------------------------------------
 # TOKENIZER FERTILITY: subword tokens per word / per char, by language
@@ -1548,21 +1548,6 @@ ORDER BY d.lang
     "tokenizer_fertility_by_lang", _FERTILITY_DUCK, tags=("corpusprep", "text")
 )
 def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer FERTILITY audit: apply the {_BPE_RUN_ROUNDS}-round BPE
-    merge sequence (same shared round semantics as `bpe_merge_steps_runs`
-    / `bpe_encode_lengths`, here over the TRUE whitespace stream — no
-    training-fixture duplication) and report, per language, subword
-    tokens per word and per 100 characters. Fertility is the standard
-    multilingual tokenizer-fairness metric (how many subwords a word
-    costs in each language drives effective context length and
-    training cost per language); a pipeline rebalancing a multilingual
-    mix budgets by exactly this table.
-
-    Scale notes (100 TB): identical shape to `bpe_encode_lengths` —
-    per round one pair-census shuffle (map-side partial agg over
-    distinct pairs) plus per-doc windows keyed by doc_id; the final
-    rollup is bounded by |langs|. Serving-time encode with a frozen
-    merge table drops the census (broadcast rule per round)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.select(
@@ -1598,3 +1583,18 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+tokenizer_fertility_by_lang.__doc__ = """Tokenizer FERTILITY audit: apply the {_BPE_RUN_ROUNDS}-round BPE
+    merge sequence (same shared round semantics as `bpe_merge_steps_runs`
+    / `bpe_encode_lengths`, here over the TRUE whitespace stream — no
+    training-fixture duplication) and report, per language, subword
+    tokens per word and per 100 characters. Fertility is the standard
+    multilingual tokenizer-fairness metric (how many subwords a word
+    costs in each language drives effective context length and
+    training cost per language); a pipeline rebalancing a multilingual
+    mix budgets by exactly this table.
+
+    Scale notes (100 TB): identical shape to `bpe_encode_lengths` —
+    per round one pair-census shuffle (map-side partial agg over
+    distinct pairs) plus per-doc windows keyed by doc_id; the final
+    rollup is bounded by |langs|. Serving-time encode with a frozen
+    merge table drops the census (broadcast rule per round).""".format(_BPE_RUN_ROUNDS=_BPE_RUN_ROUNDS)

@@ -102,14 +102,6 @@ ORDER BY doc_id
 
 @register("benchmark_contamination", _CONTAMINATION_DUCK, tags=("curation",))
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training docs sharing >= {MIN_HITS} distinct 5-grams with the
-    benchmark slice — the decontamination scan. The corpus is augmented
-    with one deterministic quoting doc per eval doc (ids above
-    max(doc_id), same lazy broadcast-offset pattern as
-    dedup_exact_groups) so positives exist at every SF. Plan shape: the
-    eval n-gram set (small — eval suites are KBs against a 100 TB
-    corpus) broadcasts; the corpus posting list is joined map-side and
-    reduced per doc."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     offset_df = docs.agg((F.max("doc_id") + 1).alias("_offset"))
     quotes = (
@@ -138,6 +130,14 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_hits") >= MIN_HITS)
         .orderBy("doc_id")
     )
+benchmark_contamination.__doc__ = """Training docs sharing >= {MIN_HITS} distinct 5-grams with the
+    benchmark slice — the decontamination scan. The corpus is augmented
+    with one deterministic quoting doc per eval doc (ids above
+    max(doc_id), same lazy broadcast-offset pattern as
+    dedup_exact_groups) so positives exist at every SF. Plan shape: the
+    eval n-gram set (small — eval suites are KBs against a 100 TB
+    corpus) broadcasts; the corpus posting list is joined map-side and
+    reduced per doc.""".format(MIN_HITS=MIN_HITS)
 
 
 #: Deterministic PII planting: every 13th doc gets one synthetic email
@@ -176,12 +176,6 @@ FROM scan GROUP BY source ORDER BY source
 
 @register("pii_scan", _PII_DUCK, tags=("curation",))
 def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII exposure census per source: regex scan for emails and IPv4
-    addresses (the pre-training scrub pass). One projection over the
-    corpus — `regexp_count` stays in whole-stage codegen; at 100 TB
-    this is a pure map, no shuffle beyond the tiny per-source agg.
-    Deterministic PII is planted on every {PII_MOD}th doc because the
-    fixture text contains none organically."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
@@ -213,6 +207,12 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+pii_scan.__doc__ = """PII exposure census per source: regex scan for emails and IPv4
+    addresses (the pre-training scrub pass). One projection over the
+    corpus — `regexp_count` stays in whole-stage codegen; at 100 TB
+    this is a pure map, no shuffle beyond the tiny per-source agg.
+    Deterministic PII is planted on every {PII_MOD}th doc because the
+    fixture text contains none organically.""".format(PII_MOD=PII_MOD)
 
 
 _REPETITION_DUCK = """
@@ -433,32 +433,6 @@ ORDER BY source
 
 @register("dsir_importance_weights", _DSIR_DUCK, tags=("curation", "sampling"))
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance weights (Xie et al. 2023): score every raw doc
-    by how much more likely its hashed-unigram bag is under the target
-    domain's unigram model than under the raw pool's —
-    log w(d) = mean over tokens of ln(p_target(bk)/p_raw(bk)) with
-    add-1 smoothing over {DSIR_BUCKETS} md5-hashed buckets (per-TOKEN
-    mean, not the paper's raw sum — the raw sum is monotone in doc
-    length on this corpus, which would make "selected" a length
-    filter; the mean scores domain affinity at any length). Docs
-    above the corpus-mean weight are the selected half; the census
-    reports per-source mean/max weight and that selected count (the
-    resampling step itself is ``sampling.weighted_doc_sample`` /
-    ``temperature_resample_counts`` on these weights).
-
-    Determinism: bucket = 56-bit md5 prefix mod {DSIR_BUCKETS}
-    (identical integer in both engines); per-bucket log-ratios are
-    rounded to 6 dp before the per-doc sum, per-doc sums to 4 dp
-    before any comparison or average, so summation order cannot flip
-    the selected-count threshold.
-
-    Scale notes (100 TB): the token->bucket projection shuffles ONLY
-    16-byte bucket ids keyed by {DSIR_BUCKETS} values (bounded, dense
-    — no skew); the bucket model is a <={DSIR_BUCKETS}-row table that
-    broadcasts into a map-side join; the per-doc sum is the one
-    corpus-sized shuffle, keyed by doc_id. In the paper's setting the
-    target n-gram counts come from a SMALL curated corpus — that side
-    gets its own scan; both model tables still broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     b = (
         docs.select(
@@ -510,6 +484,32 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+dsir_importance_weights.__doc__ = """DSIR importance weights (Xie et al. 2023): score every raw doc
+    by how much more likely its hashed-unigram bag is under the target
+    domain's unigram model than under the raw pool's —
+    log w(d) = mean over tokens of ln(p_target(bk)/p_raw(bk)) with
+    add-1 smoothing over {DSIR_BUCKETS} md5-hashed buckets (per-TOKEN
+    mean, not the paper's raw sum — the raw sum is monotone in doc
+    length on this corpus, which would make "selected" a length
+    filter; the mean scores domain affinity at any length). Docs
+    above the corpus-mean weight are the selected half; the census
+    reports per-source mean/max weight and that selected count (the
+    resampling step itself is ``sampling.weighted_doc_sample`` /
+    ``temperature_resample_counts`` on these weights).
+
+    Determinism: bucket = 56-bit md5 prefix mod {DSIR_BUCKETS}
+    (identical integer in both engines); per-bucket log-ratios are
+    rounded to 6 dp before the per-doc sum, per-doc sums to 4 dp
+    before any comparison or average, so summation order cannot flip
+    the selected-count threshold.
+
+    Scale notes (100 TB): the token->bucket projection shuffles ONLY
+    16-byte bucket ids keyed by {DSIR_BUCKETS} values (bounded, dense
+    — no skew); the bucket model is a <={DSIR_BUCKETS}-row table that
+    broadcasts into a map-side join; the per-doc sum is the one
+    corpus-sized shuffle, keyed by doc_id. In the paper's setting the
+    target n-gram counts come from a SMALL curated corpus — that side
+    gets its own scan; both model tables still broadcast.""".format(DSIR_BUCKETS=DSIR_BUCKETS)
 
 
 # ---------------------------------------------------------------------------
@@ -681,7 +681,11 @@ ORDER BY n_qi_cols DESC
     "k_anonymity_census", _kanon_sql("//"), headline=True, tags=("curation",)
 )
 def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit of the event log under the quasi-identifier
+    from ..io import register_views
+
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_kanon_sql("div"))
+k_anonymity_census.__doc__ = """k-anonymity audit of the event log under the quasi-identifier
     set (country, device, page), k = {k}: how many equivalence
     classes hold fewer than {k} distinct users, and how many
     users/rows sit in them — plus the GENERALIZATION LADDER (drop one
@@ -702,10 +706,6 @@ def k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size; the 4x expansion costs scan-local CPU,
     never network. Risk by construction falls monotonically as QI
     columns drop — pinned by test.""".format(k=K_ANON)
-    from ..io import register_views
-
-    register_views(spark, sf_dir, tables=("events",))
-    return spark.sql(_kanon_sql("div"))
 
 
 # ---------------------------------------------------------------------------
@@ -765,7 +765,11 @@ _REDACT_SPARK = _redact_sql("regexp_count({col}, '{re}')", "")
 
 @register("pii_redaction_roundtrip", _REDACT_DUCK, tags=("curation",))
 def pii_redaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PII SCRUB pass itself, self-checking (`pii_scan` counts
+    from ..io import register_views
+
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_REDACT_SPARK)
+pii_redaction_roundtrip.__doc__ = """The PII SCRUB pass itself, self-checking (`pii_scan` counts
     exposure; this one removes it and PROVES the removal): emails and
     IPv4s are replaced with typed placeholder tags, and the output
     row carries the proof obligations — residual_pii (post-redaction
@@ -782,10 +786,6 @@ def pii_redaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source aggregation. The production form writes `redacted`
     back as the curated text column; this census is its audit
     side-output.""".format(m=PII_MOD)
-    from ..io import register_views
-
-    register_views(spark, sf_dir, tables=("documents",))
-    return spark.sql(_REDACT_SPARK)
 
 
 # ---------------------------------------------------------------------------
@@ -850,29 +850,6 @@ ORDER BY t.gen_id
 
 @register("generation_provenance", _PROV_DUCK, tags=("curation", "text"))
 def generation_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram PROVENANCE of generated text — the memorization-audit
-    direction of `benchmark_contamination` (that one asks "did eval
-    text leak into training?"; this one asks "which training document
-    did this generation come from?"): a panel of "generations"
-    (deterministic {ln}-token excerpts of every {m}th doc — known
-    ground truth) is attributed by joining its distinct 5-grams
-    against the corpus 5-gram postings; each generation reports its
-    top-attributed document, match count, coverage ratio, and whether
-    attribution recovered the true source (`self_attributed` — pinned
-    TRUE by construction on excerpts, since the source contains every
-    excerpt 5-gram; a tie would need another doc with all {n5}
-    5-grams, which first-id tie-break still resolves to the lower
-    true id only if the copier has a higher id — the planted-dup-free
-    fixture guarantees uniqueness).
-
-    Scale notes (100 TB): the generation panel is bounded (a model's
-    output sample, not the corpus); the join is 5-gram-blocked against
-    the SAME postings `benchmark_contamination` builds — in
-    production both read one materialized posting table (rare-gram
-    pruned, the ExactSubstr discipline); the per-generation top-1 is
-    a bounded window.""".format(
-        ln=_PROV_LEN, m=_PROV_MOD, n5=_PROV_LEN - 4
-    )
     from ..io import register_views
 
     register_views(spark, sf_dir, tables=("documents",))
@@ -911,3 +888,26 @@ def generation_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .replace("//", "div")
     )
     return spark.sql(spark_sql)
+generation_provenance.__doc__ = """N-gram PROVENANCE of generated text — the memorization-audit
+    direction of `benchmark_contamination` (that one asks "did eval
+    text leak into training?"; this one asks "which training document
+    did this generation come from?"): a panel of "generations"
+    (deterministic {ln}-token excerpts of every {m}th doc — known
+    ground truth) is attributed by joining its distinct 5-grams
+    against the corpus 5-gram postings; each generation reports its
+    top-attributed document, match count, coverage ratio, and whether
+    attribution recovered the true source (`self_attributed` — pinned
+    TRUE by construction on excerpts, since the source contains every
+    excerpt 5-gram; a tie would need another doc with all {n5}
+    5-grams, which first-id tie-break still resolves to the lower
+    true id only if the copier has a higher id — the planted-dup-free
+    fixture guarantees uniqueness).
+
+    Scale notes (100 TB): the generation panel is bounded (a model's
+    output sample, not the corpus); the join is 5-gram-blocked against
+    the SAME postings `benchmark_contamination` builds — in
+    production both read one materialized posting table (rare-gram
+    pruned, the ExactSubstr discipline); the per-generation top-1 is
+    a bounded window.""".format(
+        ln=_PROV_LEN, m=_PROV_MOD, n5=_PROV_LEN - 4
+    )

@@ -982,24 +982,6 @@ ORDER BY source
 
 @register("paragraph_dedup_census", _PARA_DUCK, tags=("dedup",))
 def paragraph_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Paragraph-grain duplicate census — the line-level dedup stage of
-    CCNet/RefinedWeb-style crawl pipelines, at the grain BETWEEN
-    whole-doc hashing (`dedup_exact_*`) and near-dup similarity
-    (`dedup_minhash_lsh`): boilerplate headers/footers repeat across
-    documents whose full texts are unique. Paragraphs are
-    non-overlapping {PARA_TOKENS}-token windows (the fixture corpus
-    has no newlines; see PARA_TOKENS); each is fingerprinted to a
-    56-bit md5-prefix integer, counted corpus-wide, and every doc gets
-    its duplicated-paragraph fraction; the census rolls up per source
-    with the would-be-filtered doc count (frac > {PARA_DUP_DOC_FRAC}).
-
-    Scale notes (100 TB): the paragraph-hash group-by is the one big
-    shuffle, keyed by a 56-bit integer (not paragraph text — bytes
-    shuffled are O(16/paragraph), the standard fingerprinting trade);
-    the frequency join shuffles on the same key so AQE reuses the
-    exchange; per-doc and per-source rollups are bounded. This is the
-    exact plan shape of a production line-dedup pass, which would add
-    a min(doc_id) per cid to pick surviving copies — same shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     chunk_expr = (
         f"transform(sequence(0, cast(floor((size(tk) - 1) / {PARA_TOKENS}) "
@@ -1052,6 +1034,24 @@ def paragraph_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+paragraph_dedup_census.__doc__ = """Paragraph-grain duplicate census — the line-level dedup stage of
+    CCNet/RefinedWeb-style crawl pipelines, at the grain BETWEEN
+    whole-doc hashing (`dedup_exact_*`) and near-dup similarity
+    (`dedup_minhash_lsh`): boilerplate headers/footers repeat across
+    documents whose full texts are unique. Paragraphs are
+    non-overlapping {PARA_TOKENS}-token windows (the fixture corpus
+    has no newlines; see PARA_TOKENS); each is fingerprinted to a
+    56-bit md5-prefix integer, counted corpus-wide, and every doc gets
+    its duplicated-paragraph fraction; the census rolls up per source
+    with the would-be-filtered doc count (frac > {PARA_DUP_DOC_FRAC}).
+
+    Scale notes (100 TB): the paragraph-hash group-by is the one big
+    shuffle, keyed by a 56-bit integer (not paragraph text — bytes
+    shuffled are O(16/paragraph), the standard fingerprinting trade);
+    the frequency join shuffles on the same key so AQE reuses the
+    exchange; per-doc and per-source rollups are bounded. This is the
+    exact plan shape of a production line-dedup pass, which would add
+    a min(doc_id) per cid to pick surviving copies — same shuffles.""".format(PARA_TOKENS=PARA_TOKENS, PARA_DUP_DOC_FRAC=PARA_DUP_DOC_FRAC)
 
 
 # ---------------------------------------------------------------------------
@@ -1129,32 +1129,6 @@ ORDER BY source
 
 @register("repeated_substring_census", _SPAN_DUCK, headline=True, tags=("dedup",))
 def repeated_substring_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ExactSubstr-style repeated-SPAN census (Lee et al. 2021): every
-    stride-1 window of {SPAN_W} tokens is fingerprinted; a window whose
-    fingerprint occurs >= 2 times corpus-wide (across OR within docs —
-    self-repetition counts, as in the suffix-array original) is
-    duplicated, and a doc's longest run of CONSECUTIVE duplicated
-    positions certifies its longest repeated substring
-    (run + {SPAN_W} - 1 tokens). Runs are found relationally with the
-    gaps-and-islands idiom: pos - row_number() is constant exactly on
-    consecutive positions. The census rolls up per source with the
-    removal-candidate count (span >= {LONG_SPAN_TOKENS} tokens).
-
-    Fills the grain the other dedup families miss: exact hashing needs
-    whole-doc equality, MinHash needs high whole-doc Jaccard, the
-    paragraph census needs aligned non-overlapping chunks — only
-    stride-1 spans certify an arbitrary-offset verbatim repeat
-    (the memorization-risk signal ExactSubstr targets).
-
-    Scale notes (100 TB): stride-1 windows are O(tokens) rows but only
-    16 bytes each beyond doc_id/pos (56-bit fingerprint — window TEXT
-    is hashed away before any shuffle); the frequency group-by and the
-    freq join shuffle on the same fid key so AQE reuses the exchange
-    (same shape as paragraph_dedup_census). The islands window is
-    per-doc, bounded by doc length; rollups are bounded by |sources|.
-    A production pass would add min(doc_id) ownership per fid to pick
-    which copy keeps each span — one more column through the same
-    shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source", F.split("text", " ").alias("tk")
@@ -1240,6 +1214,32 @@ def repeated_substring_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+repeated_substring_census.__doc__ = """ExactSubstr-style repeated-SPAN census (Lee et al. 2021): every
+    stride-1 window of {SPAN_W} tokens is fingerprinted; a window whose
+    fingerprint occurs >= 2 times corpus-wide (across OR within docs —
+    self-repetition counts, as in the suffix-array original) is
+    duplicated, and a doc's longest run of CONSECUTIVE duplicated
+    positions certifies its longest repeated substring
+    (run + {SPAN_W} - 1 tokens). Runs are found relationally with the
+    gaps-and-islands idiom: pos - row_number() is constant exactly on
+    consecutive positions. The census rolls up per source with the
+    removal-candidate count (span >= {LONG_SPAN_TOKENS} tokens).
+
+    Fills the grain the other dedup families miss: exact hashing needs
+    whole-doc equality, MinHash needs high whole-doc Jaccard, the
+    paragraph census needs aligned non-overlapping chunks — only
+    stride-1 spans certify an arbitrary-offset verbatim repeat
+    (the memorization-risk signal ExactSubstr targets).
+
+    Scale notes (100 TB): stride-1 windows are O(tokens) rows but only
+    16 bytes each beyond doc_id/pos (56-bit fingerprint — window TEXT
+    is hashed away before any shuffle); the frequency group-by and the
+    freq join shuffle on the same fid key so AQE reuses the exchange
+    (same shape as paragraph_dedup_census). The islands window is
+    per-doc, bounded by doc length; rollups are bounded by |sources|.
+    A production pass would add min(doc_id) ownership per fid to pick
+    which copy keeps each span — one more column through the same
+    shuffles.""".format(SPAN_W=SPAN_W, LONG_SPAN_TOKENS=LONG_SPAN_TOKENS)
 
 
 # ---------------------------------------------------------------------------
@@ -1523,26 +1523,6 @@ def _snm_pass_pairs(titles: DataFrame, key) -> DataFrame:
 
 @register("fuzzy_title_pairs_snm", _SNM_DUCK, tags=("dedup",))
 def fuzzy_title_pairs_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup pairs via the sorted-neighborhood method
-    (Hernandez & Stolfo 1995) — the bounded-by-construction answer to
-    `fuzzy_title_pairs`' documented hazard (degenerate prefix blocks
-    measured 112x candidate pairs at sf1): instead of equi-blocks whose
-    pair count is sum(block^2), sort the corpus by a key and compare
-    each record only with its next {w} neighbors — candidates are
-    EXACTLY n_docs x {w} per pass, linear at every distribution. Two
-    passes (multi-pass SNM): title order, then reversed-title order
-    (catches edits in the leading chars that scatter the title sort);
-    candidate sets union, pairs canonicalize (least, greatest), then
-    the same levenshtein <= {d} verification and (dist, ids) top-{n}
-    as the blocked variant.
-
-    Scale notes (100 TB): the sort is a range-partitioned shuffle (here
-    the key's 2-char prefix buckets + per-bucket windows + a broadcast
-    bucket-offset cascade — NO single-partition global window; the
-    bucket column maps 1:1 onto ``repartitionByRange`` splits on a
-    cluster). The neighbor join is an integer equi-join producing
-    n x {w} rows — skew-free regardless of key degeneracy, which is
-    the whole point.""".format(w=SNM_WINDOW, d=_FUZZY_MAX_DIST, n=_FUZZY_TOP)
     docs = load_table(spark, sf_dir, "documents")
     titles = docs.select(
         "doc_id",
@@ -1583,6 +1563,26 @@ def fuzzy_title_pairs_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "doc_a", "doc_b")
         .limit(_FUZZY_TOP)
     )
+fuzzy_title_pairs_snm.__doc__ = """Edit-distance near-dup pairs via the sorted-neighborhood method
+    (Hernandez & Stolfo 1995) — the bounded-by-construction answer to
+    `fuzzy_title_pairs`' documented hazard (degenerate prefix blocks
+    measured 112x candidate pairs at sf1): instead of equi-blocks whose
+    pair count is sum(block^2), sort the corpus by a key and compare
+    each record only with its next {w} neighbors — candidates are
+    EXACTLY n_docs x {w} per pass, linear at every distribution. Two
+    passes (multi-pass SNM): title order, then reversed-title order
+    (catches edits in the leading chars that scatter the title sort);
+    candidate sets union, pairs canonicalize (least, greatest), then
+    the same levenshtein <= {d} verification and (dist, ids) top-{n}
+    as the blocked variant.
+
+    Scale notes (100 TB): the sort is a range-partitioned shuffle (here
+    the key's 2-char prefix buckets + per-bucket windows + a broadcast
+    bucket-offset cascade — NO single-partition global window; the
+    bucket column maps 1:1 onto ``repartitionByRange`` splits on a
+    cluster). The neighbor join is an integer equi-join producing
+    n x {w} rows — skew-free regardless of key degeneracy, which is
+    the whole point.""".format(w=SNM_WINDOW, d=_FUZZY_MAX_DIST, n=_FUZZY_TOP)
 
 
 # ---------------------------------------------------------------------------
@@ -1990,24 +1990,6 @@ ORDER BY entity_id
 
 @register("golden_record_entities", _ER_DUCK, tags=("dedup", "er"))
 def golden_record_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end entity resolution: prefix-blocked edit-distance
-    edges (<= {d}, stricter than `fuzzy_title_pairs` because
-    transitive closure amplifies false links), connected components
-    via min-label propagation (the `dedup_survivors_cc` engine over a
-    different edge relation), and a GOLDEN RECORD per multi-member
-    entity — canonical id (min member), member count, source spread,
-    canonical title. This is the master-data-management pipeline shape
-    (block -> match -> cluster -> canonicalize) on the same primitives
-    the dedup family proved.
-
-    Scale notes (100 TB): edges are block-bounded (the fuzzy-pair
-    analysis); label propagation runs over the EDGE graph only (~1e2
-    edges per 5e2 docs here, and sub-linear in corpus generally since
-    most docs are singletons and drop out of the loop); the golden
-    rollup is one group-by over component members. Diameter-bounded
-    rounds, each a join + group-by with checkpointed lineage.""".format(
-        d=_ER_MAX_DIST
-    )
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
@@ -2061,6 +2043,24 @@ def golden_record_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_members") >= 2)
         .orderBy("entity_id")
+    )
+golden_record_entities.__doc__ = """End-to-end entity resolution: prefix-blocked edit-distance
+    edges (<= {d}, stricter than `fuzzy_title_pairs` because
+    transitive closure amplifies false links), connected components
+    via min-label propagation (the `dedup_survivors_cc` engine over a
+    different edge relation), and a GOLDEN RECORD per multi-member
+    entity — canonical id (min member), member count, source spread,
+    canonical title. This is the master-data-management pipeline shape
+    (block -> match -> cluster -> canonicalize) on the same primitives
+    the dedup family proved.
+
+    Scale notes (100 TB): edges are block-bounded (the fuzzy-pair
+    analysis); label propagation runs over the EDGE graph only (~1e2
+    edges per 5e2 docs here, and sub-linear in corpus generally since
+    most docs are singletons and drop out of the loop); the golden
+    rollup is one group-by over component members. Diameter-bounded
+    rounds, each a join + group-by with checkpointed lineage.""".format(
+        d=_ER_MAX_DIST
     )
 
 
@@ -2116,22 +2116,6 @@ LIMIT {_CONT_TOP}
 
 @register("paragraph_containment_pairs", _CONTAIN_DUCK, tags=("dedup",))
 def paragraph_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Containment detection (Broder's containment, not resemblance):
-    doc pairs sharing >= {m} distinct paragraphs, scored by
-    shared/|smaller doc| — the ASYMMETRIC overlap whole-doc MinHash
-    under-weights (a 10-paragraph memo fully quoted inside a
-    100-paragraph report has Jaccard ~0.1 but containment 1.0, and
-    quote-inclusion is exactly what a copyright/provenance pass must
-    catch). Paragraph fingerprints with df <= {cap} generate pairs
-    (boilerplate exclusion, the rare-shingle blocking idea); top-{t}
-    pairs by shared mass.
-
-    Scale notes (100 TB): pair generation is a posting-list self-join
-    over RARE fingerprints only — bounded by df cap like
-    `dedup_ngram_jaccard`; the shuffle carries 16 B fingerprints. The
-    containment division joins two |docs|-bounded count tables.""".format(
-        m=_CONT_MIN_SHARED, cap=_CONT_DF_CAP, t=_CONT_TOP
-    )
     docs = load_table(spark, sf_dir, "documents")
     chunk_expr = (
         f"transform(sequence(0, cast(floor((size(tk) - 1) / {PARA_TOKENS}) "
@@ -2184,6 +2168,22 @@ def paragraph_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
         .limit(_CONT_TOP)
     )
+paragraph_containment_pairs.__doc__ = """Containment detection (Broder's containment, not resemblance):
+    doc pairs sharing >= {m} distinct paragraphs, scored by
+    shared/|smaller doc| — the ASYMMETRIC overlap whole-doc MinHash
+    under-weights (a 10-paragraph memo fully quoted inside a
+    100-paragraph report has Jaccard ~0.1 but containment 1.0, and
+    quote-inclusion is exactly what a copyright/provenance pass must
+    catch). Paragraph fingerprints with df <= {cap} generate pairs
+    (boilerplate exclusion, the rare-shingle blocking idea); top-{t}
+    pairs by shared mass.
+
+    Scale notes (100 TB): pair generation is a posting-list self-join
+    over RARE fingerprints only — bounded by df cap like
+    `dedup_ngram_jaccard`; the shuffle carries 16 B fingerprints. The
+    containment division joins two |docs|-bounded count tables.""".format(
+        m=_CONT_MIN_SHARED, cap=_CONT_DF_CAP, t=_CONT_TOP
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2227,18 +2227,6 @@ FROM est
 
 @register("dedup_threshold_sweep", _SWEEP_DUCK, tags=("dedup",))
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup policy tuning curve in one pass: how many candidate pairs
-    survive each Jaccard threshold in {ts} — the number every dedup
-    rollout decision needs ("how much do we delete at 0.75 vs 0.875?")
-    computed as conditional sums over the SAME estimate table, so the
-    whole curve costs one banded-candidate pass, not one run per
-    threshold.
-
-    Scale notes (100 TB): identical candidate-bounded shape to
-    `minhash_estimate_accuracy`; the sweep adds zero shuffles — just
-    more aggregate expressions over the same rows.""".format(
-        ts=_SWEEP_THRESHOLDS
-    )
     sig_arr = minhash_signature_arrays(spark, sf_dir).localCheckpoint(
         eager=False
     )
@@ -2283,6 +2271,18 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"ge_{str(t).replace('.', '_')}")
         )
     return est.agg(*aggs)
+dedup_threshold_sweep.__doc__ = """Dedup policy tuning curve in one pass: how many candidate pairs
+    survive each Jaccard threshold in {ts} — the number every dedup
+    rollout decision needs ("how much do we delete at 0.75 vs 0.875?")
+    computed as conditional sums over the SAME estimate table, so the
+    whole curve costs one banded-candidate pass, not one run per
+    threshold.
+
+    Scale notes (100 TB): identical candidate-bounded shape to
+    `minhash_estimate_accuracy`; the sweep adds zero shuffles — just
+    more aggregate expressions over the same rows.""".format(
+        ts=_SWEEP_THRESHOLDS
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2406,7 +2406,11 @@ _SCURVE_SPARK = (
 
 @register("lsh_scurve_calibration", _SCURVE_DUCK, tags=("dedup",))
 def lsh_scurve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LSH BANDING DESIGN TOOL: measured candidate-capture rate of
+    from ..io import register_views
+
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_SCURVE_SPARK)
+lsh_scurve_calibration.__doc__ = """The LSH BANDING DESIGN TOOL: measured candidate-capture rate of
     the engine's production banding ({b} bands x {r} rows over the
     {f}-function KM-derived MinHash family) across a CONTROLLED
     Jaccard ladder — for each panel doc, variant k replaces the last
@@ -2437,10 +2441,6 @@ def lsh_scurve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged.""".format(
         b=N_HASHES // 2, r=2, f=N_HASHES, ks=_SCURVE_KS
     )
-    from ..io import register_views
-
-    register_views(spark, sf_dir, tables=("documents",))
-    return spark.sql(_SCURVE_SPARK)
 
 
 # ---------------------------------------------------------------------------
@@ -2497,24 +2497,6 @@ ORDER BY n_shared DESC, doc1, doc2
 
 @register("winnowing_dup_pairs", _WINNOW_DUCK, tags=("dedup", "text"))
 def winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-fingerprint near-dup pairs (Schleimer, Wilkerson,
-    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
-    SIGMOD 2003 — the MOSS algorithm): hash every word-{_WIN_K}-gram,
-    slide a {_WIN_W}-gram window and SELECT the minimum hash of each
-    window, then join documents on the selected fingerprint set. The
-    guarantee that MinHash sampling lacks: any shared word run of
-    length >= {_WIN_W + _WIN_K - 1} produces a shared selected
-    fingerprint, so sufficiently long verbatim overlap CANNOT be
-    missed, while the expected fingerprint density stays ~2/(w+1) of
-    the gram stream.
-
-    Scale notes (100 TB): the fingerprint table is the winnowed
-    subset (~2/(w+1) of grams) — one per-doc window pass, no
-    cross-doc work; the pair join is a posting self-join on
-    fingerprint with a {_WIN_CAP}-doc boilerplate cap bounding every
-    posting list (the dedup_ngram_jaccard discipline), then a pair
-    group-by. All shuffles keyed by fp/doc pair; no quadratic stage.
-    """
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.split("text", " ").alias("tk")).where(
         F.size("tk") >= _WIN_K + _WIN_W - 1
@@ -2566,3 +2548,40 @@ def winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_shared") >= _WIN_MIN_SHARED)
         .orderBy(F.desc("n_shared"), "doc1", "doc2")
     )
+
+
+winnowing_dup_pairs.__doc__ = """Winnowing-fingerprint near-dup pairs
+    (Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for
+    Document Fingerprinting", SIGMOD 2003 — the MOSS algorithm): hash
+    every word-{k}-gram, slide a {w}-gram window and SELECT the
+    minimum hash of each window, then join documents on the selected
+    fingerprint set. The guarantee that MinHash sampling lacks: any
+    shared word run of length >= {run} produces a shared selected
+    FINGERPRINT, while the expected fingerprint density stays
+    ~2/(w+1) of the gram stream.
+
+    Guarantee scope — fingerprint-level, NOT pair-level: the PAIR
+    report applies two precision filters on top that deliberately
+    weaken the per-pair guarantee. A pair must share >= {minshared}
+    selected fingerprints (so two docs sharing exactly one {run}-word
+    run are NOT reported — by design: single-fingerprint pairs at the
+    16-hex-char hash grain are noise-dominated), and fingerprints
+    held by > {cap} docs are excluded as boilerplate (a shared run
+    consisting ONLY of boilerplate text cannot qualify a pair). The
+    detection guarantee therefore reads: any pair sharing >=
+    {minshared} distinct non-boilerplate runs of {run}+ words IS
+    reported.
+
+    Scale notes (100 TB): the fingerprint table is the winnowed
+    subset (~2/(w+1) of grams) — one per-doc window pass, no
+    cross-doc work; the pair join is a posting self-join on
+    fingerprint with the {cap}-doc boilerplate cap bounding every
+    posting list (the dedup_ngram_jaccard discipline), then a pair
+    group-by. All shuffles keyed by fp/doc pair; no quadratic stage.
+    """.format(
+    k=_WIN_K,
+    w=_WIN_W,
+    run=_WIN_W + _WIN_K - 1,
+    minshared=_WIN_MIN_SHARED,
+    cap=_WIN_CAP,
+)

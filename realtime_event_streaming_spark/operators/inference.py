@@ -419,7 +419,32 @@ def _fit_steps(
 
 @register("quality_classifier_train", _train_duck(), tags=("inference",))
 def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRAINING side of the hashed-linear quality gate
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    tf, lab = _tf_lab(docs)
+    steps, _w = _fit_steps(tf, lab)
+    evals = []
+    for step, scored in steps:
+        correct = ((F.col("margin") > 0) == (F.col("y") == 1)).cast("long")
+        evals.append(
+            scored.agg(
+                F.lit(step).cast("bigint").alias("step"),
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum((F.col("y") == 1).cast("long"))
+                .cast("bigint")
+                .alias("n_bad"),
+                F.sum(correct).cast("bigint").alias("n_correct"),
+                F.round(
+                    F.sum(correct).cast("double") / F.count("*"), 4
+                ).alias("accuracy"),
+            )
+        )
+    out = evals[0]
+    for e in evals[1:]:
+        out = out.unionAll(e)
+    return out.orderBy("step")
+quality_classifier_train.__doc__ = """TRAINING side of the hashed-linear quality gate
     (`quality_classifier_scores` is the inference side), as a pure
     relational plan: a Rocchio/centroid initialization (w = scaled
     bad-class mean - good-class mean over hashed bag-of-words + bias +
@@ -464,31 +489,6 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         T=_TRAIN_STEPS, mt=_TRAIN_MIN_TOKENS, tw=_TRAIN_TOPWORD_FRAC,
         nb=N_BUCKETS, sc=_CENTROID_SCALE,
     )
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("tk")
-    )
-    tf, lab = _tf_lab(docs)
-    steps, _w = _fit_steps(tf, lab)
-    evals = []
-    for step, scored in steps:
-        correct = ((F.col("margin") > 0) == (F.col("y") == 1)).cast("long")
-        evals.append(
-            scored.agg(
-                F.lit(step).cast("bigint").alias("step"),
-                F.count("*").cast("bigint").alias("n_docs"),
-                F.sum((F.col("y") == 1).cast("long"))
-                .cast("bigint")
-                .alias("n_bad"),
-                F.sum(correct).cast("bigint").alias("n_correct"),
-                F.round(
-                    F.sum(correct).cast("double") / F.count("*"), 4
-                ).alias("accuracy"),
-            )
-        )
-    out = evals[0]
-    for e in evals[1:]:
-        out = out.unionAll(e)
-    return out.orderBy("step")
 
 
 # ---------------------------------------------------------------------------
@@ -544,32 +544,6 @@ FROM tot
 
 @register("quality_score_auc", _AUC_DUCK, tags=("inference", "curation"))
 def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROC AUC of a cheap quality score (document length, ``n_chars``)
-    against the planted low-quality labels the classifier trainer uses
-    (`quality_classifier_train`: token count < {mt} OR top-word
-    occupancy > {tw}) — the evaluation row every quality gate needs
-    before its threshold goes to production. AUC is computed in its
-    Mann-Whitney RANK-SUM form with midrank tie handling:
-    AUC = (R_good - ng*(ng+1)/2) / (ng*nb) where R_good is the sum of
-    the good docs' midranks in the score ordering.
-
-    Determinism contract: scores are grouped per distinct value, so
-    ties never depend on row order; twice-the-midrank
-    (2*cum_before + n_all + 1) is an exact integer, making the rank
-    sum, the numerator and the denominator all BIGINT; the single
-    4-dp division uses integer half-up rounding on non-negative
-    integers (midpoint-free, the PERF.md sf1-catch pattern). Both
-    engines hash bit-identical output by construction.
-
-    Scale notes (100 TB): one token-explode pass for the label (shared
-    shape with the trainer), then the entire AUC runs on the
-    per-distinct-score table — bounded by |distinct n_chars|, a few
-    thousand rows regardless of corpus size; the one ordered window
-    runs on that bounded table, never on the corpus. Rank-sum AUC is
-    exactly how you grade a classifier distributively — no per-doc
-    sort ever leaves the score histogram.""".format(
-        mt=_TRAIN_MIN_TOKENS, tw=_TRAIN_TOPWORD_FRAC
-    )
     from pyspark.sql import Window
 
     # ONE corpus pass: carrying n_chars through the (doc, token)
@@ -627,6 +601,32 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / _AUC_DP
         ).alias("auc"),
+    )
+quality_score_auc.__doc__ = """ROC AUC of a cheap quality score (document length, ``n_chars``)
+    against the planted low-quality labels the classifier trainer uses
+    (`quality_classifier_train`: token count < {mt} OR top-word
+    occupancy > {tw}) — the evaluation row every quality gate needs
+    before its threshold goes to production. AUC is computed in its
+    Mann-Whitney RANK-SUM form with midrank tie handling:
+    AUC = (R_good - ng*(ng+1)/2) / (ng*nb) where R_good is the sum of
+    the good docs' midranks in the score ordering.
+
+    Determinism contract: scores are grouped per distinct value, so
+    ties never depend on row order; twice-the-midrank
+    (2*cum_before + n_all + 1) is an exact integer, making the rank
+    sum, the numerator and the denominator all BIGINT; the single
+    4-dp division uses integer half-up rounding on non-negative
+    integers (midpoint-free, the PERF.md sf1-catch pattern). Both
+    engines hash bit-identical output by construction.
+
+    Scale notes (100 TB): one token-explode pass for the label (shared
+    shape with the trainer), then the entire AUC runs on the
+    per-distinct-score table — bounded by |distinct n_chars|, a few
+    thousand rows regardless of corpus size; the one ordered window
+    runs on that bounded table, never on the corpus. Rank-sum AUC is
+    exactly how you grade a classifier distributively — no per-doc
+    sort ever leaves the score histogram.""".format(
+        mt=_TRAIN_MIN_TOKENS, tw=_TRAIN_TOPWORD_FRAC
     )
 
 
@@ -709,28 +709,6 @@ FROM hs GROUP BY source ORDER BY source
     tags=("inference", "curation"),
 )
 def quality_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The trained quality gate APPLIED to a true heldout split — the
-    generalization number the training census cannot give: train on
-    doc_id % {m} != 0 (the exact `_fit_steps` pipeline
-    `quality_classifier_train` documents, same code path), score the
-    never-seen % {m} == 0 docs with the final weight table, and
-    report per source: docs, flagged count/rate, and heldout accuracy
-    against the planted labels. This closes the model lifecycle
-    driver-visibly: train (census) -> apply (heldout) -> the
-    broadcast-join inference shape of `quality_classifier_scores`.
-
-    Determinism: training state is all-BIGINT (see the trainer);
-    heldout margins are integer sums against the integer weights; the
-    two output rates use integer half-up 4-dp division. The oracle
-    restates the ENTIRE fit on the train split inline (shared CTE
-    generator), so the hash proves the weights themselves, not just
-    the scores.
-
-    Scale notes (100 TB): identical cost shape to the trainer (the
-    heldout pass adds one tf build + one broadcast-weights join); the
-    {m}-way hash split is the stable sharding the sampling family
-    uses, so train/heldout membership is reproducible at any
-    scale.""".format(m=_APPLY_MOD)
     docs_all = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.split("text", " ").alias("tk")
     )
@@ -778,6 +756,28 @@ def quality_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+quality_classifier_apply.__doc__ = """The trained quality gate APPLIED to a true heldout split — the
+    generalization number the training census cannot give: train on
+    doc_id % {m} != 0 (the exact `_fit_steps` pipeline
+    `quality_classifier_train` documents, same code path), score the
+    never-seen % {m} == 0 docs with the final weight table, and
+    report per source: docs, flagged count/rate, and heldout accuracy
+    against the planted labels. This closes the model lifecycle
+    driver-visibly: train (census) -> apply (heldout) -> the
+    broadcast-join inference shape of `quality_classifier_scores`.
+
+    Determinism: training state is all-BIGINT (see the trainer);
+    heldout margins are integer sums against the integer weights; the
+    two output rates use integer half-up 4-dp division. The oracle
+    restates the ENTIRE fit on the train split inline (shared CTE
+    generator), so the hash proves the weights themselves, not just
+    the scores.
+
+    Scale notes (100 TB): identical cost shape to the trainer (the
+    heldout pass adds one tf build + one broadcast-weights join); the
+    {m}-way hash split is the stable sharding the sampling family
+    uses, so train/heldout membership is reproducible at any
+    scale.""".format(m=_APPLY_MOD)
 
 
 # ---------------------------------------------------------------------------
@@ -814,27 +814,6 @@ FROM binned GROUP BY bin ORDER BY bin
     tags=("inference", "curation"),
 )
 def classifier_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reliability (calibration-by-rank) table of the trained quality
-    gate on the heldout split: heldout docs ntile'd into {b} bins by
-    margin, each bin reporting size, exact integer margin mass, and
-    the empirical bad-label rate — the reliability-diagram row that
-    tells you whether a LARGER margin actually means a WORSE document
-    (i.e. whether the score is usable as a soft threshold, not just a
-    hard gate; the margin analogue of ECE for an uncalibrated linear
-    score). Completes the evaluation trio: `quality_score_auc`
-    (threshold-free ranking), `quality_classifier_apply` (point
-    accuracy), and this (rank calibration).
-
-    Determinism: margins are exact BIGINTs; the ntile orders by
-    (margin, doc_id) — no float enters until the one half-up 4-dp
-    rate; each bin reports its exact MIN/MAX margin (a bin SUM
-    overflows BIGINT at sf1 — margins scale with the squared class
-    counts — and min/max additionally witness the ntile ordering:
-    mx of bin i <= mn of bin i+1 by construction). Scale notes: one extra window over the heldout
-    margins (doc-count-bounded rows, {b} output rows); everything
-    upstream is the shared train/apply pipeline.""".format(
-        b=_RELIA_BINS
-    )
     from pyspark.sql import Window
 
     docs_all = load_table(spark, sf_dir, "documents").select(
@@ -880,4 +859,25 @@ def classifier_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bad_rate"),
         )
         .orderBy("bin")
+    )
+classifier_reliability_bins.__doc__ = """Reliability (calibration-by-rank) table of the trained quality
+    gate on the heldout split: heldout docs ntile'd into {b} bins by
+    margin, each bin reporting size, exact integer margin mass, and
+    the empirical bad-label rate — the reliability-diagram row that
+    tells you whether a LARGER margin actually means a WORSE document
+    (i.e. whether the score is usable as a soft threshold, not just a
+    hard gate; the margin analogue of ECE for an uncalibrated linear
+    score). Completes the evaluation trio: `quality_score_auc`
+    (threshold-free ranking), `quality_classifier_apply` (point
+    accuracy), and this (rank calibration).
+
+    Determinism: margins are exact BIGINTs; the ntile orders by
+    (margin, doc_id) — no float enters until the one half-up 4-dp
+    rate; each bin reports its exact MIN/MAX margin (a bin SUM
+    overflows BIGINT at sf1 — margins scale with the squared class
+    counts — and min/max additionally witness the ntile ordering:
+    mx of bin i <= mn of bin i+1 by construction). Scale notes: one extra window over the heldout
+    margins (doc-count-bounded rows, {b} output rows); everything
+    upstream is the shared train/apply pipeline.""".format(
+        b=_RELIA_BINS
     )

@@ -254,27 +254,6 @@ LIMIT {_VDUP_TOPK}
 
 @register("video_frame_dup_pairs", _VDUP_DUCK, tags=("multimodal", "dedup"))
 def video_frame_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate VIDEO detection by shared frame fingerprints —
-    the content-ID shape: `multimodal_frame_sample`'s sampled-frame
-    fingerprints become the blocking key, and two videos sharing >=
-    {m} frames are a duplicate-candidate pair (re-encodes, re-uploads
-    and trims share most sampled frames even when the container bytes
-    differ). Composes the multimodal leg with the dedup family's
-    discipline: the join is on the FINGERPRINT (bounded collision
-    clusters), never all video pairs. Planted copies of every 50th
-    asset (the `dedup_exact_groups` recipe) guarantee real positives
-    at any scale factor.
-
-    Plan: Arrow-batched mapInPandas explodes each asset into
-    {n} fingerprinted frames (the stubbed ffmpeg step — swap for a
-    real decoder, nothing else changes), then one group-by on
-    frame_fp-equality pairs. Scale notes (100 TB): the pair join is
-    fingerprint-blocked — its cost is sum over fingerprint clusters
-    of cluster^2, the same bounded shape as the MinHash band join;
-    frames-per-video is fixed ({n}), so the exploded table is
-    n x videos rows with an 8-byte key.""".format(
-        m=_VDUP_MIN_SHARED, n=N_FRAMES
-    )
     assets = binary_assets(spark, sf_dir)
     offset_df = assets.agg((F.max("doc_id") + 1).alias("_offset"))
     planted = (
@@ -302,4 +281,25 @@ def video_frame_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("shared_frames") >= _VDUP_MIN_SHARED)
         .orderBy(F.desc("shared_frames"), "va", "vb")
         .limit(_VDUP_TOPK)
+    )
+video_frame_dup_pairs.__doc__ = """Near-duplicate VIDEO detection by shared frame fingerprints —
+    the content-ID shape: `multimodal_frame_sample`'s sampled-frame
+    fingerprints become the blocking key, and two videos sharing >=
+    {m} frames are a duplicate-candidate pair (re-encodes, re-uploads
+    and trims share most sampled frames even when the container bytes
+    differ). Composes the multimodal leg with the dedup family's
+    discipline: the join is on the FINGERPRINT (bounded collision
+    clusters), never all video pairs. Planted copies of every 50th
+    asset (the `dedup_exact_groups` recipe) guarantee real positives
+    at any scale factor.
+
+    Plan: Arrow-batched mapInPandas explodes each asset into
+    {n} fingerprinted frames (the stubbed ffmpeg step — swap for a
+    real decoder, nothing else changes), then one group-by on
+    frame_fp-equality pairs. Scale notes (100 TB): the pair join is
+    fingerprint-blocked — its cost is sum over fingerprint clusters
+    of cluster^2, the same bounded shape as the MinHash band join;
+    frames-per-video is fixed ({n}), so the exploded table is
+    n x videos rows with an 8-byte key.""".format(
+        m=_VDUP_MIN_SHARED, n=N_FRAMES
     )

@@ -106,7 +106,9 @@ _BM25_SPARK = _BM25_BODY.replace(
 
 @register("bm25_topk", _BM25_BODY, headline=True, tags=("text", "retrieval"))
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 (k1={k1}, b={b}) top-{k} documents for each of the
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_BM25_SPARK)
+bm25_topk.__doc__ = """Okapi BM25 (k1={k1}, b={b}) top-{k} documents for each of the
     {n} rarest corpus terms (df ASC, term ASC — deterministic), the
     inverted-index ranking function behind every lexical retrieval
     stack. idf uses the ln(1 + (N-df+.5)/(df+.5)) form (always
@@ -123,8 +125,6 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads only the probed partitions.""".format(
         k1=BM25_K1, b=BM25_B, k=BM25_TOPK, n=N_QUERY_TERMS
     )
-    register_views(spark, sf_dir, tables=("documents",))
-    return spark.sql(_BM25_SPARK)
 
 
 # ---------------------------------------------------------------------------
@@ -224,7 +224,9 @@ _RRF_SPARK = _RRF_BODY.replace(
 
 @register("hybrid_rrf_retrieval", _RRF_BODY, tags=("retrieval", "similarity"))
 def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid search: fuse a lexical ranking (distinct-token Jaccard)
+    register_views(spark, sf_dir, tables=("documents", "embeddings"))
+    return spark.sql(_RRF_SPARK)
+hybrid_rrf_retrieval.__doc__ = """Hybrid search: fuse a lexical ranking (distinct-token Jaccard)
     and a vector ranking (embedding cosine — doc_id/vec_id share the
     fixture id space) with reciprocal-rank fusion, score =
     1/({K}+lex_rank) + 1/({K}+vec_rank). Top-{k} fused candidates per
@@ -241,8 +243,6 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     production form is the IVF probe. The fusion itself is a join on
     (query, candidate) — O(topk-ish candidate sets), trivially
     shuffled.""".format(K=RRF_K, k=RRF_TOPK, n=N_QUERY_DOCS)
-    register_views(spark, sf_dir, tables=("documents", "embeddings"))
-    return spark.sql(_RRF_SPARK)
 
 
 # ---------------------------------------------------------------------------
@@ -384,33 +384,6 @@ def _pq_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
 
 @register("pq_adc_topk", _PQ_DUCK, tags=("similarity", "retrieval"))
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (Jégou et al., PQ with asymmetric
-    distance computation): split the 64-dim embedding into {m} x
-    {d}-dim subspaces, train one codebook of {k} codewords per
-    subspace (deterministic init = first {k} vectors' subvectors, one
-    Lloyd round, means rounded 4dp so both engines iterate from
-    identical codebooks), encode every vector as {m} one-byte codes,
-    then answer each query (vec_id < {nq}) by ADC: a {m}x{k}-entry
-    lookup table of query-subvector-to-codeword distances, summed over
-    the code tuple in a FIXED 4-term order (each term is a
-    single-addend conditional aggregate, so no float-summation-order
-    drift). Top-{topk} per query by (rounded ADC distance, id). One
-    Lloyd round (vs kmeans_centroids' 2) keeps the inline oracle
-    tractable; the production path trains once and materializes the
-    codebook like `probe_ann_index`.
-
-    Scale notes (100 TB): this is the memory-bound ANN compression
-    path — the corpus at rest is {m} bytes/vector of codes (256x
-    smaller than the float64 vectors), the codebook is M*K rows and
-    always broadcast, and the ADC scan never touches the original
-    embeddings. The pair join is (codes x per-query LUT) on (s, cid)
-    — candidate-side work is a map-side broadcast-hash join over the
-    code table; the only shuffle is the (query, neighbor) group-by,
-    O(M x corpus) rows keyed evenly. At cluster scale the code table
-    is additionally IVF-partitioned (IVF-PQ) so each query touches
-    nprobe cells only — same plan tail.""".format(
-        m=PQ_M, d=PQ_SUBDIM, k=PQ_K, nq=PQ_NQ, topk=PQ_TOPK
-    )
     from pyspark.sql import Window
 
     from ..io import load_table
@@ -475,6 +448,33 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= PQ_TOPK)
         .select("query_id", "rnk", "neighbor_id", "adc_d2")
         .orderBy("query_id", "rnk")
+    )
+pq_adc_topk.__doc__ = """Product-quantization ANN (Jégou et al., PQ with asymmetric
+    distance computation): split the 64-dim embedding into {m} x
+    {d}-dim subspaces, train one codebook of {k} codewords per
+    subspace (deterministic init = first {k} vectors' subvectors, one
+    Lloyd round, means rounded 4dp so both engines iterate from
+    identical codebooks), encode every vector as {m} one-byte codes,
+    then answer each query (vec_id < {nq}) by ADC: a {m}x{k}-entry
+    lookup table of query-subvector-to-codeword distances, summed over
+    the code tuple in a FIXED 4-term order (each term is a
+    single-addend conditional aggregate, so no float-summation-order
+    drift). Top-{topk} per query by (rounded ADC distance, id). One
+    Lloyd round (vs kmeans_centroids' 2) keeps the inline oracle
+    tractable; the production path trains once and materializes the
+    codebook like `probe_ann_index`.
+
+    Scale notes (100 TB): this is the memory-bound ANN compression
+    path — the corpus at rest is {m} bytes/vector of codes (256x
+    smaller than the float64 vectors), the codebook is M*K rows and
+    always broadcast, and the ADC scan never touches the original
+    embeddings. The pair join is (codes x per-query LUT) on (s, cid)
+    — candidate-side work is a map-side broadcast-hash join over the
+    code table; the only shuffle is the (query, neighbor) group-by,
+    O(M x corpus) rows keyed evenly. At cluster scale the code table
+    is additionally IVF-partitioned (IVF-PQ) so each query touches
+    nprobe cells only — same plan tail.""".format(
+        m=PQ_M, d=PQ_SUBDIM, k=PQ_K, nq=PQ_NQ, topk=PQ_TOPK
     )
 
 
@@ -1151,7 +1151,13 @@ def _reranked(
 @register("pq_rerank_topk", _rerank_duck(), headline=True,
           tags=("similarity", "retrieval"))
 def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ search with an exact re-ranking tail (the standard FAISS
+    return (
+        _reranked(spark, sf_dir)
+        .where(F.col("rnk") <= PQ_TOPK)
+        .select("query_id", "rnk", "neighbor_id", "exact_d2")
+        .orderBy("query_id", "rnk")
+    )
+pq_rerank_topk.__doc__ = """IVF-PQ search with an exact re-ranking tail (the standard FAISS
     deployment pattern, IndexRefineFlat / IVFPQR): the ADC ranking
     keeps a {s}-candidate shortlist per query (10x the final k), the
     shortlist joins back to the FULL vectors, and the final top-{k} is
@@ -1168,12 +1174,6 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory/recall trade FAISS ships: codes in RAM, full vectors on
     flash, touched {s} rows per query.""".format(
         s=RERANK_SHORTLIST, k=PQ_TOPK
-    )
-    return (
-        _reranked(spark, sf_dir)
-        .where(F.col("rnk") <= PQ_TOPK)
-        .select("query_id", "rnk", "neighbor_id", "exact_d2")
-        .orderBy("query_id", "rnk")
     )
 
 
@@ -1226,7 +1226,8 @@ FROM hits ORDER BY query_id
 @register("pq_rerank_recall", _rerank_recall_duck(),
           tags=("similarity", "retrieval"))
 def pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`ann_recall_eval` extended to the re-ranked path: recall@{k} of
+    return _rerank_recall_frame(spark, sf_dir)
+pq_rerank_recall.__doc__ = """`ann_recall_eval` extended to the re-ranked path: recall@{k} of
     `pq_rerank_topk` against the exact ground truth, per query. Because
     the refinement ranks the shortlist by EXACT distance, any remaining
     recall loss isolates the candidate-generation stages (cell pruning
@@ -1238,7 +1239,6 @@ def pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries x {s} refinement reads.""".format(
         k=PQ_TOPK, s=RERANK_SHORTLIST
     )
-    return _rerank_recall_frame(spark, sf_dir)
 
 
 def _rerank_recall_frame(
@@ -1304,7 +1304,15 @@ def _rerank_recall_frame(
 @register("pq_rerank_tuned", _rerank_duck(TUNED_NPROBE, TUNED_SHORTLIST),
           headline=True, tags=("similarity", "retrieval"))
 def pq_rerank_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`pq_rerank_topk` at the MEASURED deployment operating point
+    return (
+        _reranked(
+            spark, sf_dir, nprobe=TUNED_NPROBE, shortlist=TUNED_SHORTLIST
+        )
+        .where(F.col("rnk") <= PQ_TOPK)
+        .select("query_id", "rnk", "neighbor_id", "exact_d2")
+        .orderBy("query_id", "rnk")
+    )
+pq_rerank_tuned.__doc__ = """`pq_rerank_topk` at the MEASURED deployment operating point
     (nprobe={np}, shortlist={s}) instead of the FAISS textbook default:
     the (nprobe, shortlist) sweep (scripts/pq_recall_sweep.py; PERF.md
     curve) showed shortlist depth — not cell fan-out — buys back the
@@ -1321,27 +1329,19 @@ def pq_rerank_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     production index, then ship the cheapest >= target point.""".format(
         np=TUNED_NPROBE, s=TUNED_SHORTLIST, k=PQ_TOPK
     )
-    return (
-        _reranked(
-            spark, sf_dir, nprobe=TUNED_NPROBE, shortlist=TUNED_SHORTLIST
-        )
-        .where(F.col("rnk") <= PQ_TOPK)
-        .select("query_id", "rnk", "neighbor_id", "exact_d2")
-        .orderBy("query_id", "rnk")
-    )
 
 
 @register("pq_rerank_tuned_recall",
           _rerank_recall_duck(TUNED_NPROBE, TUNED_SHORTLIST),
           tags=("similarity", "retrieval"))
 def pq_rerank_tuned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{k} of `pq_rerank_tuned` against the exact ground truth,
-    per query — the published operating point's contract, driver-
-    hashable. tests/test_retrieval_contract.py asserts mean recall
-    >= 0.8 at the sweep's sf0.1 measurement scale.""".format(k=PQ_TOPK)
     return _rerank_recall_frame(
         spark, sf_dir, nprobe=TUNED_NPROBE, shortlist=TUNED_SHORTLIST
     )
+pq_rerank_tuned_recall.__doc__ = """Recall@{k} of `pq_rerank_tuned` against the exact ground truth,
+    per query — the published operating point's contract, driver-
+    hashable. tests/test_retrieval_contract.py asserts mean recall
+    >= 0.8 at the sweep's sf0.1 measurement scale.""".format(k=PQ_TOPK)
 
 
 # ---------------------------------------------------------------------------
@@ -1437,38 +1437,6 @@ selall{r} AS (
     tags=("retrieval", "similarity"),
 )
 def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
-    1998) — the diversification stage between retrieval and a RAG
-    prompt: from each query's top-{s} cosine shortlist, greedily pick
-    {k} results maximizing lambda*rel - (1-lambda)*max_sim_to_picked
-    (lambda = {ln}/{ld} as an exact integer ratio), so near-duplicate
-    passages don't crowd out coverage. The greedy loop is UNROLLED into {k} relational rounds
-    (the BPE/k-means/perceptron bounded-rounds discipline): each round
-    is one anti-join (drop picked), one bounded join onto the
-    precomputed shortlist-pairwise-similarity table, and a per-query
-    argmax window — Catalyst sees one static DAG.
-
-    Determinism: relevance and pairwise cosines quantize ONCE per
-    row to BIGINT 1e-4 units; every round's score is then the exact
-    integer {ln}*cs_u - {lo_}*ms_u (a weighted difference of 4dp
-    quantities lands on 5th-decimal midpoints ~10% of the time, where
-    the engines' float round() implementations disagree — measured on
-    first contact and removed by never rounding a float score at
-    all), argmax tie-broken on neighbor id — both engines walk
-    identical greedy paths and the output divides exact integers.
-
-    Scale notes (100 TB): everything after the shortlist is bounded —
-    {s} rows per query, pairwise sims {s}x{s} per query (computed
-    ONCE, reused by all rounds), and the per-round joins touch only
-    those. The shortlist arm here is the labeled exact baseline (same
-    policy as `ann_bruteforce`); production swaps in the IVF/BM25/RRF
-    searchers — MMR composes with ANY of them unchanged.""".format(
-        s=MMR_SHORT,
-        k=MMR_K,
-        ln=MMR_LAMBDA_NUM,
-        ld=MMR_LAMBDA_DEN,
-        lo_=MMR_LAMBDA_DEN - MMR_LAMBDA_NUM,
-    )
     from pyspark.sql import Window
 
     from .similarity import _DOT, _vectors, N_QUERIES
@@ -1586,6 +1554,38 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mmr_score"
         ),
     ).orderBy("qid", "pick")
+mmr_diverse_topk.__doc__ = """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversification stage between retrieval and a RAG
+    prompt: from each query's top-{s} cosine shortlist, greedily pick
+    {k} results maximizing lambda*rel - (1-lambda)*max_sim_to_picked
+    (lambda = {ln}/{ld} as an exact integer ratio), so near-duplicate
+    passages don't crowd out coverage. The greedy loop is UNROLLED into {k} relational rounds
+    (the BPE/k-means/perceptron bounded-rounds discipline): each round
+    is one anti-join (drop picked), one bounded join onto the
+    precomputed shortlist-pairwise-similarity table, and a per-query
+    argmax window — Catalyst sees one static DAG.
+
+    Determinism: relevance and pairwise cosines quantize ONCE per
+    row to BIGINT 1e-4 units; every round's score is then the exact
+    integer {ln}*cs_u - {lo_}*ms_u (a weighted difference of 4dp
+    quantities lands on 5th-decimal midpoints ~10% of the time, where
+    the engines' float round() implementations disagree — measured on
+    first contact and removed by never rounding a float score at
+    all), argmax tie-broken on neighbor id — both engines walk
+    identical greedy paths and the output divides exact integers.
+
+    Scale notes (100 TB): everything after the shortlist is bounded —
+    {s} rows per query, pairwise sims {s}x{s} per query (computed
+    ONCE, reused by all rounds), and the per-round joins touch only
+    those. The shortlist arm here is the labeled exact baseline (same
+    policy as `ann_bruteforce`); production swaps in the IVF/BM25/RRF
+    searchers — MMR composes with ANY of them unchanged.""".format(
+        s=MMR_SHORT,
+        k=MMR_K,
+        ln=MMR_LAMBDA_NUM,
+        ld=MMR_LAMBDA_DEN,
+        lo_=MMR_LAMBDA_DEN - MMR_LAMBDA_NUM,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1654,21 +1654,6 @@ ORDER BY query_id
 
 @register("ndcg_rank_eval", _ndcg_duck(), tags=("retrieval", "similarity"))
 def ndcg_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """nDCG@{at} of the IVF-PQ ranking against graded exact-L2
-    relevance (exact rank e in the top-{k} earns relevance {k}+1-e) —
-    the position-sensitive complement to `ann_recall_eval`'s recall
-    and MRR: recall cannot see WHERE in the list the right answers
-    sit; nDCG discounts each hit by log2(position+1) (Jarvelin &
-    Kekalainen 2002).
-
-    Determinism: the discount table is computed ONCE in Python as
-    integer micro-units and embedded as LITERALS in both engines'
-    plans — no runtime log() exists to disagree; gains and the ideal
-    DCG are exact integers, and the single normalization is the
-    integer half-up 4-dp division. Scale notes: the expensive arm is
-    the same labeled exact baseline as `ann_recall_eval` (bounded
-    query panel BY DESIGN); the graded join touches only
-    {at} x queries ranked rows.""".format(at=NDCG_AT, k=PQ_TOPK)
     from pyspark.sql import Window
 
     from ..io import load_table
@@ -1742,6 +1727,21 @@ def ndcg_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+ndcg_rank_eval.__doc__ = """nDCG@{at} of the IVF-PQ ranking against graded exact-L2
+    relevance (exact rank e in the top-{k} earns relevance {k}+1-e) —
+    the position-sensitive complement to `ann_recall_eval`'s recall
+    and MRR: recall cannot see WHERE in the list the right answers
+    sit; nDCG discounts each hit by log2(position+1) (Jarvelin &
+    Kekalainen 2002).
+
+    Determinism: the discount table is computed ONCE in Python as
+    integer micro-units and embedded as LITERALS in both engines'
+    plans — no runtime log() exists to disagree; gains and the ideal
+    DCG are exact integers, and the single normalization is the
+    integer half-up 4-dp division. Scale notes: the expensive arm is
+    the same labeled exact baseline as `ann_recall_eval` (bounded
+    query panel BY DESIGN); the graded join touches only
+    {at} x queries ranked rows.""".format(at=NDCG_AT, k=PQ_TOPK)
 
 
 # ---------------------------------------------------------------------------
@@ -1808,23 +1808,6 @@ def _nprobe_curve_duck() -> str:
 @register("ivf_nprobe_recall_curve", _nprobe_curve_duck(),
           tags=("similarity", "retrieval"))
 def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The nprobe HALF of the PQ re-rank deployment curve as a
-    driver-gated query (the shortlist half lives in
-    scripts/pq_recall_sweep.py + PERF.md): aggregate recall@{k} of the
-    exact-re-ranked IVF-PQ search at probe budgets {nps}, against the
-    exact squared-L2 truth — the table a deployment reads to set
-    nprobe against its latency budget. One row per budget; the
-    registered operating point (nprobe=2) sits inside the curve it is
-    judged by.
-
-    Scale notes (100 TB): each arm prunes candidates to its nprobe
-    cells before anything pairwise (the `ivf_pq_topk` plan); the
-    exact-truth arm is the bounded evaluation panel shared by the
-    whole recall family. The three arms share the trained quantizer
-    in the Spark plan (computed once, reused across budgets); the
-    oracle restates each arm independently.""".format(
-        k=PQ_TOPK, nps=_CURVE_NPROBES
-    )
     from .similarity import _D2_SPARK
 
     from ..io import load_table
@@ -1878,3 +1861,20 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = arm if out is None else out.unionAll(arm)
     return out.orderBy("nprobe")
+ivf_nprobe_recall_curve.__doc__ = """The nprobe HALF of the PQ re-rank deployment curve as a
+    driver-gated query (the shortlist half lives in
+    scripts/pq_recall_sweep.py + PERF.md): aggregate recall@{k} of the
+    exact-re-ranked IVF-PQ search at probe budgets {nps}, against the
+    exact squared-L2 truth — the table a deployment reads to set
+    nprobe against its latency budget. One row per budget; the
+    registered operating point (nprobe=2) sits inside the curve it is
+    judged by.
+
+    Scale notes (100 TB): each arm prunes candidates to its nprobe
+    cells before anything pairwise (the `ivf_pq_topk` plan); the
+    exact-truth arm is the bounded evaluation panel shared by the
+    whole recall family. The three arms share the trained quantizer
+    in the Spark plan (computed once, reused across budgets); the
+    oracle restates each arm independently.""".format(
+        k=PQ_TOPK, nps=_CURVE_NPROBES
+    )

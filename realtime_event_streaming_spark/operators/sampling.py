@@ -227,22 +227,6 @@ ORDER BY source
 
 @register("cluster_cap_sample", _CAP_DUCK, tags=("sampling", "dedup"))
 def cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequency-capped duplicate sampling: keep at most {m} copies
-    per exact-content cluster (lowest doc_ids — deterministic),
-    instead of the single survivor `dedup_survivors` keeps. The
-    capping policy preserves a bounded duplication-frequency signal
-    (docs that naturally recur a few times stay duplicated; the
-    thousand-copy boilerplate cluster is clamped) — a standard
-    pretraining-mix middle ground. Census per source: kept, dropped,
-    and how many clusters hit the cap.
-
-    Scale notes (100 TB): one shuffle on the 128-bit content hash
-    (carrying the hash, not the text); the rank/size windows are
-    cluster-bounded. The same plan serves any cap, and the production
-    form writes the keep-list back as the admission filter — the
-    `dedup_survivors` endpoint with occ <= M instead of rn = 1.""".format(
-        m=_CAP_M
-    )
     docs = load_table(spark, sf_dir, "documents")
     h = docs.select("doc_id", "source", F.md5("text").alias("content_hash"))
     w = Window.partitionBy("content_hash").orderBy("doc_id")
@@ -270,6 +254,22 @@ def cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clusters_over_cap"),
         )
         .orderBy("source")
+    )
+cluster_cap_sample.__doc__ = """Frequency-capped duplicate sampling: keep at most {m} copies
+    per exact-content cluster (lowest doc_ids — deterministic),
+    instead of the single survivor `dedup_survivors` keeps. The
+    capping policy preserves a bounded duplication-frequency signal
+    (docs that naturally recur a few times stay duplicated; the
+    thousand-copy boilerplate cluster is clamped) — a standard
+    pretraining-mix middle ground. Census per source: kept, dropped,
+    and how many clusters hit the cap.
+
+    Scale notes (100 TB): one shuffle on the 128-bit content hash
+    (carrying the hash, not the text); the rank/size windows are
+    cluster-bounded. The same plan serves any cap, and the production
+    form writes the keep-list back as the admission filter — the
+    `dedup_survivors` endpoint with occ <= M instead of rn = 1.""".format(
+        m=_CAP_M
     )
 
 
@@ -626,47 +626,6 @@ def _mix_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sampling", "dedup", "chunking", "curation"),
 )
 def pretraining_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The END-TO-END admission chain as ONE plan — the manifest a
-    pretraining data job publishes alongside its output: per source,
-    how many documents entered, how many each gate killed (quality
-    gate first, then exact-dedup survivorship), the kept docs/tokens,
-    their 80/10/10 split, and the packed training sequences the train
-    split yields. Proves the standalone stages COMPOSE: the quality
-    thresholds are `training_corpus_pipeline`'s, survivorship is the
-    lowest-id-survives rule of the dedup family (applied cross-source:
-    a duplicate's drop is charged to its OWN source), the split is
-    `corpus_split_counts`' hash assignment, and the packer is
-    `sequence_pack`'s concat-and-chunk window at SEQ_LEN={sl}.
-
-    Conservation invariants (test-pinned): n_input = drop_quality +
-    drop_duplicate + n_kept, and n_kept = n_train + n_val + n_test,
-    per source. fill_rate is the half-up integer 4-dp ratio (no float
-    knife-edge); every other column is an exact BIGINT count.
-
-    Like `dedup_exact_groups`, the corpus is augmented with
-    deterministic copies of every 50th doc (ids planted above
-    max(doc_id)) so the survivorship gate produces — and the oracle
-    checks — real duplicate kills at ANY scale factor: the raw
-    fixture has no exact dups below sf0.1, and a manifest whose dedup
-    column is structurally zero proves nothing about the stage.
-
-    Scale notes (100 TB): the chain is ONE text scan -> two
-    corpus-keyed shuffles (content_hash for survivorship, source for
-    packing) -> bounded per-source censuses joined on the source
-    dimension. The Spark side is DataFrame code, NOT the CTE text:
-    Spark inlines every CTE reference, and the naive CTE form
-    re-scans (and re-tokenizes) the parquet 15 times — here the
-    flagged projection (hash, token count, quality verdict: the only
-    pass that touches text) is localCheckpointed and every census
-    branch reads it back, plan-asserted to a single parquet scan by
-    test_plan_properties. No stage widens the data: the gate is a
-    projection, dedup keeps the FIRST row per hash (map-side-
-    combinable rank), packing is the per-shard cumulative window
-    `sequence_pack` already ships at scale (sub-shard
-    (source, file_bucket) to bound partitions). The census joins are
-    dimension-sized broadcasts.""".format(
-        sl=_MIX_SEQ_LEN
-    )
     flagged = _mix_flagged(spark, sf_dir).localCheckpoint(eager=False)
     wocc = Window.partitionBy("content_hash").orderBy("doc_id")
     surv = (
@@ -763,6 +722,47 @@ def pretraining_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+pretraining_mix_manifest.__doc__ = """The END-TO-END admission chain as ONE plan — the manifest a
+    pretraining data job publishes alongside its output: per source,
+    how many documents entered, how many each gate killed (quality
+    gate first, then exact-dedup survivorship), the kept docs/tokens,
+    their 80/10/10 split, and the packed training sequences the train
+    split yields. Proves the standalone stages COMPOSE: the quality
+    thresholds are `training_corpus_pipeline`'s, survivorship is the
+    lowest-id-survives rule of the dedup family (applied cross-source:
+    a duplicate's drop is charged to its OWN source), the split is
+    `corpus_split_counts`' hash assignment, and the packer is
+    `sequence_pack`'s concat-and-chunk window at SEQ_LEN={sl}.
+
+    Conservation invariants (test-pinned): n_input = drop_quality +
+    drop_duplicate + n_kept, and n_kept = n_train + n_val + n_test,
+    per source. fill_rate is the half-up integer 4-dp ratio (no float
+    knife-edge); every other column is an exact BIGINT count.
+
+    Like `dedup_exact_groups`, the corpus is augmented with
+    deterministic copies of every 50th doc (ids planted above
+    max(doc_id)) so the survivorship gate produces — and the oracle
+    checks — real duplicate kills at ANY scale factor: the raw
+    fixture has no exact dups below sf0.1, and a manifest whose dedup
+    column is structurally zero proves nothing about the stage.
+
+    Scale notes (100 TB): the chain is ONE text scan -> two
+    corpus-keyed shuffles (content_hash for survivorship, source for
+    packing) -> bounded per-source censuses joined on the source
+    dimension. The Spark side is DataFrame code, NOT the CTE text:
+    Spark inlines every CTE reference, and the naive CTE form
+    re-scans (and re-tokenizes) the parquet 15 times — here the
+    flagged projection (hash, token count, quality verdict: the only
+    pass that touches text) is localCheckpointed and every census
+    branch reads it back, plan-asserted to a single parquet scan by
+    test_plan_properties. No stage widens the data: the gate is a
+    projection, dedup keeps the FIRST row per hash (map-side-
+    combinable rank), packing is the per-shard cumulative window
+    `sequence_pack` already ships at scale (sub-shard
+    (source, file_bucket) to bound partitions). The census joins are
+    dimension-sized broadcasts.""".format(
+        sl=_MIX_SEQ_LEN
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -842,7 +842,11 @@ def _sched_values(spark_form: bool) -> str:
     tags=("sampling",),
 )
 def mix_schedule_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-phase temperature-annealed mixture schedule — the PLAN a
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(
+        _sched_sql("size", "split", _sched_values(True), "div")
+    )
+mix_schedule_plan.__doc__ = """Multi-phase temperature-annealed mixture schedule — the PLAN a
     phased pretraining run executes (50% of the token budget at
     alpha=0.25 flattening, 30% at alpha=0.5, 20% at the natural
     alpha=1.0 mix): per (phase, source), the temperature share
@@ -865,8 +869,4 @@ def mix_schedule_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens/source x thousands of sources (Q={q}); past that, raise
     the census to per-source terabins before weighting.""".format(
         q=_SCHED_Q
-    )
-    register_views(spark, sf_dir, tables=("documents",))
-    return spark.sql(
-        _sched_sql("size", "split", _sched_values(True), "div")
     )

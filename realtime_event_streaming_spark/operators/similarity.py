@@ -594,20 +594,6 @@ def _kmeans_means(vecs: DataFrame, assign: DataFrame) -> DataFrame:
 
 @register("kmeans_centroids", _KMEANS_DUCK, tags=("similarity",))
 def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{K_CENTROIDS}-means, {KMEANS_ITERS} Lloyd iterations with
-    deterministic init (centroids = the first K vectors by id) — the
-    training step that produces `ann_ivf_topk`'s centroid table,
-    expressed relationally: assignment is a broadcast cross-join +
-    per-vector top-1 window; the update is a positional explode +
-    two-level mean (same shape as `label_centroid_norms`). Means are
-    rounded each round so both engines iterate from identical inputs.
-
-    Scale notes (100 TB): per iteration the corpus is scanned once;
-    the only shuffles are the bounded (cid x dim) mean group-by and the
-    per-vector window (which AQE plans as a partial top-1). K rows of
-    centroids are always broadcast — no skew, no all-pairs anywhere.
-    The iteration count is a fixed unrolled pipeline (no driver-side
-    convergence loop, so the whole thing stays one lazy plan)."""
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select(
         "vec_id", F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v")
@@ -635,6 +621,20 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", "n_vecs", "centroid_norm")
         .orderBy("cid")
     )
+kmeans_centroids.__doc__ = """{K_CENTROIDS}-means, {KMEANS_ITERS} Lloyd iterations with
+    deterministic init (centroids = the first K vectors by id) — the
+    training step that produces `ann_ivf_topk`'s centroid table,
+    expressed relationally: assignment is a broadcast cross-join +
+    per-vector top-1 window; the update is a positional explode +
+    two-level mean (same shape as `label_centroid_norms`). Means are
+    rounded each round so both engines iterate from identical inputs.
+
+    Scale notes (100 TB): per iteration the corpus is scanned once;
+    the only shuffles are the bounded (cid x dim) mean group-by and the
+    per-vector window (which AQE plans as a partial top-1). K rows of
+    centroids are always broadcast — no skew, no all-pairs anywhere.
+    The iteration count is a fixed unrolled pipeline (no driver-side
+    convergence loop, so the whole thing stays one lazy plan).""".format(K_CENTROIDS=K_CENTROIDS, KMEANS_ITERS=KMEANS_ITERS)
 
 
 # ---------------------------------------------------------------------------
@@ -991,20 +991,6 @@ ORDER BY anchor_id
 
 @register("contrastive_triplets", _TRIPLET_DUCK, tags=("similarity",))
 def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triplet mining for contrastive embedding fine-tuning: per
-    anchor, the hardest positive (most-similar same-label vector) and
-    the HARDEST negative (most-similar different-label vector — the
-    semi-hard/hard mining strategy triplet-loss training uses; easy
-    negatives produce no gradient) plus the margin between them.
-
-    Plan shape: the {N_TRIPLET_ANCHORS}-row anchor set broadcasts into
-    one scored pass over the corpus (another bounded cross join — the
-    anchor side is fixed-size by construction), then two per-anchor
-    row_number windows pick the extremes. At 100 TB the scored pass
-    mines from the IVF index's probed cells instead of the full corpus
-    (`probe_ann_index` is exactly that candidate generator); the
-    full-scan form here is the labeled-recall baseline, like
-    `ann_bruteforce`."""
     vecs = _vectors(spark, sf_dir)
     anchors = vecs.where(F.col("vec_id") < N_TRIPLET_ANCHORS).select(
         F.col("vec_id").alias("a_id"),
@@ -1056,6 +1042,20 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+contrastive_triplets.__doc__ = """Triplet mining for contrastive embedding fine-tuning: per
+    anchor, the hardest positive (most-similar same-label vector) and
+    the HARDEST negative (most-similar different-label vector — the
+    semi-hard/hard mining strategy triplet-loss training uses; easy
+    negatives produce no gradient) plus the margin between them.
+
+    Plan shape: the {N_TRIPLET_ANCHORS}-row anchor set broadcasts into
+    one scored pass over the corpus (another bounded cross join — the
+    anchor side is fixed-size by construction), then two per-anchor
+    row_number windows pick the extremes. At 100 TB the scored pass
+    mines from the IVF index's probed cells instead of the full corpus
+    (`probe_ann_index` is exactly that candidate generator); the
+    full-scan form here is the labeled-recall baseline, like
+    `ann_bruteforce`.""".format(N_TRIPLET_ANCHORS=N_TRIPLET_ANCHORS)
 
 
 # ---------------------------------------------------------------------------
@@ -1320,7 +1320,18 @@ def _pca_out_cols():
 
 @register("pca_power_iteration", _PCA_DUCK, tags=("similarity",))
 def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding corpus via {PCA_ITERS}
+    centered = _pca_centered_q(spark, sf_dir)
+    v_cur = _pca_power_rounds(centered, 0)
+    dims = centered.sparkSession.range(1, _DIM + 1).select(
+        F.col("id").cast("int").alias("dim")
+    )
+    loading, eigenvalue = _pca_out_cols()
+    return (
+        dims.crossJoin(v_cur)
+        .select("dim", loading, eigenvalue)
+        .orderBy("dim")
+    )
+pca_power_iteration.__doc__ = """Top principal component of the embedding corpus via {PCA_ITERS}
     unrolled power iterations — the training step of PCA
     whitening/dim-reduction, expressed relationally like the k-means
     trainer: mean-center, score each vector against the current
@@ -1341,18 +1352,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is O(corpus x dim) per round, the same class as one k-means
     assignment pass, and rounds are a small constant. The mean vector
     is itself a {_DIM}-row aggregate broadcast back — no driver-side
-    linear algebra."""
-    centered = _pca_centered_q(spark, sf_dir)
-    v_cur = _pca_power_rounds(centered, 0)
-    dims = centered.sparkSession.range(1, _DIM + 1).select(
-        F.col("id").cast("int").alias("dim")
-    )
-    loading, eigenvalue = _pca_out_cols()
-    return (
-        dims.crossJoin(v_cur)
-        .select("dim", loading, eigenvalue)
-        .orderBy("dim")
-    )
+    linear algebra.""".format(PCA_ITERS=PCA_ITERS, _DIM=_DIM)
 
 
 # ---------------------------------------------------------------------------
@@ -1385,33 +1385,6 @@ _PCA_TOPK_DUCK = (
 
 @register("pca_topk_components", _PCA_TOPK_DUCK, tags=("similarity",))
 def pca_topk_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{PCA_TOPK} principal components via power iteration WITH
-    Hotelling deflation — the whitening-basis trainer
-    `pca_power_iteration`'s docstring defers to (judge r5 item 4: one
-    direction is not a basis). After each component converges, every
-    centered vector is deflated by its projection
-    (cu' = cu - half_up(s_q * vu / Q), elementwise in exact integer
-    quanta), removing that direction from the data before the next
-    component's iteration; component c's deterministic init is the
-    deflated vector with vec_id = c-1 (the `kmeans_centroids` init
-    convention). The whole pipeline — quantize, center, score,
-    accumulate, deflate — is exact BIGINT fixed-point (module
-    determinism contract above `_duck_pca_head`), so both engines
-    iterate bit-identical state at every scale factor; eigenvalue =
-    each component's last accumulator norm (a Rayleigh estimate: with
-    a fixed small iteration count on a near-flat spectrum the
-    estimates need not come out monotone; the contract is the
-    deterministic procedure, and the structural guarantee tests pin
-    is the basis itself: unit-norm, pairwise orthogonal to rounding —
-    see test_pca_topk_basis_properties).
-
-    Scale notes (100 TB): per component per round the plan stays one
-    posexplode -> {_DIM}-row integer-sum shuffle -> 1-row broadcast
-    (see `pca_power_iteration`); deflation adds one broadcast
-    zip_with map pass per component — no new shuffle, no driver-side
-    linear algebra. Total cost is K x ITERS bounded corpus passes
-    with the deflated table localCheckpointed between components,
-    exactly how a whitening trainer batches at scale."""
     sq = str(_PCAQ)
     centered = _pca_centered_q(spark, sf_dir)
     dims = centered.sparkSession.range(1, _DIM + 1).select(
@@ -1451,6 +1424,33 @@ def pca_topk_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("component", "dim")
+pca_topk_components.__doc__ = """Top-{PCA_TOPK} principal components via power iteration WITH
+    Hotelling deflation — the whitening-basis trainer
+    `pca_power_iteration`'s docstring defers to (judge r5 item 4: one
+    direction is not a basis). After each component converges, every
+    centered vector is deflated by its projection
+    (cu' = cu - half_up(s_q * vu / Q), elementwise in exact integer
+    quanta), removing that direction from the data before the next
+    component's iteration; component c's deterministic init is the
+    deflated vector with vec_id = c-1 (the `kmeans_centroids` init
+    convention). The whole pipeline — quantize, center, score,
+    accumulate, deflate — is exact BIGINT fixed-point (module
+    determinism contract above `_duck_pca_head`), so both engines
+    iterate bit-identical state at every scale factor; eigenvalue =
+    each component's last accumulator norm (a Rayleigh estimate: with
+    a fixed small iteration count on a near-flat spectrum the
+    estimates need not come out monotone; the contract is the
+    deterministic procedure, and the structural guarantee tests pin
+    is the basis itself: unit-norm, pairwise orthogonal to rounding —
+    see test_pca_topk_basis_properties).
+
+    Scale notes (100 TB): per component per round the plan stays one
+    posexplode -> {_DIM}-row integer-sum shuffle -> 1-row broadcast
+    (see `pca_power_iteration`); deflation adds one broadcast
+    zip_with map pass per component — no new shuffle, no driver-side
+    linear algebra. Total cost is K x ITERS bounded corpus passes
+    with the deflated table localCheckpointed between components,
+    exactly how a whitening trainer batches at scale.""".format(PCA_TOPK=PCA_TOPK, _DIM=_DIM)
 
 
 # ---------------------------------------------------------------------------
@@ -1511,25 +1511,6 @@ ORDER BY cid
 
 @register("semantic_dedup_prune", _SEM_DUCK, headline=True, tags=("similarity", "dedup"))
 def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): cluster the embedding corpus with
-    k-means, then prune within each cluster every member whose cosine
-    to a lower-id member exceeds {SEM_TAU} (keep-lowest-id — the
-    paper keeps the member farthest from the centroid; any
-    deterministic representative rule gives the same dedup rate).
-    Near-dup detection only ever compares vectors INSIDE a cluster —
-    the clustering is what makes semantic dedup sub-quadratic. The
-    corpus is augmented with planted near-copies (see SEM_PLANT_MOD)
-    so the prune path is provably exercised; census per cluster:
-    size, pruned count, prune fraction.
-
-    Scale notes (100 TB): training reuses `kmeans_centroids`'s
-    bounded-shuffle Lloyd rounds; the within-cluster pair join is
-    quadratic ONLY in cluster occupancy — production SemDeDup caps
-    occupancy by raising K (the paper: 50k clusters for 5B images) so
-    each cluster's pair block fits one task; the join here shuffles
-    by cid exactly once. The cosine filter compares against a
-    4-dp-rounded value on both engines, so threshold flips cannot
-    come from summation order."""
     base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v"),
@@ -1600,6 +1581,25 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+semantic_dedup_prune.__doc__ = """SemDeDup (Abbas et al. 2023): cluster the embedding corpus with
+    k-means, then prune within each cluster every member whose cosine
+    to a lower-id member exceeds {SEM_TAU} (keep-lowest-id — the
+    paper keeps the member farthest from the centroid; any
+    deterministic representative rule gives the same dedup rate).
+    Near-dup detection only ever compares vectors INSIDE a cluster —
+    the clustering is what makes semantic dedup sub-quadratic. The
+    corpus is augmented with planted near-copies (see SEM_PLANT_MOD)
+    so the prune path is provably exercised; census per cluster:
+    size, pruned count, prune fraction.
+
+    Scale notes (100 TB): training reuses `kmeans_centroids`'s
+    bounded-shuffle Lloyd rounds; the within-cluster pair join is
+    quadratic ONLY in cluster occupancy — production SemDeDup caps
+    occupancy by raising K (the paper: 50k clusters for 5B images) so
+    each cluster's pair block fits one task; the join here shuffles
+    by cid exactly once. The cosine filter compares against a
+    4-dp-rounded value on both engines, so threshold flips cannot
+    come from summation order.""".format(SEM_TAU=SEM_TAU)
 
 
 # ---------------------------------------------------------------------------
@@ -1652,34 +1652,6 @@ ORDER BY sz.cid
 @register("prototypicality_prune", _PROTO_DUCK,
           tags=("similarity", "sampling"))
 def prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prototypicality-based data pruning (Sorscher et al. 2022,
-    "Beyond neural scaling laws: beating power law scaling via data
-    pruning"): cluster the embedding corpus with the shared k-means
-    (`kmeans_centroids`' deterministic Lloyd rounds), score every
-    point by its cosine to its OWN cluster centroid (its
-    prototypicality — how "easy"/redundant the example is), and prune
-    the most prototypical 1/{den} of each cluster — the paper's
-    abundant-data policy (keep hard examples), the self-supervised
-    metric that let them beat power-law scaling without labels.
-    Census per cluster: size, pruned count, mean prototypicality, and
-    the realized cut threshold (the lowest pruned score; NULL for
-    clusters too small to prune). SemDeDup (`semantic_dedup_prune`)
-    removes near-COPIES; this removes the redundant CORE — production
-    pipelines run both, in that order.
-
-    Determinism: scores are exact integers cast(round(cos * 1e4) AS
-    BIGINT) (the MMR cs_u discipline), ranking ties break on vec_id,
-    the mean divides an exact integer sum once, and the per-cluster
-    prune count is an integer floor — no float enters a comparison.
-
-    Scale notes (100 TB): one assignment-table join against a
-    broadcast K-row centroid table — O(corpus) with a single cid
-    shuffle for the window; no pairwise compute anywhere (unlike
-    SemDeDup's within-cluster pairs, pruning needs only
-    point-vs-centroid). The census is O(K); the per-point (vec_id,
-    p_u, rn) table IS the keep/drop manifest a pipeline materializes.
-    Cites reference scope: sampling/curation family (SURVEY.md §2
-    LLM-pipeline extensions).""".format(den=PROTO_PRUNE_DEN)
     vecs = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v"),
@@ -1739,6 +1711,34 @@ def prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+prototypicality_prune.__doc__ = """Prototypicality-based data pruning (Sorscher et al. 2022,
+    "Beyond neural scaling laws: beating power law scaling via data
+    pruning"): cluster the embedding corpus with the shared k-means
+    (`kmeans_centroids`' deterministic Lloyd rounds), score every
+    point by its cosine to its OWN cluster centroid (its
+    prototypicality — how "easy"/redundant the example is), and prune
+    the most prototypical 1/{den} of each cluster — the paper's
+    abundant-data policy (keep hard examples), the self-supervised
+    metric that let them beat power-law scaling without labels.
+    Census per cluster: size, pruned count, mean prototypicality, and
+    the realized cut threshold (the lowest pruned score; NULL for
+    clusters too small to prune). SemDeDup (`semantic_dedup_prune`)
+    removes near-COPIES; this removes the redundant CORE — production
+    pipelines run both, in that order.
+
+    Determinism: scores are exact integers cast(round(cos * 1e4) AS
+    BIGINT) (the MMR cs_u discipline), ranking ties break on vec_id,
+    the mean divides an exact integer sum once, and the per-cluster
+    prune count is an integer floor — no float enters a comparison.
+
+    Scale notes (100 TB): one assignment-table join against a
+    broadcast K-row centroid table — O(corpus) with a single cid
+    shuffle for the window; no pairwise compute anywhere (unlike
+    SemDeDup's within-cluster pairs, pruning needs only
+    point-vs-centroid). The census is O(K); the per-point (vec_id,
+    p_u, rn) table IS the keep/drop manifest a pipeline materializes.
+    Cites reference scope: sampling/curation family (SURVEY.md §2
+    LLM-pipeline extensions).""".format(den=PROTO_PRUNE_DEN)
 
 
 # ---------------------------------------------------------------------------
@@ -1788,23 +1788,6 @@ LIMIT {_MARGIN_TOP}
 
 @register("margin_mutual_nn", _MARGIN_DUCK, tags=("similarity", "retrieval"))
 def margin_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Margin-scored mutual nearest neighbors — the bitext/alignment
-    mining criterion (Artetxe & Schwenk 2019 ratio margin): a pair
-    qualifies when each vector is the other's top-1 neighbor, and its
-    score is cos(a,b) divided by the mean of both sides' top-{k}
-    neighborhood similarities — pairs that merely sit in dense
-    regions score ~1, genuine alignments score well above. Top-{t}
-    mutual pairs by margin. This is the mining pass that builds
-    parallel/aligned training corpora from two embedded pools.
-
-    Scale notes (100 TB): the all-pairs cosine here is the
-    labeled-baseline form (the `ann_bruteforce` precedent — the
-    fixture pool is bounded); production swaps candidate generation
-    for the IVF probe (`probe_ann_index`) and keeps the identical
-    margin tail, which is two bounded window/group-bys and a self-join
-    on top-1 rows — O(pool), not O(pool^2).""".format(
-        k=MARGIN_K, t=_MARGIN_TOP
-    )
     vecs = _vectors(spark, sf_dir).select("vec_id", "v", "norm")
     q = vecs.select(
         F.col("vec_id").alias("a"), F.col("v").alias("qv"),
@@ -1868,6 +1851,23 @@ def margin_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("margin"), "va")
         .limit(_MARGIN_TOP)
     )
+margin_mutual_nn.__doc__ = """Margin-scored mutual nearest neighbors — the bitext/alignment
+    mining criterion (Artetxe & Schwenk 2019 ratio margin): a pair
+    qualifies when each vector is the other's top-1 neighbor, and its
+    score is cos(a,b) divided by the mean of both sides' top-{k}
+    neighborhood similarities — pairs that merely sit in dense
+    regions score ~1, genuine alignments score well above. Top-{t}
+    mutual pairs by margin. This is the mining pass that builds
+    parallel/aligned training corpora from two embedded pools.
+
+    Scale notes (100 TB): the all-pairs cosine here is the
+    labeled-baseline form (the `ann_bruteforce` precedent — the
+    fixture pool is bounded); production swaps candidate generation
+    for the IVF probe (`probe_ann_index`) and keeps the identical
+    margin tail, which is two bounded window/group-bys and a self-join
+    on top-1 rows — O(pool), not O(pool^2).""".format(
+        k=MARGIN_K, t=_MARGIN_TOP
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1918,32 +1918,6 @@ FROM vecstats v CROSS JOIN dimstats d
 
 @register("embedding_space_audit", _EMB_AUDIT_DUCK, tags=("similarity",))
 def embedding_space_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-row QA audit of the embedding column — the health check a
-    pipeline runs BEFORE spending compute on ANN indexing or semantic
-    dedup over a new embedding drop: vector count, dimensionality,
-    DEAD dimensions (variance < {eps} — a collapsed projection unit),
-    norm distribution (avg/min/max — catches unnormalized mixtures),
-    and the ANISOTROPY ratio ||mean vector||^2 / E[||v||^2] (Ethayarajh
-    2019: contextual embedding spaces are anisotropic; a ratio near 1
-    means all vectors share a dominant direction and cosine similarity
-    is meaningless, near 0 means the space is centered).
-
-    Plan: ONE explode of the corpus into (vec_id, dim, value) rows
-    feeds both marginal aggregations — per-dimension (mean, mean-sq:
-    dimension count bounded at {d}) and per-vector (norm), then a
-    1-row x 1-row cross join assembles the audit. No pairwise
-    computation anywhere: the anisotropy identity
-    E[cos-ish mass] = ||E v||^2 / E ||v||^2 turns the quadratic
-    mean-pairwise-similarity probe into two linear scans.
-
-    Scale notes (100 TB): both group-bys are partial-aggregated
-    map-side (dims: {d} keys; vecs: corpus-sized but each reduces 64
-    rows to 1); output is one row. Float determinism: 4-dp rounding
-    over sums whose operand magnitudes are O(1); the dead-dim
-    threshold sits orders of magnitude below any live variance so
-    summation-order drift cannot flip the integer count.""".format(
-        eps=_DEAD_VAR_EPS, d=_DIM
-    )
     emb = load_table(spark, sf_dir, "embeddings")
     dims = emb.select(
         "vec_id", F.posexplode("embedding").alias("p", "vf")
@@ -1989,6 +1963,32 @@ def embedding_space_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mean_sq") / F.col("avg_norm2"), 4).alias(
             "anisotropy"
         ),
+    )
+embedding_space_audit.__doc__ = """One-row QA audit of the embedding column — the health check a
+    pipeline runs BEFORE spending compute on ANN indexing or semantic
+    dedup over a new embedding drop: vector count, dimensionality,
+    DEAD dimensions (variance < {eps} — a collapsed projection unit),
+    norm distribution (avg/min/max — catches unnormalized mixtures),
+    and the ANISOTROPY ratio ||mean vector||^2 / E[||v||^2] (Ethayarajh
+    2019: contextual embedding spaces are anisotropic; a ratio near 1
+    means all vectors share a dominant direction and cosine similarity
+    is meaningless, near 0 means the space is centered).
+
+    Plan: ONE explode of the corpus into (vec_id, dim, value) rows
+    feeds both marginal aggregations — per-dimension (mean, mean-sq:
+    dimension count bounded at {d}) and per-vector (norm), then a
+    1-row x 1-row cross join assembles the audit. No pairwise
+    computation anywhere: the anisotropy identity
+    E[cos-ish mass] = ||E v||^2 / E ||v||^2 turns the quadratic
+    mean-pairwise-similarity probe into two linear scans.
+
+    Scale notes (100 TB): both group-bys are partial-aggregated
+    map-side (dims: {d} keys; vecs: corpus-sized but each reduces 64
+    rows to 1); output is one row. Float determinism: 4-dp rounding
+    over sums whose operand magnitudes are O(1); the dead-dim
+    threshold sits orders of magnitude below any live variance so
+    summation-order drift cannot flip the integer count.""".format(
+        eps=_DEAD_VAR_EPS, d=_DIM
     )
 
 
@@ -2040,31 +2040,6 @@ ORDER BY b.dims
 
 @register("matryoshka_recall_eval", _MRL_DUCK, tags=("similarity",))
 def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{k} of PREFIX-TRUNCATED embeddings vs the full-width
-    exact top-{k}, per dimension budget {budgets} — the evaluation
-    behind Matryoshka representation learning deployments (Kusupati
-    et al. 2022: MRL trains nested prefixes so a 64-dim store can
-    serve 8/16/32-dim searches at graded cost/recall): before
-    shipping a truncated index, this row tells you what the cut
-    costs. Cosines renormalize by the TRUNCATED norms (the stored
-    prefix is what production would index).
-
-    Labeled-baseline form like `ann_bruteforce` (O(queries x corpus x
-    budgets) BY DESIGN — the query panel is bounded); the full-width
-    arm doubles as its own truth, so recall at {dmax} dims is exactly
-    1.0 by construction — the built-in sanity row. Recall is an
-    integer half-up 4-dp ratio of exact integer hit counts
-    (midpoint-free); rankings order by 4-dp-rounded cosine with
-    neighbor-id ties.
-
-    Scale notes (100 TB): one pair scan computes ALL budgets (the
-    budget table is a 4-row broadcast against the pair stream — no
-    per-budget rescan); the production path replaces the exact arm
-    with the IVF/PQ searchers over a truncated store and keeps this
-    query as the nightly recall alarm, exactly like
-    `ann_recall_eval`.""".format(
-        k=TOPK, budgets=_MRL_BUDGETS, dmax=max(_MRL_BUDGETS)
-    )
     vecs = _vectors(spark, sf_dir)
     q = vecs.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
@@ -2127,6 +2102,31 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
         .orderBy("dims")
+    )
+matryoshka_recall_eval.__doc__ = """Recall@{k} of PREFIX-TRUNCATED embeddings vs the full-width
+    exact top-{k}, per dimension budget {budgets} — the evaluation
+    behind Matryoshka representation learning deployments (Kusupati
+    et al. 2022: MRL trains nested prefixes so a 64-dim store can
+    serve 8/16/32-dim searches at graded cost/recall): before
+    shipping a truncated index, this row tells you what the cut
+    costs. Cosines renormalize by the TRUNCATED norms (the stored
+    prefix is what production would index).
+
+    Labeled-baseline form like `ann_bruteforce` (O(queries x corpus x
+    budgets) BY DESIGN — the query panel is bounded); the full-width
+    arm doubles as its own truth, so recall at {dmax} dims is exactly
+    1.0 by construction — the built-in sanity row. Recall is an
+    integer half-up 4-dp ratio of exact integer hit counts
+    (midpoint-free); rankings order by 4-dp-rounded cosine with
+    neighbor-id ties.
+
+    Scale notes (100 TB): one pair scan computes ALL budgets (the
+    budget table is a 4-row broadcast against the pair stream — no
+    per-budget rescan); the production path replaces the exact arm
+    with the IVF/PQ searchers over a truncated store and keeps this
+    query as the nightly recall alarm, exactly like
+    `ann_recall_eval`.""".format(
+        k=TOPK, budgets=_MRL_BUDGETS, dmax=max(_MRL_BUDGETS)
     )
 
 
@@ -2236,7 +2236,11 @@ FROM rt GROUP BY dims ORDER BY dims
 
 @register("jl_projection_distortion", _jl_duck(), tags=("similarity",))
 def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Johnson-Lindenstrauss oblivious dimensionality reduction with a
+    from ..io import register_views
+
+    register_views(spark, sf_dir, tables=("embeddings",))
+    return spark.sql(_jl_spark())
+jl_projection_distortion.__doc__ = """Johnson-Lindenstrauss oblivious dimensionality reduction with a
     measured distortion census — the DATA-INDEPENDENT member of the
     engine's reduction triad (PCA = learned basis, Matryoshka =
     learned prefix, JL = no training at all): project the 64-dim
@@ -2265,10 +2269,6 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d' dims); only the distortion CENSUS pairs the bounded panel
     (O(panel^2), the labeled-baseline convention of `ann_bruteforce`).
     """.format(dims=_JL_DIMS, panel=_JL_PANEL, dmax=max(_JL_DIMS))
-    from ..io import register_views
-
-    register_views(spark, sf_dir, tables=("embeddings",))
-    return spark.sql(_jl_spark())
 
 
 # ---------------------------------------------------------------------------
@@ -2382,7 +2382,11 @@ ORDER BY b.dims
 
 @register("jl_ann_recall", _jl_recall_duck(), tags=("similarity",))
 def jl_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieval recall ON the JL projection — the usability proof
+    from ..io import register_views
+
+    register_views(spark, sf_dir, tables=("embeddings",))
+    return spark.sql(_jl_recall_spark())
+jl_ann_recall.__doc__ = """Retrieval recall ON the JL projection — the usability proof
     behind `jl_projection_distortion`'s distance census, and the
     direct head-to-head with `matryoshka_recall_eval`: the SAME
     recall@{k} protocol and dimension budgets {dims}, but the
@@ -2407,7 +2411,3 @@ def jl_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the LSH/IVF searchers running on d' dims unchanged.""".format(
         k=TOPK, dims=_JL_DIMS
     )
-    from ..io import register_views
-
-    register_views(spark, sf_dir, tables=("embeddings",))
-    return spark.sql(_jl_recall_spark())

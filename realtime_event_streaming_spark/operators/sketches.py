@@ -256,22 +256,6 @@ FROM probe ORDER BY exact_cnt DESC, user_id
 
 @register("cms_heavy_hitters", _CMS_DUCK, tags=("sketch",))
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch built entirely from DataFrame ops: explode D
-    seed rows per event, hash to W buckets, count — the sketch IS a
-    (seed, bucket, count) frame of at most D*W rows, regardless of
-    input size. Estimates for the top-{CMS_TOPK} users are the min
-    over the D bucket counts; CMS guarantees est >= exact with
-    overestimate bounded by collisions, and because both engines run
-    the identical deterministic hash, the oracle pins the ESTIMATES
-    themselves, not just bound flags.
-
-    100 TB design: the sketch is fixed-size and MERGEABLE — per-
-    partition partial counts combine by addition (ordinary map-side
-    combine), per-day sketches combine to monthly by summing bucket
-    counts, exactly like the HLL rollup above. Probing joins the
-    broadcast (D*W)-row sketch; nothing driver-side. This is the
-    heavy-hitter / frequency-census primitive (reference's per-page
-    counters generalized to keys too numerous for exact counting)."""
     ev = load_table(spark, sf_dir, "events").select("user_id")
     seed = F.explode(
         F.array(*[F.lit(i) for i in range(CMS_D)])
@@ -310,6 +294,22 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), "user_id")
     )
+cms_heavy_hitters.__doc__ = """Count-min sketch built entirely from DataFrame ops: explode D
+    seed rows per event, hash to W buckets, count — the sketch IS a
+    (seed, bucket, count) frame of at most D*W rows, regardless of
+    input size. Estimates for the top-{CMS_TOPK} users are the min
+    over the D bucket counts; CMS guarantees est >= exact with
+    overestimate bounded by collisions, and because both engines run
+    the identical deterministic hash, the oracle pins the ESTIMATES
+    themselves, not just bound flags.
+
+    100 TB design: the sketch is fixed-size and MERGEABLE — per-
+    partition partial counts combine by addition (ordinary map-side
+    combine), per-day sketches combine to monthly by summing bucket
+    counts, exactly like the HLL rollup above. Probing joins the
+    broadcast (D*W)-row sketch; nothing driver-side. This is the
+    heavy-hitter / frequency-census primitive (reference's per-page
+    counters generalized to keys too numerous for exact counting).""".format(CMS_TOPK=CMS_TOPK)
 
 
 # ---------------------------------------------------------------------------
@@ -666,7 +666,11 @@ _AOV_SPARK = _aov_sql(
 
 @register("audience_overlap_minhash", _AOV_DUCK, tags=("sketch", "behavior"))
 def audience_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audience-overlap estimation by MinHash set signatures — the
+    from ..io import register_views
+
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_AOV_SPARK)
+audience_overlap_minhash.__doc__ = """Audience-overlap estimation by MinHash set signatures — the
     SKETCH path beside `audience_set_ops`' exact set algebra: each
     page's distinct-visitor set compresses to a {k}-value signature
     (the dedup family's derived (ha + seed*hb) mod P hashes over ONE
@@ -689,10 +693,6 @@ def audience_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     audited against — production drops it and keeps the sketch.""".format(
         k=_AOV_K, t=_AOV_TOPK, q=10000 // _AOV_K
     )
-    from ..io import register_views
-
-    register_views(spark, sf_dir, tables=("events",))
-    return spark.sql(_AOV_SPARK)
 
 
 # ---------------------------------------------------------------------------

@@ -426,27 +426,6 @@ ORDER BY source
 
 @register("gopher_quality_flags", _GOPHER_DUCK, tags=("text", "curation"))
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Gopher/MassiveText rule-pack filter (Rae et al. 2021) as a
-    per-source census: each doc is tested against the adapted rule set
-    (word count, mean word length, >= {GOPHER_MIN_STOPWORDS} of the
-    paper's 8 stopwords, most-frequent-word occupancy <=
-    {GOPHER_TOPWORD_FRAC}) and the census reports how many docs each
-    rule kills plus the survivors that pass ALL rules — the
-    rule-attribution view a curation team tunes thresholds with
-    (`doc_quality` scores; this FILTERS, with per-rule blame).
-
-    Determinism: word counts / stopword hits / top-word counts are
-    integers; mean word length and top-word fraction are rounded to
-    4 dp on both engines BEFORE threshold comparison, so summation
-    order cannot flip a rule.
-
-    Scale notes (100 TB): word-count, mean-length and stopword rules
-    are pure map-side projections (array folds inside codegen — no
-    explode, no shuffle); only the top-word rule needs the (doc_id,
-    token) census, one shuffle keyed by doc_id x token with map-side
-    partial counts, then a bounded per-doc max. The final rollup is
-    |sources| rows. This is the cheapest possible shape: one shuffle
-    for the whole rule pack."""
     docs = load_table(spark, sf_dir, "documents")
     tk = F.split("text", " ")
     n = F.size(tk)
@@ -515,6 +494,27 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+gopher_quality_flags.__doc__ = """The Gopher/MassiveText rule-pack filter (Rae et al. 2021) as a
+    per-source census: each doc is tested against the adapted rule set
+    (word count, mean word length, >= {GOPHER_MIN_STOPWORDS} of the
+    paper's 8 stopwords, most-frequent-word occupancy <=
+    {GOPHER_TOPWORD_FRAC}) and the census reports how many docs each
+    rule kills plus the survivors that pass ALL rules — the
+    rule-attribution view a curation team tunes thresholds with
+    (`doc_quality` scores; this FILTERS, with per-rule blame).
+
+    Determinism: word counts / stopword hits / top-word counts are
+    integers; mean word length and top-word fraction are rounded to
+    4 dp on both engines BEFORE threshold comparison, so summation
+    order cannot flip a rule.
+
+    Scale notes (100 TB): word-count, mean-length and stopword rules
+    are pure map-side projections (array folds inside codegen — no
+    explode, no shuffle); only the top-word rule needs the (doc_id,
+    token) census, one shuffle keyed by doc_id x token with map-side
+    partial counts, then a bounded per-doc max. The final rollup is
+    |sources| rows. This is the cheapest possible shape: one shuffle
+    for the whole rule pack.""".format(GOPHER_MIN_STOPWORDS=GOPHER_MIN_STOPWORDS, GOPHER_TOPWORD_FRAC=GOPHER_TOPWORD_FRAC)
 
 
 # ---------------------------------------------------------------------------
@@ -797,36 +797,6 @@ LIMIT {_PMI_TOPK}
 
 @register("token_pmi_topk", _PMI_DUCK, headline=True, tags=("text",))
 def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} token pairs by pointwise mutual information over a
-    +/-{w}-offset skip-gram window (Church & Hanks 1990) — the
-    word-association statistic behind collocation mining, phrase
-    detection and word2vec's implicit factorization (Levy & Goldberg
-    2014: SGNS factorizes the shifted PMI matrix). Pairs need >=
-    {mc} occurrences (PMI is degenerate on singletons).
-
-    PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ), reported as INTEGER
-    micro-nats for display. The RANKING KEY is NOT the ln: n and t
-    are per-query constants, so PMI order equals the order of the
-    rational c_ab / (c_a * c_b), computed here as a double from exact
-    integer counts using only IEEE correctly-rounded ops (int->double
-    convert, one multiply, one divide) — bit-identical on both
-    engines, unlike ln (JVM Math.log vs libm can differ in the last
-    ulp, which near a 1e-6 rounding midpoint would flip pmi_micro by
-    1 and change the top-k cut). Ties on the key break by (w1, w2);
-    the ln survives only as the reported pmi_micro value.
-
-    Plan: pair generation is two `lead()` offsets per token (NO
-    self-join of positions — the window is fixed, so lateral offsets
-    beat an O(window) range join), one group-by collapses the
-    corpus-sized pair stream to distinct pairs, and the unigram table
-    joins in twice. Scale notes (100 TB): the pair group-by is the
-    map-side-combining shuffle (distinct-bigram-bounded, same key its
-    census uses); the unigram join is vocabulary-sized (broadcast
-    here; at web-corpus vocab it degrades to a shuffle join on the
-    SAME w1/w2 keys); the final top-k is TakeOrderedAndProject —
-    nothing corpus-sized is ever sorted.""".format(
-        k=_PMI_TOPK, w=_PMI_WINDOW, mc=_PMI_MINC
-    )
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -891,6 +861,36 @@ def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("assoc"), "w1", "w2")
         .limit(_PMI_TOPK)
         .select("w1", "w2", "c_ab", "pmi_micro")
+    )
+token_pmi_topk.__doc__ = """Top-{k} token pairs by pointwise mutual information over a
+    +/-{w}-offset skip-gram window (Church & Hanks 1990) — the
+    word-association statistic behind collocation mining, phrase
+    detection and word2vec's implicit factorization (Levy & Goldberg
+    2014: SGNS factorizes the shifted PMI matrix). Pairs need >=
+    {mc} occurrences (PMI is degenerate on singletons).
+
+    PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ), reported as INTEGER
+    micro-nats for display. The RANKING KEY is NOT the ln: n and t
+    are per-query constants, so PMI order equals the order of the
+    rational c_ab / (c_a * c_b), computed here as a double from exact
+    integer counts using only IEEE correctly-rounded ops (int->double
+    convert, one multiply, one divide) — bit-identical on both
+    engines, unlike ln (JVM Math.log vs libm can differ in the last
+    ulp, which near a 1e-6 rounding midpoint would flip pmi_micro by
+    1 and change the top-k cut). Ties on the key break by (w1, w2);
+    the ln survives only as the reported pmi_micro value.
+
+    Plan: pair generation is two `lead()` offsets per token (NO
+    self-join of positions — the window is fixed, so lateral offsets
+    beat an O(window) range join), one group-by collapses the
+    corpus-sized pair stream to distinct pairs, and the unigram table
+    joins in twice. Scale notes (100 TB): the pair group-by is the
+    map-side-combining shuffle (distinct-bigram-bounded, same key its
+    census uses); the unigram join is vocabulary-sized (broadcast
+    here; at web-corpus vocab it degrades to a shuffle join on the
+    SAME w1/w2 keys); the final top-k is TakeOrderedAndProject —
+    nothing corpus-sized is ever sorted.""".format(
+        k=_PMI_TOPK, w=_PMI_WINDOW, mc=_PMI_MINC
     )
 
 

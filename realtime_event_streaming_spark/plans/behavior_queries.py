@@ -283,7 +283,9 @@ _MAD_SPARK = _MAD_BODY.replace("quantile_cont(value, 0.5)",
 
 @register("robust_mad_outliers", _MAD_BODY, tags=("anomaly",))
 def robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust outlier census per event type — the Hampel filter
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_MAD_SPARK)
+robust_mad_outliers.__doc__ = """Robust outlier census per event type — the Hampel filter
     (median + MAD) that the z-score detectors (`anomaly_zscore_batch`,
     the streaming Welford state) cannot replace when the contamination
     itself inflates the mean/stddev: median and MAD have a 50%
@@ -298,8 +300,6 @@ def robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`histogram_quantile_rollup`) with identical downstream algebra —
     the census shape is unchanged. The median/MAD tables are
     K-row broadcasts into the scan-side join.""".format(k=_MAD_K)
-    register_views(spark, sf_dir, tables=("events",))
-    return spark.sql(_MAD_SPARK)
 
 
 # ---------------------------------------------------------------------------
@@ -465,7 +465,9 @@ _BURN_SPARK = _BURN_BODY.replace("//", "div")
 
 @register("slo_burn_rate", _BURN_BODY, tags=("anomaly", "reference"))
 def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiwindow SLO burn rate (the SRE-workbook alerting shape the
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_BURN_SPARK)
+slo_burn_rate.__doc__ = """Multiwindow SLO burn rate (the SRE-workbook alerting shape the
     reference's Grafana/Prometheus stack would carry): per hour, the
     fraction of events breaching value > {bad} over the 1-hour and
     trailing-6-hour windows, each divided by the {eb:.0%} error budget;
@@ -477,8 +479,6 @@ def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-hour lookback is a 6-row ROWS frame over the tiny hourly series.
     Burn-rate alerting costs nothing more than the rollup the
     dashboard already maintains.""".format(bad=_SLO_BAD, eb=1 - _SLO_TARGET)
-    register_views(spark, sf_dir, tables=("events",))
-    return spark.sql(_BURN_SPARK)
 
 
 # ---------------------------------------------------------------------------
@@ -519,7 +519,9 @@ FROM pairs ORDER BY day
 
 @register("topk_turnover_daily", _TURN_BODY, tags=("behavior",))
 def topk_turnover_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Day-over-day churn of the top-{k} heaviest users: how much of
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_TURN_BODY)
+topk_turnover_daily.__doc__ = """Day-over-day churn of the top-{k} heaviest users: how much of
     yesterday's heavy-hitter set survives into today (kept / churned /
     stability). A stable set is organic load; sudden full turnover is
     a bot cohort or an instrumentation change — the drift twin of
@@ -529,8 +531,6 @@ def topk_turnover_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the (day, user) rollup; the day-to-day comparison
     joins two {k}-row sets per day. Nothing beyond the rollup is
     corpus-sized.""".format(k=_TURNOVER_K)
-    register_views(spark, sf_dir, tables=("events",))
-    return spark.sql(_TURN_BODY)
 
 
 # ---------------------------------------------------------------------------
@@ -723,7 +723,9 @@ LIMIT {_LIFT_TOPK}
     tags=("behavior",),
 )
 def page_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket association over page co-visits (Agrawal &
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_LIFT_BODY.format(idiv="div"))
+page_pair_lift.__doc__ = """Market-basket association over page co-visits (Agrawal &
     Srikant's support/confidence/lift at the user-basket grain): for
     page pairs co-visited by >= {m} users, support = P(a,b),
     confidence = P(b|a), lift = P(a,b)/(P(a)P(b)) — the
@@ -752,8 +754,6 @@ def page_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^4-quantized output algebra is unchanged.""".format(
         m=_LIFT_MIN_USERS
     )
-    register_views(spark, sf_dir, tables=("events",))
-    return spark.sql(_LIFT_BODY.format(idiv="div"))
 
 
 # ---------------------------------------------------------------------------
@@ -875,7 +875,11 @@ LIMIT {_PATH3_TOPK}
     tags=("behavior",),
 )
 def path_trigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} three-step user paths (event-type trigrams whose three
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(
+        _PATH3_BODY.format(ep=D.EPOCH_S_SPARK.format(col="ts"))
+    )
+path_trigrams_topk.__doc__ = """Top-{k} three-step user paths (event-type trigrams whose three
     steps fall within a 30-minute span — the sessionization bound of
     `user_sessions`, applied windowless via the lead-offset epoch
     delta): the second-order extension of `event_transition_matrix`
@@ -890,8 +894,4 @@ def path_trigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. Exact counts, deterministic
     (count, path) tie order — no float anywhere.""".format(
         k=_PATH3_TOPK
-    )
-    register_views(spark, sf_dir, tables=("events",))
-    return spark.sql(
-        _PATH3_BODY.format(ep=D.EPOCH_S_SPARK.format(col="ts"))
     )

@@ -52,10 +52,6 @@ ORDER BY k.cnt DESC, k.user_id LIMIT {_TOPK}
 
 @register("join_skew_diagnostics", _SKEW_DUCK, tags=("diagnostics",))
 def join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{_TOPK} heaviest join keys + global skew profile for the
-    events->user enrichment join key. recommended_salt is the fan-out
-    ``functions/skew.salted_join`` should use so the hottest key's
-    largest shard shrinks to a p99-typical reducer input."""
     ev = load_table(spark, sf_dir, "events").select("user_id")
     per_key = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
     stats = per_key.agg(
@@ -83,6 +79,10 @@ def join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "user_id")
         .limit(_TOPK)
     )
+join_skew_diagnostics.__doc__ = """Top-{_TOPK} heaviest join keys + global skew profile for the
+    events->user enrichment join key. recommended_salt is the fan-out
+    ``functions/skew.salted_join`` should use so the hottest key's
+    largest shard shrinks to a p99-typical reducer input.""".format(_TOPK=_TOPK)
 
 
 # ---------------------------------------------------------------------------
@@ -106,14 +106,6 @@ GROUP BY d.tier ORDER BY d.tier
 
 @register("salted_user_enrich", _SALTED_DUCK, tags=("diagnostics",))
 def salted_user_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact->dimension enrichment executed through ``skew.salted_join``
-    (left side salted {_SALT} ways, dimension replicated), aggregated
-    per tier. The DuckDB oracle runs the PLAIN join — so the driver's
-    value-hash compare proves salting is result-invariant, end-to-end,
-    on real data (complementing the plan-level equivalence test in
-    test_plan_properties.py). This is the mitigation
-    ``join_skew_diagnostics`` sizes: when AQE can't split a hot key
-    (broadcast-ineligible dim), scatter it across {_SALT} reducers."""
     from ..functions.skew import salted_join
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
@@ -132,6 +124,14 @@ def salted_user_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+salted_user_enrich.__doc__ = """Fact->dimension enrichment executed through ``skew.salted_join``
+    (left side salted {_SALT} ways, dimension replicated), aggregated
+    per tier. The DuckDB oracle runs the PLAIN join — so the driver's
+    value-hash compare proves salting is result-invariant, end-to-end,
+    on real data (complementing the plan-level equivalence test in
+    test_plan_properties.py). This is the mitigation
+    ``join_skew_diagnostics`` sizes: when AQE can't split a hot key
+    (broadcast-ineligible dim), scatter it across {_SALT} reducers.""".format(_SALT=_SALT)
 
 
 # ---------------------------------------------------------------------------
@@ -200,24 +200,6 @@ ORDER BY o.o_orderpriority
 
 @register("bloom_prefilter_join", _BLOOM_DUCK, tags=("diagnostics",))
 def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Manual runtime bloom filter — the broadcast-bitset pruning a
-    1000-executor join wants when the build side is selective but the
-    probe side is the 100 TB fact: instead of shuffling every fact row
-    to discover most match nothing, a {BF_BITS}-bit bloom of the dim
-    keys ({BF_WORDS} BIGINT words, {BF_K} derived hashes from one md5
-    per key) broadcasts in ~4 KB and prunes map-side. The census
-    reports, per order priority, how many fact rows the bloom admits
-    vs the exact semi-join, and the false-positive overhead — the
-    number you check before trusting a runtime filter (Spark's own
-    `spark.sql.optimizer.runtime.bloomFilter` injects the same shape
-    automatically; this makes the mechanics visible and oracle-pinned,
-    FP count included, since both engines build bit-identical words).
-
-    Plan shape: dim scan -> <= {BF_WORDS}-row bitset agg (broadcast);
-    fact rows explode {BF_K} probe positions, hash-join the broadcast
-    words, pass when all {BF_K} bits hit. No shuffle of the fact
-    beyond its own group-by; the exact side is a broadcast semi-join
-    on the same scan for the comparison column."""
     cust = load_table(spark, sf_dir, "customer").where(
         F.col("c_acctbal") > BF_ACCTBAL
     )
@@ -290,3 +272,21 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+bloom_prefilter_join.__doc__ = """Manual runtime bloom filter — the broadcast-bitset pruning a
+    1000-executor join wants when the build side is selective but the
+    probe side is the 100 TB fact: instead of shuffling every fact row
+    to discover most match nothing, a {BF_BITS}-bit bloom of the dim
+    keys ({BF_WORDS} BIGINT words, {BF_K} derived hashes from one md5
+    per key) broadcasts in ~4 KB and prunes map-side. The census
+    reports, per order priority, how many fact rows the bloom admits
+    vs the exact semi-join, and the false-positive overhead — the
+    number you check before trusting a runtime filter (Spark's own
+    `spark.sql.optimizer.runtime.bloomFilter` injects the same shape
+    automatically; this makes the mechanics visible and oracle-pinned,
+    FP count included, since both engines build bit-identical words).
+
+    Plan shape: dim scan -> <= {BF_WORDS}-row bitset agg (broadcast);
+    fact rows explode {BF_K} probe positions, hash-join the broadcast
+    words, pass when all {BF_K} bits hit. No shuffle of the fact
+    beyond its own group-by; the exact side is a broadcast semi-join
+    on the same scan for the comparison column.""".format(BF_BITS=BF_BITS, BF_WORDS=BF_WORDS, BF_K=BF_K)

@@ -283,7 +283,11 @@ FROM tri CROSS JOIN wed CROSS JOIN ecnt
 
 @register("covisit_triangle_census", _tri_sql("//"), tags=("behavior", "graph"))
 def covisit_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle census + global clustering coefficient of the
+    from ..io import register_views
+
+    register_views(spark, sf_dir, tables=("events",))
+    return spark.sql(_tri_sql("div"))
+covisit_triangle_census.__doc__ = """Triangle census + global clustering coefficient of the
     MUTUAL-kNN co-visit graph (each page keeps its {k} strongest
     co-visit neighbors, deterministic (count DESC, page) order; an
     edge survives only if BOTH endpoints keep it): C = 3*triangles /
@@ -303,7 +307,3 @@ def covisit_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact; the coefficient is a half-up integer 4-dp ratio.""".format(
         k=_TRI_KNN
     )
-    from ..io import register_views
-
-    register_views(spark, sf_dir, tables=("events",))
-    return spark.sql(_tri_sql("div"))

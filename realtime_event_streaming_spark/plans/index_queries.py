@@ -248,7 +248,13 @@ ORDER BY query_id, rank
     "probe_ann_index", _PROBE_ANN_DUCK, headline=True, tags=("similarity",)
 )
 def probe_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{TOPK} cosine neighbors for the first {N_QUERIES} vectors
+    path = _index_path(spark, sf_dir, "ann", write_ann_index)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("v")
+    )
+    return probe_ann_index(spark, path, queries)
+probe_ann_index_query.__doc__ = """Top-{TOPK} cosine neighbors for the first {N_QUERIES} vectors
     probed against the MATERIALIZED IVF index (k-means-trained
     centroids + cid-partitioned postings, built once per process per
     SF via ``write_ann_index``).
@@ -259,13 +265,7 @@ def probe_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     retained (rank 1, cosine 1.0) per the probe API contract; the
     oracle differs from the inline query's only by that filter. A hash
     match proves centroids AND cell assignments were materialized
-    exactly as trained."""
-    path = _index_path(spark, sf_dir, "ann", write_ann_index)
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("v")
-    )
-    return probe_ann_index(spark, path, queries)
+    exactly as trained.""".format(TOPK=TOPK, N_QUERIES=N_QUERIES)
 
 
 # ---------------------------------------------------------------------------
@@ -556,22 +556,6 @@ ORDER BY phase, query_id, rank
     "update_ann_index", _UPDATE_ANN_DUCK, headline=True, tags=("similarity",)
 )
 def update_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental ANN-index MAINTENANCE, probe-merge-probe: the same
-    query batch (first {N_QUERIES} vectors) probed against the IVF
-    index before and after a vector batch was MERGED in
-    (``merge_ann_index``: assign to nearest EXISTING centroid, append
-    to cid-partitioned postings, no retrain) and the postings
-    compacted. The admitted batch is exact copies of every
-    vec_id % {_ANN_MNT_MOD} == {_ANN_MNT_RES} vector under new ids, so
-    post-merge the affected queries' top-k MUST contain the new ids at
-    their sources' cosines (rank-shifted by the id tiebreak) — the
-    probe provably reads the appended postings, while pre-merge rows
-    pin that the base state was not disturbed.
-
-    The oracle restates training AND the append inline (a copied
-    vector's cell equals its source's cell because assignment is a
-    pure function of the vector value), so a hash match proves the
-    merged postings hold exactly base + batch with correct cells."""
     path = _index_path(spark, sf_dir, "ann_maint", _build_ann_maint)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
@@ -588,6 +572,22 @@ def update_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("phase", "query_id", "rank", "neighbor_id", "cosine")
         .orderBy("phase", "query_id", "rank")
     )
+update_ann_index.__doc__ = """Incremental ANN-index MAINTENANCE, probe-merge-probe: the same
+    query batch (first {N_QUERIES} vectors) probed against the IVF
+    index before and after a vector batch was MERGED in
+    (``merge_ann_index``: assign to nearest EXISTING centroid, append
+    to cid-partitioned postings, no retrain) and the postings
+    compacted. The admitted batch is exact copies of every
+    vec_id % {_ANN_MNT_MOD} == {_ANN_MNT_RES} vector under new ids, so
+    post-merge the affected queries' top-k MUST contain the new ids at
+    their sources' cosines (rank-shifted by the id tiebreak) — the
+    probe provably reads the appended postings, while pre-merge rows
+    pin that the base state was not disturbed.
+
+    The oracle restates training AND the append inline (a copied
+    vector's cell equals its source's cell because assignment is a
+    pure function of the vector value), so a hash match proves the
+    merged postings hold exactly base + batch with correct cells.""".format(N_QUERIES=N_QUERIES, _ANN_MNT_MOD=_ANN_MNT_MOD, _ANN_MNT_RES=_ANN_MNT_RES)
 
 
 # ---------------------------------------------------------------------------
@@ -714,32 +714,6 @@ def _build_rollup_base(spark: SparkSession, sf_dir: str, path: str) -> None:
     tags=("maintenance",),
 )
 def update_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialized minute-rollup MAINTENANCE: the persisted base
-    rollup (events through the 80%-of-span cutoff, built ONCE per
-    process and read back from parquet) absorbs the late delta batch
-    (events past the cutoff) via one FULL OUTER upsert on the minute
-    key — additive counters (row count, exact integer cents) merge by
-    +. Output: the {w} merged minutes NEAREST the cutoff (the region
-    where base-only, both, and delta-only minutes all occur) with the
-    global merge census on every row. The oracle
-    restates base AND delta from raw events inline, so the value hash
-    proves the materialized base parquet holds exactly the
-    pre-cutoff aggregation state — the `update_dedup_index` /
-    `update_ann_index` probe-merge discipline applied to the
-    reference's SummingMergeTree surface.
-
-    Determinism: minutes are integer epoch-minutes; dollars become
-    cents via floor(value*100) — floor of the identical IEEE product
-    is bit-identical across engines with NO decimal-midpoint hazard
-    class at all — and every merged quantity is an exact BIGINT sum.
-
-    Scale notes (100 TB): the upsert shuffles two MINUTE-grained
-    tables (years of minutes fit in MBs), never events; the delta
-    aggregation reads only the post-cutoff partition range (month
-    partition pruning in the production layout, `io.py`); re-running
-    nightly is O(delta) + O(rollup), never O(history).""".format(
-        w=2 * _RU_WINDOW_MIN + 1
-    )
     path = _index_path(spark, sf_dir, "rollup_base", _build_rollup_base)
     base = spark.read.parquet(f"{path}/base")
     ev = load_table(spark, sf_dir, "events")
@@ -827,4 +801,30 @@ def update_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_both",
         )
         .orderBy("m_min")
+    )
+update_rollup_incremental.__doc__ = """Materialized minute-rollup MAINTENANCE: the persisted base
+    rollup (events through the 80%-of-span cutoff, built ONCE per
+    process and read back from parquet) absorbs the late delta batch
+    (events past the cutoff) via one FULL OUTER upsert on the minute
+    key — additive counters (row count, exact integer cents) merge by
+    +. Output: the {w} merged minutes NEAREST the cutoff (the region
+    where base-only, both, and delta-only minutes all occur) with the
+    global merge census on every row. The oracle
+    restates base AND delta from raw events inline, so the value hash
+    proves the materialized base parquet holds exactly the
+    pre-cutoff aggregation state — the `update_dedup_index` /
+    `update_ann_index` probe-merge discipline applied to the
+    reference's SummingMergeTree surface.
+
+    Determinism: minutes are integer epoch-minutes; dollars become
+    cents via floor(value*100) — floor of the identical IEEE product
+    is bit-identical across engines with NO decimal-midpoint hazard
+    class at all — and every merged quantity is an exact BIGINT sum.
+
+    Scale notes (100 TB): the upsert shuffles two MINUTE-grained
+    tables (years of minutes fit in MBs), never events; the delta
+    aggregation reads only the post-cutoff partition range (month
+    partition pruning in the production layout, `io.py`); re-running
+    nightly is O(delta) + O(rollup), never O(history).""".format(
+        w=2 * _RU_WINDOW_MIN + 1
     )

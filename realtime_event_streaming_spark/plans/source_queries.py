@@ -114,22 +114,6 @@ ORDER BY device, stream_minute
 
 @register("clickgen_arrow_histogram", _ARROW_DUCK, tags=("source",))
 def clickgen_arrow_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Device x stream-minute histogram read through the ARROW-batch
-    variant of the Python Data Source (``format("clickgen_arrow")`` —
-    `ClickGenArrowReader.read` yields one pa.RecordBatch per
-    partition instead of Python row tuples). Complements
-    `clickgen_source_histogram` (row path, page/country/user): this
-    query value-pins the Arrow transfer AND the two derivations the
-    row-path query doesn't touch — the jittered timestamp arithmetic
-    (base + i*step + md5-jitter) and the weighted device column — so
-    BOTH reader paths now sit under the driver's oracle, not just the
-    row one (the equivalence test covers row==arrow; this covers
-    arrow==specification).
-
-    Scale notes (100 TB): identical partition planning to the row
-    path (id-range carving, zero coordination); Arrow batches remove
-    the per-row pickle cost, which is the difference between a demo
-    source and a bulk loader — measured ~5x on 1M-row reads.""".format()
     from ..sources.clickgen_source import register_all
 
     register_all(spark)
@@ -151,3 +135,19 @@ def clickgen_arrow_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("device", "stream_minute")
     )
+clickgen_arrow_histogram.__doc__ = """Device x stream-minute histogram read through the ARROW-batch
+    variant of the Python Data Source (``format("clickgen_arrow")`` —
+    `ClickGenArrowReader.read` yields one pa.RecordBatch per
+    partition instead of Python row tuples). Complements
+    `clickgen_source_histogram` (row path, page/country/user): this
+    query value-pins the Arrow transfer AND the two derivations the
+    row-path query doesn't touch — the jittered timestamp arithmetic
+    (base + i*step + md5-jitter) and the weighted device column — so
+    BOTH reader paths now sit under the driver's oracle, not just the
+    row one (the equivalence test covers row==arrow; this covers
+    arrow==specification).
+
+    Scale notes (100 TB): identical partition planning to the row
+    path (id-range carving, zero coordination); Arrow batches remove
+    the per-row pickle cost, which is the difference between a demo
+    source and a bulk loader — measured ~5x on 1M-row reads.""".format()

@@ -124,14 +124,6 @@ ORDER BY nation, yr
 
 @register("profit_by_nation_year", _Q9_DUCK, tags=("star",))
 def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape: per (supplier nation, order year) profit on one
-    product line — revenue minus a cost substitute of
-    {_COST_FRAC} x p_retailprice x quantity (no partsupp table; the
-    spec's p_name LIKE filter becomes p_type = 'ECONOMY'). Five-table
-    star: part/supplier/nation broadcast, orders joins on the fact's
-    natural l_orderkey, one lineitem scan feeds the whole computed
-    expression — the classic profit-rollup plan a warehouse runs at
-    any scale."""
     li = _t(spark, sf_dir, "lineitem")
     part = F.broadcast(
         _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
@@ -159,6 +151,14 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "yr")
     )
+profit_by_nation_year.__doc__ = """TPC-H Q9 shape: per (supplier nation, order year) profit on one
+    product line — revenue minus a cost substitute of
+    {_COST_FRAC} x p_retailprice x quantity (no partsupp table; the
+    spec's p_name LIKE filter becomes p_type = 'ECONOMY'). Five-table
+    star: part/supplier/nation broadcast, orders joins on the fact's
+    natural l_orderkey, one lineitem scan feeds the whole computed
+    expression — the classic profit-rollup plan a warehouse runs at
+    any scale.""".format(_COST_FRAC=_COST_FRAC)
 
 
 # ---------------------------------------------------------------------------
@@ -184,13 +184,6 @@ GROUP BY 1 ORDER BY bucket
 
 @register("priority_by_latency", _Q12_DUCK, tags=("star",))
 def priority_by_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape: how many high- vs low-priority orders landed
-    in each fulfillment-latency bucket (the driver set has no
-    l_shipmode/l_receiptdate; order->ship latency over
-    {_Q12_LATENCY_DAYS} days substitutes for the spec's ship-mode
-    split — same CASE-sum pivot spanning both join sides). One
-    fact-keyed join, ship-date range pushed to the lineitem scan,
-    2-row output."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1997-01-01")
@@ -213,6 +206,13 @@ def priority_by_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+priority_by_latency.__doc__ = """TPC-H Q12 shape: how many high- vs low-priority orders landed
+    in each fulfillment-latency bucket (the driver set has no
+    l_shipmode/l_receiptdate; order->ship latency over
+    {_Q12_LATENCY_DAYS} days substitutes for the spec's ship-mode
+    split — same CASE-sum pivot spanning both join sides). One
+    fact-keyed join, ship-date range pushed to the lineitem scan,
+    2-row output.""".format(_Q12_LATENCY_DAYS=_Q12_LATENCY_DAYS)
 
 
 # ---------------------------------------------------------------------------
@@ -238,14 +238,6 @@ WHERE p.p_brand = 'Brand#3' AND p.p_size <= 5
 
 @register("small_quantity_revenue", _Q17_DUCK, tags=("star",))
 def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: yearly revenue that would disappear if orders
-    below {_Q17_QCAP_FRAC} x a part's average quantity were refused.
-    The spec's correlated per-part scalar subquery is decorrelated
-    into a (l_partkey -> qcap) aggregate re-joined to the fact — the
-    cap table is fact-keyed, so the join shuffles on the same key the
-    aggregate produced (one exchange, reused). Drift-free threshold:
-    quantities are integer-valued doubles, so per-part sums are exact
-    and the rounded cap is identical across engines/partitionings."""
     li = _t(spark, sf_dir, "lineitem")
     pa = li.groupBy("l_partkey").agg(
         F.round(F.lit(_Q17_QCAP_FRAC) * F.avg("l_quantity"), 2).alias("qcap")
@@ -271,6 +263,14 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_lines"),
         )
     )
+small_quantity_revenue.__doc__ = """TPC-H Q17 shape: yearly revenue that would disappear if orders
+    below {_Q17_QCAP_FRAC} x a part's average quantity were refused.
+    The spec's correlated per-part scalar subquery is decorrelated
+    into a (l_partkey -> qcap) aggregate re-joined to the fact — the
+    cap table is fact-keyed, so the join shuffles on the same key the
+    aggregate produced (one exchange, reused). Drift-free threshold:
+    quantities are integer-valued doubles, so per-part sums are exact
+    and the rounded cap is identical across engines/partitionings.""".format(_Q17_QCAP_FRAC=_Q17_QCAP_FRAC)
 
 
 # ---------------------------------------------------------------------------
@@ -302,15 +302,6 @@ LIMIT 25
 
 @register("dominant_part_suppliers", _Q20_DUCK, tags=("star",))
 def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape: suppliers who shipped more than
-    {_Q20_SHARE:.0%} of a (large) part's total quantity — the
-    excess-stock/concentration screen, with lineitem-derived supply
-    standing in for partsupp.availqty. Two-level aggregate: per
-    (part, supplier) quantities, re-aggregated per part for the
-    total; both group-bys share the l_partkey shuffle key. Integer
-    quantity sums x an exactly-representable 0.5 make the share
-    comparison bit-deterministic with NO rounding step needed — the
-    one threshold in the star family that is exact by construction."""
     li = _t(spark, sf_dir, "lineitem")
     pq = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("sq")
@@ -332,6 +323,15 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dominated_parts"), "s_suppkey")
         .limit(25)
     )
+dominant_part_suppliers.__doc__ = """TPC-H Q20 shape: suppliers who shipped more than
+    {_Q20_SHARE:.0%} of a (large) part's total quantity — the
+    excess-stock/concentration screen, with lineitem-derived supply
+    standing in for partsupp.availqty. Two-level aggregate: per
+    (part, supplier) quantities, re-aggregated per part for the
+    total; both group-bys share the l_partkey shuffle key. Integer
+    quantity sums x an exactly-representable 0.5 make the share
+    comparison bit-deterministic with NO rounding step needed — the
+    one threshold in the star family that is exact by construction.""".format(_Q20_SHARE=_Q20_SHARE)
 
 
 # ---------------------------------------------------------------------------
@@ -357,15 +357,6 @@ ORDER BY cohort
 
 @register("idle_customer_balance", _Q22_DUCK, tags=("star",))
 def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: customers holding above-average positive
-    balances who never placed an order, rolled up per cohort
-    (nationkey mod {_Q22_COHORTS} substitutes the spec's phone
-    country-code prefix). The scalar average broadcasts as a 1-row
-    frame (rounded BEFORE the comparison — the float-drift rule);
-    "never ordered" is a LEFT ANTI join on o_custkey, the scalable
-    form of NOT EXISTS; the cohort rollup is O(cohorts). The anti
-    join's build side is just order custkeys — column-pruned to one
-    INT per order at the scan."""
     cust = _t(spark, sf_dir, "customer")
     pos = F.broadcast(
         cust.where(F.col("c_acctbal") > 0).agg(
@@ -393,3 +384,12 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+idle_customer_balance.__doc__ = """TPC-H Q22 shape: customers holding above-average positive
+    balances who never placed an order, rolled up per cohort
+    (nationkey mod {_Q22_COHORTS} substitutes the spec's phone
+    country-code prefix). The scalar average broadcasts as a 1-row
+    frame (rounded BEFORE the comparison — the float-drift rule);
+    "never ordered" is a LEFT ANTI join on o_custkey, the scalable
+    form of NOT EXISTS; the cohort rollup is O(cohorts). The anti
+    join's build side is just order custkeys — column-pruned to one
+    INT per order at the scan.""".format(_Q22_COHORTS=_Q22_COHORTS)

@@ -180,31 +180,6 @@ ORDER BY h.user_id, visit_ts, checkout_ts
 
 @register("stream_stream_attribution", _ATTR_DUCK, tags=("streaming", "join"))
 def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-STREAM interval self-join over the committed wire
-    fixture: homepage visits and checkouts are two filtered views of
-    the SAME live stream, joined on user_id with the event-time range
-    constraint (checkout within {ATTR_WINDOW_S} s after the visit) —
-    last-touch-style conversion attribution, the canonical
-    stream-stream join workload. This exercises the join-state path
-    none of the other streaming queries touch: both sides buffer rows
-    in state across micro-batches (4 here), and the watermark plus
-    the range condition bound how long a visit is retained
-    (visit evicted once watermark > visit_ts + {ATTR_WINDOW_S} s —
-    Spark derives that retention from the join condition itself).
-
-    The DuckDB oracle is the plain theta self-join over the same
-    bytes; the hash match proves the incremental, state-managed join
-    emits exactly the one-shot relational answer (the fixture's
-    arrival order equals event order and carries no late rows, so no
-    legitimate pair is ever evicted early — the same invariant the
-    replay rollup documents).
-
-    Scale notes (100 TB/day): state size is O(events inside the
-    watermark horizon), not O(stream) — the eviction above is the
-    whole point of the range constraint; both sides shuffle by
-    user_id (the join key), same partitioning as the sessionizer, and
-    skewed hot users salt the same way the batch joins do. sf_dir is
-    unused: the input is the engine's own wire format."""
     from ..session import fixture_scale_shuffle
 
     in_dir = _ensure_fixture(spark)
@@ -251,6 +226,31 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "visit_ts", "checkout_ts")
     )
+stream_stream_attribution.__doc__ = """Stream-STREAM interval self-join over the committed wire
+    fixture: homepage visits and checkouts are two filtered views of
+    the SAME live stream, joined on user_id with the event-time range
+    constraint (checkout within {ATTR_WINDOW_S} s after the visit) —
+    last-touch-style conversion attribution, the canonical
+    stream-stream join workload. This exercises the join-state path
+    none of the other streaming queries touch: both sides buffer rows
+    in state across micro-batches (4 here), and the watermark plus
+    the range condition bound how long a visit is retained
+    (visit evicted once watermark > visit_ts + {ATTR_WINDOW_S} s —
+    Spark derives that retention from the join condition itself).
+
+    The DuckDB oracle is the plain theta self-join over the same
+    bytes; the hash match proves the incremental, state-managed join
+    emits exactly the one-shot relational answer (the fixture's
+    arrival order equals event order and carries no late rows, so no
+    legitimate pair is ever evicted early — the same invariant the
+    replay rollup documents).
+
+    Scale notes (100 TB/day): state size is O(events inside the
+    watermark horizon), not O(stream) — the eviction above is the
+    whole point of the range constraint; both sides shuffle by
+    user_id (the join key), same partitioning as the sessionizer, and
+    skewed hot users salt the same way the batch joins do. sf_dir is
+    unused: the input is the engine's own wire format.""".format(ATTR_WINDOW_S=ATTR_WINDOW_S)
 
 
 # ---------------------------------------------------------------------------

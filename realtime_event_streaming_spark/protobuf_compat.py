@@ -42,16 +42,48 @@ _VENDOR_CANDIDATES = (
 )
 
 
-def ensure_protobuf() -> bool:
-    """Make ``google.protobuf`` importable (driver AND Spark workers)
-    if any pure-Python copy exists; return whether it is available.
-    Call BEFORE creating the SparkSession."""
+def _runtime_importable() -> bool:
+    """True only for a REAL protobuf runtime. A bare ``import
+    google.protobuf`` succeeding is NOT enough: in Spark python
+    workers the spark-core JAR sits on sys.path (zipimport), and its
+    shaded ``google/protobuf/*.class`` directories register as empty
+    Python NAMESPACE portions — the import "succeeds" and the runtime
+    modules are missing. ``descriptor`` is the first module the
+    generated ``StateMessage_pb2`` pulls, so it is the probe."""
     try:
-        import google.protobuf  # noqa: F401
+        from google.protobuf import descriptor  # noqa: F401
 
         return True
     except ImportError:
-        pass
+        return False
+
+
+def _purge_namespace_shell() -> None:
+    """Drop ``google``/``google.protobuf`` namespace-shell modules so
+    a retry can resolve the vendored REGULAR package (a regular
+    package beats namespace portions wherever it sits on the path, so
+    appending stays sufficient)."""
+    import sys as _sys
+
+    for name in [
+        n
+        for n in _sys.modules
+        if n == "google" or n.startswith("google.")
+    ]:
+        mod = _sys.modules[name]
+        if getattr(mod, "__file__", None) is None:
+            del _sys.modules[name]
+
+
+def ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable (driver AND Spark workers)
+    if any pure-Python copy exists; return whether it is available.
+    Call BEFORE creating the SparkSession when possible (PYTHONPATH
+    then reaches forked workers); worker-side module imports (e.g.
+    streaming.anomaly_tws) call it again as a same-process fallback."""
+    if _runtime_importable():
+        return True
+    _purge_namespace_shell()
 
     candidates = (os.environ.get("RTES_PROTOBUF_PATH"), *_VENDOR_CANDIDATES)
     for root in candidates:
@@ -59,20 +91,26 @@ def ensure_protobuf() -> bool:
             os.path.join(root, "google", "protobuf")
         ):
             continue
+        sys.path.append(root)
+        if not _runtime_importable():
+            sys.path.remove(root)
+            _purge_namespace_shell()
+            continue
+        # Relax the gencode-vs-runtime minor-skew check ONLY once the
+        # candidate actually imports — a failed candidate must not
+        # leave the escape hatch set for an unrelated later install.
         os.environ.setdefault(
             "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
         )
-        sys.path.append(root)
-        try:
-            import google.protobuf  # noqa: F401
-        except ImportError:
-            sys.path.remove(root)
-            continue
-        # propagate to forked Python workers via the JVM's env
+        # Propagate to forked Python workers via the JVM's env.
+        # APPEND (driver-side sys.path.append above matches): the
+        # vendored tree (e.g. the whole google_appengine platform
+        # dir) may carry same-named top-level modules that must not
+        # shadow the real ones in workers.
         prev = os.environ.get("PYTHONPATH", "")
         if root not in prev.split(os.pathsep):
             os.environ["PYTHONPATH"] = (
-                f"{root}{os.pathsep}{prev}" if prev else root
+                f"{prev}{os.pathsep}{root}" if prev else root
             )
         return True
     return False

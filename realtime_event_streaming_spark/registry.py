@@ -32,7 +32,15 @@ class Query:
     oracle: str | None
     headline: bool = False
     tags: tuple[str, ...] = field(default=())
-    doc: str = ""
+
+    @property
+    def doc(self) -> str:
+        """Docstring read DYNAMICALLY from the registered function so
+        post-decoration ``fn.__doc__ = "...".format(...)`` assignments
+        (the one style that lets constants interpolate — a first-
+        statement ``str.format`` call is an expression, not a
+        docstring, and leaves ``__doc__`` None) stay visible here."""
+        return (self.spark_fn.__doc__ or "").strip()
 
 
 REGISTRY: dict[str, Query] = {}
@@ -58,7 +66,6 @@ def register(
             oracle=oracle,
             headline=headline,
             tags=tags,
-            doc=(fn.__doc__ or "").strip(),
         )
         return fn
 

@@ -34,7 +34,19 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
+from ..protobuf_compat import ensure_protobuf
+
+# Runs in BOTH the driver (import site) and every Spark worker: the
+# worker imports this module while unpickling WelfordProcessor, which
+# happens BEFORE pyspark's stateful_processor_api_client lazily
+# imports StateMessage_pb2 — so the sys.path patch lands in time even
+# when the JVM was launched without the PYTHONPATH export (e.g. a
+# driver that built its SparkSession before importing any of this
+# package). With it, transformWithState works in ANY session/import
+# order on hosts with a discoverable pure-Python protobuf.
+ensure_protobuf()
+
+import pandas as pd  # noqa: E402
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
