@@ -681,7 +681,7 @@ def _ivfpq_ranked(
     return adc.withColumn("rnk", F.row_number().over(w))
 
 
-@register("ivf_pq_topk", _ivfpq_duck(), headline=True,
+@register("ivf_pq_topk", _ivfpq_duck(), headline=False,
           tags=("similarity", "retrieval"))
 def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (the FAISS IVFPQ composition, non-residual variant):
@@ -1148,7 +1148,7 @@ def _reranked(
     return rer.withColumn("rnk", F.row_number().over(w))
 
 
-@register("pq_rerank_topk", _rerank_duck(), headline=True,
+@register("pq_rerank_topk", _rerank_duck(), headline=False,
           tags=("similarity", "retrieval"))
 def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -1302,7 +1302,7 @@ def _rerank_recall_frame(
 
 
 @register("pq_rerank_tuned", _rerank_duck(TUNED_NPROBE, TUNED_SHORTLIST),
-          headline=True, tags=("similarity", "retrieval"))
+          headline=False, tags=("similarity", "retrieval"))
 def pq_rerank_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _reranked(
@@ -1877,4 +1877,152 @@ ivf_nprobe_recall_curve.__doc__ = """The nprobe HALF of the PQ re-rank deploymen
     in the Spark plan (computed once, reused across budgets); the
     oracle restates each arm independently.""".format(
         k=PQ_TOPK, nps=_CURVE_NPROBES
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ + rerank SERVING path: materialized index build / probe
+# ---------------------------------------------------------------------------
+
+
+def write_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize every artifact the inline IVF-PQ queries train per
+    call, so the probe path (`probe_ivfpq_index`) pays ZERO training
+    cost: ``centroids/`` (coarse k-means, K rows), ``codebooks/``
+    (PQ, M x K rows), ``codes/`` (vec_id, s, code — PQ_M bytes of
+    payload per vector, partitioned by coarse cell so a probe's scan
+    prunes to its cells' files), and ``vectors/`` (full vectors, the
+    rerank tier — at 100 TB this tier lives on cheap storage and is
+    touched only for queries x shortlist id-pruned point reads).
+    Training pipeline identical (same rounded ops) to `_ivfpq_ranked`,
+    so probe output == `pq_rerank_tuned` output, oracle-checkable."""
+    from .similarity import _train_kmeans, _kmeans_rank
+
+    from ..io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v"),
+    )
+    cents, _ = _train_kmeans(vecs)
+    cells = (
+        _kmeans_rank(vecs, cents)
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    subs = _pq_subvectors(vecs)
+    c0 = subs.where(F.col("vec_id") < PQ_K).select(
+        "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    a1 = _pq_assign(subs, c0)
+    m1 = (
+        a1.join(subs, ["vec_id", "s"])
+        .select("s", "cid", F.posexplode("sv").alias("i0", "x"))
+        .groupBy("s", "cid", "i0")
+        .agg(F.round(F.avg("x"), 4).alias("m"))
+    )
+    c1 = m1.groupBy("s", "cid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i0, m))), e -> e.m)"
+        ).alias("cv")
+    )
+    codes = _pq_assign(subs, c1).withColumnRenamed("cid", "code")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    c1.write.mode("overwrite").parquet(f"{path}/codebooks")
+    (
+        codes.join(cells, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    vecs.write.mode("overwrite").parquet(f"{path}/vectors")
+
+
+def probe_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = TUNED_NPROBE,
+    shortlist: int = TUNED_SHORTLIST,
+    topk: int = PQ_TOPK,
+) -> DataFrame:
+    """IVF-PQ ADC + exact-rerank SEARCH against a materialized index:
+    broadcast the K-row centroids to pick each query's nprobe cells,
+    broadcast the M x K codebooks to build per-query LUTs, scan ONLY
+    the probed cells' code postings (partition-pruned), ADC-rank,
+    then exact-rerank the top-``shortlist`` with id-pruned reads of
+    the full-vector tier. ``queries`` is (vec_id, v). No stage reads
+    the corpus, no stage trains — the plan a 100 TB deployment runs
+    per query batch."""
+    from pyspark.sql import Window
+
+    from .similarity import _D2_SPARK, _kmeans_rank
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    qprobe = (
+        _kmeans_rank(queries, cents)
+        .where(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"))
+    )
+    c1 = spark.read.parquet(f"{path}/codebooks")
+    lut = (
+        _pq_subvectors(queries)
+        .join(F.broadcast(c1), "s")
+        .select(
+            F.col("vec_id").alias("qid"),
+            "s",
+            F.col("cid").alias("code"),
+            F.round(F.expr(_PQD2_SPARK.format(a="sv", b="cv")), 4).alias(
+                "dd"
+            ),
+        )
+    )
+    codes = spark.read.parquet(f"{path}/codes")
+    pair = (
+        codes.join(F.broadcast(qprobe), "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(lut), ["qid", "s", "code"])
+    )
+    parts = pair.groupBy("qid", "vec_id").agg(
+        *[
+            F.sum(F.when(F.col("s") == s, F.col("dd"))).alias(f"d{s}")
+            for s in range(1, PQ_M + 1)
+        ]
+    )
+    adc = parts.select(
+        F.col("qid").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(F.expr(_ADC_TERMS), 4).alias("adc_d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    short = (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    vecs = spark.read.parquet(f"{path}/vectors")
+    rer = (
+        vecs.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+        )
+        .join(F.broadcast(short), "neighbor_id")
+        .join(
+            F.broadcast(
+                queries.select(F.col("vec_id").alias("query_id"), "v")
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(_D2_SPARK), 4).alias("exact_d2"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy("exact_d2", "neighbor_id")
+    return (
+        rer.withColumn("rnk", F.row_number().over(w2))
+        .where(F.col("rnk") <= topk)
+        .select("query_id", "rnk", "neighbor_id", "exact_d2")
+        .orderBy("query_id", "rnk")
     )

