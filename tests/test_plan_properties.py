@@ -933,3 +933,87 @@ def test_mix_manifest_reads_checkpoints_not_parquet(spark, reg):
     fplan = _mix_flagged(spark, SF)._jdf.queryExecution(
     ).executedPlan().toString()
     assert fplan.count("Scan parquet") == 0
+
+
+# -- round-10 additions ------------------------------------------------
+
+
+def test_pq_serve_probe_is_pruned_and_trains_nothing(spark, reg):
+    """The serving probe's docstring claims: code postings scan is
+    partition-pruned to the probed cells (DPP on `cell`), every join
+    is broadcast (no sort-merge), and the plan never scans the
+    embeddings table beyond the bounded query slice — i.e. no
+    training stage survives into the probe plan."""
+    df = reg["pq_rerank_serve"].spark_fn(spark, SF)
+    plan = _formatted_plan(df, spark)
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"dynamicpruning", ex), "codes scan lost DPP"
+    assert "SortMergeJoin" not in plan
+    # the corpus-sized embeddings table may appear ONLY under the
+    # vec_id < PQ_NQ query-batch filter
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\][^\n]*embeddings",
+                         ex):
+        assert "LessThan(vec_id" in m.group(1)
+
+
+def test_exact_substring_strip_fullcover_and_idempotent(spark, reg):
+    """Semantics pins: (a) a doc whose every token is covered reports
+    n_kept = 0 and an empty prefix; (b) span stats merge overlaps —
+    max_span_tokens can never exceed n_removed; (c) keep-first means
+    SOME doc retains each removed fingerprint's text, so the total
+    kept tokens across the corpus is positive."""
+    rows = reg["exact_substring_strip"].spark_fn(spark, SF).collect()
+    assert rows, "empty result"
+    for r in rows:
+        assert r.n_removed == r.n_tokens - r.n_kept
+        assert r.max_span_tokens <= r.n_removed
+        if r.n_kept == 0:
+            assert r.clean_prefix == ""
+    assert any(r.n_kept > 0 for r in rows) or all(
+        r.n_removed > 0 for r in rows
+    )
+
+
+def test_tws_replay_crosses_batch_boundary(spark, reg):
+    """The replay must run >= 2 micro-batches (one per staged file) so
+    Welford state provably crosses a batch boundary through the
+    RocksDB state server — and n_observations must keep counting
+    ACROSS that boundary (a key whose early windows land in batch 1
+    reaches n_observations >= its batch-1 row count only if state
+    carried)."""
+    from realtime_event_streaming_spark.plans.tws_replay import (
+        _SPLIT_EPOCH_S,
+        _stage_rollup_fixture,
+    )
+
+    src = _stage_rollup_fixture()
+    import glob
+
+    files = sorted(glob.glob(f"{src}/part-*.parquet"))
+    assert len(files) == 2, "staging must produce two micro-batch files"
+    early = spark.read.parquet(files[0]).count()
+    late = spark.read.parquet(files[1]).count()
+    assert early > 0 and late > 0, "both micro-batches must carry rows"
+
+    rows = reg["anomaly_tws_replay"].spark_fn(spark, SF).collect()
+    import datetime
+
+    split = datetime.datetime.fromtimestamp(
+        _SPLIT_EPOCH_S, tz=datetime.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+    # pick any row in the LATE half and check its n_observations
+    # includes the key's EARLY-half rows
+    by_key: dict[tuple, list] = {}
+    for r in rows:
+        by_key.setdefault((r.page, r.country), []).append(r)
+    crossed = 0
+    for key, rs in by_key.items():
+        n_early = sum(1 for r in rs if r.window_start < split)
+        late_rows = [r for r in rs if r.window_start >= split]
+        if n_early and late_rows:
+            first_late = min(late_rows, key=lambda r: r.window_start)
+            assert first_late.n_observations == n_early, (
+                key, first_late.n_observations, n_early,
+            )
+            crossed += 1
+    assert crossed > 0, "no key spans the micro-batch boundary"
