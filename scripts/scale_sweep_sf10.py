@@ -88,7 +88,16 @@ def main() -> None:
             continue
         for label, sf_dir, _ in SFS:
             t0 = time.perf_counter()
-            n = reg[name].spark_fn(spark, sf_dir).count()
+            if mode == "maint":
+                n = reg[name].spark_fn(spark, sf_dir).count()
+            else:
+                # collect(), NOT count(): on aggregate-output queries
+                # (repeated_substring_census groups per source) count()
+                # lets Catalyst prune the aggregate expressions and
+                # with them the entire fingerprint pipeline, timing
+                # only a distinct-source scan. collect() forces every
+                # output value to be computed.
+                n = len(reg[name].spark_fn(spark, sf_dir).collect())
             cold = time.perf_counter() - t0
             if mode == "maint":
                 warm = []
