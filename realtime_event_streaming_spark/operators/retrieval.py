@@ -2026,3 +2026,38 @@ def probe_ivfpq_index(
         .select("query_id", "rnk", "neighbor_id", "exact_d2")
         .orderBy("query_id", "rnk")
     )
+
+
+def merge_ivfpq_index(
+    spark: SparkSession, path: str, batch: DataFrame
+) -> None:
+    """Admit a (vec_id, v) batch into a materialized IVF-PQ index
+    WITHOUT retraining: assign each vector to its nearest EXISTING
+    coarse centroid, encode it with the EXISTING codebooks, append to
+    the cell-partitioned code postings and the full-vector rerank
+    tier. O(batch) work against bounded broadcast tables — the
+    nightly admission path; codebook/centroid refresh is the separate
+    periodic rebuild (`write_ivfpq_index`), exactly FAISS's
+    add-vs-train split."""
+    from .similarity import _kmeans_rank
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    c1 = spark.read.parquet(f"{path}/codebooks")
+    vecs = batch.select(
+        "vec_id", F.expr("transform(v, x -> cast(x AS DOUBLE))").alias("v")
+    )
+    cells = (
+        _kmeans_rank(vecs, cents)
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    codes = _pq_assign(_pq_subvectors(vecs), c1).withColumnRenamed(
+        "cid", "code"
+    )
+    (
+        codes.join(cells, "vec_id")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    vecs.write.mode("append").parquet(f"{path}/vectors")

@@ -883,3 +883,169 @@ def pq_rerank_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v"),
     )
     return probe_ivfpq_index(spark, path, queries)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ index MAINTENANCE: probe -> merge (no retrain) -> probe
+# ---------------------------------------------------------------------------
+
+
+def _build_ivfpq_maint(spark: SparkSession, sf_dir: str, path: str) -> None:
+    import shutil
+
+    from ..operators.retrieval import merge_ivfpq_index, write_ivfpq_index
+
+    base, merged = f"{path}/base", f"{path}/merged"
+    write_ivfpq_index(spark, sf_dir, base)
+    shutil.copytree(base, merged)
+    merge_ivfpq_index(spark, merged, _ann_mnt_batch(spark, sf_dir))
+    compact_index_table(spark, f"{merged}/codes", "cell")
+
+
+def _update_ivfpq_oracle() -> str:
+    from ..operators.retrieval import (
+        _ADC_CASES_SQL,
+        _ADC_TERMS,
+        _ivfpq_ctes,
+        PQ_TOPK,
+        TUNED_NPROBE,
+        TUNED_SHORTLIST,
+    )
+    from ..operators.similarity import _D2_DUCK
+
+    d2 = _D2_DUCK.replace("vv", "q.v").replace("cv", "c.v")
+    return f"""
+WITH {_ivfpq_ctes(TUNED_NPROBE)},
+mx AS (SELECT max(vec_id) AS m FROM embeddings),
+newcells AS (
+  SELECT a.vec_id + mx.m + 1 AS vec_id, a.cid
+  FROM a3 a, mx WHERE a.vec_id % {_ANN_MNT_MOD} = {_ANN_MNT_RES}
+),
+newcodes AS (
+  SELECT c.vec_id + mx.m + 1 AS vec_id, c.s, c.cid
+  FROM pcodes c, mx WHERE c.vec_id % {_ANN_MNT_MOD} = {_ANN_MNT_RES}
+),
+cells_post AS (
+  SELECT vec_id, cid FROM a3 UNION ALL SELECT vec_id, cid FROM newcells
+),
+codes_post AS (
+  SELECT vec_id, s, cid FROM pcodes
+  UNION ALL SELECT vec_id, s, cid FROM newcodes
+),
+pair_post AS (
+  SELECT lut.qid, codes.vec_id AS nid, lut.s, lut.dd
+  FROM codes_post codes
+  JOIN cells_post cell ON cell.vec_id = codes.vec_id
+  JOIN qprobe ON qprobe.cid = cell.cid
+  JOIN plut lut ON lut.qid = qprobe.qid
+               AND lut.s = codes.s AND lut.cid = codes.cid
+  WHERE codes.vec_id <> qprobe.qid
+),
+parts_post AS (
+  SELECT qid, nid,
+         {_ADC_CASES_SQL}
+  FROM pair_post GROUP BY qid, nid
+),
+adc_post AS (
+  SELECT qid AS query_id, nid AS neighbor_id,
+         round({_ADC_TERMS}, 4) AS adc_d2
+  FROM parts_post
+),
+ranked_post AS (
+  SELECT query_id, neighbor_id, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2, neighbor_id) AS rnk
+  FROM adc_post
+),
+vsrc AS (
+  SELECT vec_id, v FROM vecs
+  UNION ALL
+  SELECT v0.vec_id + mx.m + 1, v0.v FROM vecs v0, mx
+  WHERE v0.vec_id % {_ANN_MNT_MOD} = {_ANN_MNT_RES}
+),
+short_pre AS (
+  SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {TUNED_SHORTLIST}
+),
+rer_pre AS (
+  SELECT s.query_id, s.neighbor_id, round({d2}, 4) AS exact_d2
+  FROM short_pre s
+  JOIN vecs q ON q.vec_id = s.query_id
+  JOIN vecs c ON c.vec_id = s.neighbor_id
+),
+rr_pre AS (
+  SELECT query_id, neighbor_id, exact_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY exact_d2, neighbor_id) AS rnk
+  FROM rer_pre
+),
+short_post AS (
+  SELECT query_id, neighbor_id FROM ranked_post
+  WHERE rnk <= {TUNED_SHORTLIST}
+),
+rer_post AS (
+  SELECT s.query_id, s.neighbor_id, round({d2}, 4) AS exact_d2
+  FROM short_post s
+  JOIN vecs q ON q.vec_id = s.query_id
+  JOIN vsrc c ON c.vec_id = s.neighbor_id
+),
+rr_post AS (
+  SELECT query_id, neighbor_id, exact_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY exact_d2, neighbor_id) AS rnk
+  FROM rer_post
+)
+SELECT 'pre_merge' AS phase, query_id, rnk, neighbor_id, exact_d2
+FROM rr_pre WHERE rnk <= {PQ_TOPK}
+UNION ALL
+SELECT 'post_merge', query_id, rnk, neighbor_id, exact_d2
+FROM rr_post WHERE rnk <= {PQ_TOPK}
+ORDER BY phase, query_id, rnk
+"""
+
+
+@register(
+    "update_ivfpq_index",
+    _update_ivfpq_oracle(),
+    tags=("similarity", "retrieval"),
+)
+def update_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving-index MAINTENANCE, probe-merge-probe (completes
+    the round-10 serving story: `pq_rerank_serve` is the search,
+    this is the nightly admission): the tuned-operating-point search
+    runs against the index before and after `merge_ivfpq_index`
+    admitted a batch — exact copies of every
+    vec_id % 17 == 3 vector under new ids — WITHOUT retraining
+    (assign to existing centroids, encode with existing codebooks,
+    append to cell-partitioned codes + rerank tier, compact). A
+    copied vector lands in its source's cell with its source's codes
+    (assignment and encoding are pure functions of the vector), so
+    post-merge the affected queries' results MUST surface the new ids
+    at their sources' distances — proof the probe reads the appended
+    postings — while pre-merge rows pin the base state undisturbed.
+    The oracle restates training, the append and BOTH probes inline.
+
+    Scale notes (100 TB): the merge is O(batch) joins against
+    broadcast centroid/codebook tables plus an append into the
+    cell-partitioned postings (compaction folds small files per
+    cell); neither probe rescans or retrains on the corpus. The 100x
+    sweep's flat-probe evidence (PERF.md round 10) covers exactly
+    this plan shape."""
+    from ..operators.retrieval import PQ_NQ, probe_ivfpq_index
+
+    path = _index_path(spark, sf_dir, "ivfpq_maint", _build_ivfpq_maint)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < PQ_NQ).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v"),
+    )
+    pre = probe_ivfpq_index(spark, f"{path}/base", queries).withColumn(
+        "phase", F.lit("pre_merge")
+    )
+    post = probe_ivfpq_index(spark, f"{path}/merged", queries).withColumn(
+        "phase", F.lit("post_merge")
+    )
+    return (
+        pre.unionByName(post)
+        .select("phase", "query_id", "rnk", "neighbor_id", "exact_d2")
+        .orderBy("phase", "query_id", "rnk")
+    )

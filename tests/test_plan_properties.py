@@ -1017,3 +1017,35 @@ def test_tws_replay_crosses_batch_boundary(spark, reg):
             )
             crossed += 1
     assert crossed > 0, "no key spans the micro-batch boundary"
+
+
+def test_ivfpq_maintenance_surfaces_admitted_copies(spark, reg):
+    """update_ivfpq_index: the merged index must change the probe —
+    post-merge results surface the admitted copy ids (> max corpus
+    vec_id) at exactly their source's exact_d2 (copies tie their
+    sources; the id tiebreak keeps the source first)."""
+    from realtime_event_streaming_spark.io import load_table
+
+    rows = reg["update_ivfpq_index"].spark_fn(spark, SF).collect()
+    mx = (
+        load_table(spark, SF, "embeddings")
+        .agg(F.max("vec_id"))
+        .collect()[0][0]
+    )
+    pre = {(r.query_id, r.rnk): r for r in rows if r.phase == "pre_merge"}
+    post = {(r.query_id, r.rnk): r for r in rows if r.phase == "post_merge"}
+    assert len(pre) == len(post) > 0
+    new_rows = [r for r in post.values() if r.neighbor_id > mx]
+    assert new_rows, "no admitted copy surfaced post-merge"
+    for r in new_rows:
+        src = r.neighbor_id - mx - 1
+        twin = [
+            p
+            for p in post.values()
+            if p.query_id == r.query_id and p.neighbor_id == src
+        ]
+        if twin:  # source also in top-k: must tie and precede the copy
+            assert twin[0].exact_d2 == r.exact_d2
+            assert twin[0].rnk < r.rnk
+    # pre-merge rows never contain post-merge-only ids
+    assert all(r.neighbor_id <= mx for r in pre.values())
