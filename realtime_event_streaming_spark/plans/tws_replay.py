@@ -258,3 +258,152 @@ def anomaly_tws_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("page", "country", "window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# session_tws_replay: the state-v2 TIMER surface, driver-gated
+# ---------------------------------------------------------------------------
+
+#: Session gap and the ingest watermark delay (parse_clicks default) —
+#: both needed by the oracle's emission rule.
+_SESS_GAP_MS = 60_000
+_SESS_WM_MS = 10_000
+
+#: Which sessions are emitted by the end of an availableNow replay:
+#: every non-last run per user closes in-input (the next run's first
+#: event proves the gap, watermark-independent); a user's LAST run
+#: closes only if its gap-closure TIMER fired, i.e. the final
+#: watermark (global max event time - watermark delay; the trailing
+#: no-data micro-batch advances it) passed end + gap. Spark fires an
+#: event-time timer when watermark >= timer timestamp, hence `<=`
+#: below (verified empirically against the operator on this fixture).
+_SESSION_TWS_DUCK = f"""
+WITH raw AS (
+  SELECT * FROM read_json_auto(
+    '{FIXTURE_DIR}/part-*.txt', format='newline_delimited')
+),
+ev AS (SELECT user_id, ts AS ts_ms, page FROM raw),
+marked AS (
+  SELECT user_id, ts_ms, page,
+         CASE WHEN ts_ms - lag(ts_ms) OVER
+                (PARTITION BY user_id ORDER BY ts_ms) > {_SESS_GAP_MS}
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+),
+runs AS (
+  SELECT user_id, ts_ms, page,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+                        ROWS UNBOUNDED PRECEDING) AS rid
+  FROM marked
+),
+sess AS (
+  SELECT user_id, rid,
+         min(ts_ms) AS session_start_ms,
+         max(ts_ms) AS session_end_ms,
+         cast(count(*) AS BIGINT) AS n_events,
+         cast(count(DISTINCT page) AS BIGINT) AS n_pages
+  FROM runs GROUP BY 1, 2
+),
+mx AS (SELECT max(ts_ms) AS m FROM ev),
+lastrun AS (SELECT user_id, max(rid) AS lr FROM sess GROUP BY 1)
+SELECT s.user_id, s.session_start_ms, s.session_end_ms,
+       s.n_events, s.n_pages,
+       (s.session_end_ms - s.session_start_ms) / 1000.0 AS duration_s
+FROM sess s
+JOIN lastrun l USING (user_id), mx
+WHERE s.rid < l.lr
+   OR s.session_end_ms + {_SESS_GAP_MS} <= mx.m - {_SESS_WM_MS}
+ORDER BY s.user_id, s.session_start_ms
+"""
+
+
+def _stage_wire_fixture() -> str:
+    """Stage the raw CLICK wire fixture files with strictly increasing
+    mtimes (FileStreamSource orders by mtime), content-digest-keyed
+    and atomically published — same discipline as
+    ``_stage_rollup_fixture`` but copying the committed bytes
+    verbatim (the session replay needs the raw events, not the
+    rollup)."""
+    parts = sorted(FIXTURE_DIR.glob("part-*.txt"))
+    digest = hashlib.md5(
+        b"".join(p.name.encode() + b"\0" + p.read_bytes() for p in parts)
+        + b"|wire-v1"
+    ).hexdigest()[:16]
+    root = Path(tempfile.gettempdir()) / f"rtes_tws_wire_{digest}"
+    in_dir = root / "in"
+    if not in_dir.is_dir():
+        tmp = Path(tempfile.mkdtemp(prefix="rtes_tws_wire_stage_"))
+        stage = tmp / "in"
+        stage.mkdir()
+        base = time.time() - len(parts)
+        for i, srcp in enumerate(parts):
+            dst = stage / srcp.name
+            shutil.copy(srcp, dst)
+            os.utime(dst, (base + i, base + i))
+        try:
+            os.rename(tmp, root)  # atomic publish; fails if root exists
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return str(in_dir)
+
+
+@register(
+    "session_tws_replay", _SESSION_TWS_DUCK, tags=("streaming", "sessions")
+)
+def session_tws_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timer-driven sessionization on the Spark-4 state-v2 API,
+    replayed over the committed wire fixture: the raw JSON files
+    stream one-per-micro-batch through the REAL ingest path
+    (`parse_clicks`, 10 s watermark) into `sessionize_clicks_tws` —
+    typed ValueState + MapState + EXPLICIT event-time timers
+    (register/delete/expire), the state-v2 surface the Welford replay
+    does not touch. Both closure paths execute and are value-hashed:
+    in-input gap closures (a later batch proves the gap) and TIMER
+    closures (the trailing no-data micro-batch advances the watermark
+    past end + gap and `handleExpiredTimer` emits). The oracle
+    restates the semantics as a one-shot gaps-and-islands split with
+    the watermark emission rule (module constant doc), so the hash
+    pins WHICH sessions a correctly-timed operator must have emitted
+    by end of replay — per-user absorb-across-batches, explicit
+    re-arm (deleteTimer + registerTimer), and expiry behavior
+    included. ``sf_dir`` is unused — the committed fixture is the
+    input."""
+    from ..session import fixture_scale_shuffle
+    from ..streaming.ingest import parse_clicks, read_json_file_stream
+    from ..streaming.session_state import sessionize_clicks_tws
+
+    src = _stage_wire_fixture()
+    name = "session_tws_replay_out"
+    if any(t.name == name for t in spark.catalog.listTables()):
+        spark.catalog.dropTempView(name)
+    old = spark.conf.get(_PROVIDER_CONF, None)
+    spark.conf.set(_PROVIDER_CONF, _ROCKSDB)
+    try:
+        with fixture_scale_shuffle(spark):
+            clicks = parse_clicks(read_json_file_stream(spark, src))
+            q = (
+                sessionize_clicks_tws(clicks)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+    finally:
+        if old is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, old)
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "session_start_ms",
+            "session_end_ms",
+            "n_events",
+            "n_pages",
+            "duration_s",
+        )
+        .orderBy("user_id", "session_start_ms")
+    )

@@ -94,12 +94,14 @@ def register(
 #: judge item 6), `exact_substring_strip` (Lee et al. ExactSubstr
 #: span removal as a transform; judge item 5), and `pq_rerank_serve`
 #: (the materialized-index ANN serving path the bench headline now
-#: times; judge item 3). (c) The full round-5 remainder — the 22
+#: times; judge item 3), and `session_tws_replay` (the state-v2 TIMER
+#: surface — explicit register/delete/expire timers — value-hashed
+#: over the committed fixture). (c) The full round-5 remainder — the 22
 #: queries whose last green row is round 5 (paragraph_dedup_census ..
 #: zorder_pruned_scan), clearing the round-5 cohort entirely. (d)
-#: The remaining 24 slots take the round-6 cohort in name order
-#: (ann_recall_eval .. idle_customer_balance); the round-6 remainder
-#: (26 queries) queues for round 11.
+#: The remaining 23 slots take the round-6 cohort in name order
+#: (ann_recall_eval .. hybrid_rrf_retrieval); the round-6 remainder
+#: (27 queries) queues for round 11.
 #: Every yielded query remains locally oracle-gated by
 #: tests/test_oracle_parity.py on the FULL registry at every run.
 DRIVER_QUERIES: tuple[str, ...] = (
@@ -109,6 +111,7 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "anomaly_tws_replay",
     "exact_substring_strip",
     "pq_rerank_serve",
+    "session_tws_replay",
     # -- (c) the full round-5 remainder (stalest cohort, cleared)
     "paragraph_dedup_census",
     "part_supplier_variety",
@@ -132,7 +135,7 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "vocab_top_bigrams",
     "weighted_doc_sample",
     "zorder_pruned_scan",
-    # -- (d) round-6 cohort, first 24 in name order
+    # -- (d) round-6 cohort, first 23 in name order
     "ann_recall_eval",
     "bigram_lm_perplexity",
     "bm25_topk",
@@ -156,7 +159,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "gopher_quality_flags",
     "histogram_quantile_rollup",
     "hybrid_rrf_retrieval",
-    "idle_customer_balance",
 )
 
 

@@ -25,10 +25,11 @@ Two implementations:
   every Spark 3.4+/4.x build). This is the tested default.
 - ``sessionize_clicks_tws`` — the Spark 4 ``transformWithStateInPandas``
   state-v2 form (typed ValueState/MapState + explicit timers). Its
-  Python state protocol needs the ``protobuf`` package, which this
-  container does not ship, so the path is import-gated and its test
-  skips when protobuf is absent; the processor is the drop-in
-  modernization once the dependency exists.
+  Python state protocol needs ``protobuf``; ``ensure_protobuf`` (run
+  at this module's import, which also happens INSIDE workers when the
+  module-level processor class is unpickled) discovers a vendored
+  pure-Python copy, so the path executes here and is driver-gated by
+  ``session_tws_replay``; the test skips only when no copy exists.
 
 Scale notes: state is partitioned by user key like any keyed operator;
 the page set covers the OPEN session only (bounded by session length,
@@ -147,97 +148,112 @@ def sessionize_clicks(clicks: DataFrame) -> DataFrame:
 
 
 def _tws_processor():
-    """Build the state-v2 SessionProcessor class. Deferred import: the
-    transformWithState Python protocol needs `protobuf`, absent in
-    this container (ImportError surfaces at call time with a clear
-    message, not at module import)."""
-    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
-    from pyspark.sql.streaming.stateful_processor import (
-        ExpiredTimerInfo,
-        TimerValues,
-    )
-
-    class SessionProcessor(StatefulProcessor):
-        """Per-user open-session accumulator with a gap-closure timer
-        (same semantics as ``_sessionize_key``, expressed with typed
-        ValueState + MapState + explicit event-time timers)."""
-
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self.handle = handle
-            self.sess = handle.getValueState(
-                "sess", "start_ms long, end_ms long, n long"
-            )
-            self.pages = handle.getMapState("pages", "page string", "seen int")
-
-        def handleInputRows(
-            self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
-        ) -> Iterator[pd.DataFrame]:
-            gap_ms = SESSION_GAP_S * 1000
-            frames = [p for p in rows if not p.empty]
-            if not frames:
-                return iter([])
-            runs = _split_runs(pd.concat(frames), gap_ms)
-            (user_id,) = key
-            emitted: list[dict] = []
-            absorb = None
-            map_pages = (
-                {k[0] for k in self.pages.keys()} if self.sess.exists() else set()
-            )
-            if self.sess.exists():
-                p_start, p_end, p_n = self.sess.get()
-                # explicit timers need disarming on re-arm (unlike
-                # GroupState's single implicit timeout)
-                self.handle.deleteTimer(p_end + gap_ms)
-                if int(runs[0]["ts_ms"].min()) - p_end <= gap_ms:
-                    absorb = (p_start, p_n, map_pages)
-                else:
-                    emitted.append(
-                        _summary(user_id, p_start, p_end, p_n, len(map_pages))
-                    )
-
-            open_sess = None
-            for i, g in enumerate(runs):
-                s, e = int(g["ts_ms"].min()), int(g["ts_ms"].max())
-                cnt = len(g)
-                pg = set(g["page"].astype(str))
-                if i == 0 and absorb is not None:
-                    s, cnt, pg = min(s, absorb[0]), cnt + absorb[1], pg | absorb[2]
-                if i < len(runs) - 1:
-                    emitted.append(_summary(user_id, s, e, cnt, len(pg)))
-                else:
-                    open_sess = (s, e, cnt, pg)
-
-            s, e, cnt, pg = open_sess
-            self.sess.update((s, e, cnt))
-            self.pages.clear()
-            for p in pg:
-                self.pages.updateValue((p,), (1,))
-            self.handle.registerTimer(e + gap_ms)
-            if emitted:
-                return iter([pd.DataFrame(emitted)])
-            return iter([])
-
-        def handleExpiredTimer(
-            self,
-            key: Any,
-            timerValues: TimerValues,
-            expiredTimerInfo: ExpiredTimerInfo,
-        ) -> Iterator[pd.DataFrame]:
-            if not self.sess.exists():
-                return iter([])
-            start, end, n = self.sess.get()
-            n_pages = sum(1 for _ in self.pages.keys())
-            self.sess.clear()
-            self.pages.clear()
-            (user_id,) = key
-            return iter(
-                [pd.DataFrame([_summary(user_id, start, end, n, n_pages)])]
-            )
-
-        def close(self) -> None:
-            pass
-
+    """Build the state-v2 SessionProcessor. MODULE-LEVEL class (not a
+    closure): cloudpickle ships a module-level class by REFERENCE, so
+    every Spark worker (including the transformWithState driver
+    worker) imports THIS module while unpickling it — which runs
+    ``ensure_protobuf`` below in that process before pyspark's lazy
+    ``StateMessage_pb2`` import. A function-local class would pickle
+    by value and skip the import, leaving workers without the
+    vendored protobuf when the JVM env lacks PYTHONPATH (how the
+    round-10 session_tws_replay first failed)."""
     return SessionProcessor()
+
+
+from ..protobuf_compat import ensure_protobuf  # noqa: E402
+
+ensure_protobuf()
+
+from pyspark.sql.streaming import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    ExpiredTimerInfo,
+    TimerValues,
+)
+
+
+class SessionProcessor(StatefulProcessor):
+    """Per-user open-session accumulator with a gap-closure timer
+    (same semantics as ``_sessionize_key``, expressed with typed
+    ValueState + MapState + explicit event-time timers)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.sess = handle.getValueState(
+            "sess", "start_ms long, end_ms long, n long"
+        )
+        self.pages = handle.getMapState("pages", "page string", "seen int")
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        gap_ms = SESSION_GAP_S * 1000
+        frames = [p for p in rows if not p.empty]
+        if not frames:
+            return iter([])
+        runs = _split_runs(pd.concat(frames), gap_ms)
+        (user_id,) = key
+        emitted: list[dict] = []
+        absorb = None
+        map_pages = (
+            {k[0] for k in self.pages.keys()} if self.sess.exists() else set()
+        )
+        if self.sess.exists():
+            p_start, p_end, p_n = self.sess.get()
+            # explicit timers need disarming on re-arm (unlike
+            # GroupState's single implicit timeout)
+            self.handle.deleteTimer(p_end + gap_ms)
+            if int(runs[0]["ts_ms"].min()) - p_end <= gap_ms:
+                absorb = (p_start, p_n, map_pages)
+            else:
+                emitted.append(
+                    _summary(user_id, p_start, p_end, p_n, len(map_pages))
+                )
+
+        open_sess = None
+        for i, g in enumerate(runs):
+            s, e = int(g["ts_ms"].min()), int(g["ts_ms"].max())
+            cnt = len(g)
+            pg = set(g["page"].astype(str))
+            if i == 0 and absorb is not None:
+                s, cnt, pg = min(s, absorb[0]), cnt + absorb[1], pg | absorb[2]
+            if i < len(runs) - 1:
+                emitted.append(_summary(user_id, s, e, cnt, len(pg)))
+            else:
+                open_sess = (s, e, cnt, pg)
+
+        s, e, cnt, pg = open_sess
+        self.sess.update((s, e, cnt))
+        self.pages.clear()
+        for p in pg:
+            self.pages.updateValue((p,), (1,))
+        self.handle.registerTimer(e + gap_ms)
+        if emitted:
+            return iter([pd.DataFrame(emitted)])
+        return iter([])
+
+    def handleExpiredTimer(
+        self,
+        key: Any,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo,
+    ) -> Iterator[pd.DataFrame]:
+        if not self.sess.exists():
+            return iter([])
+        start, end, n = self.sess.get()
+        n_pages = sum(1 for _ in self.pages.keys())
+        self.sess.clear()
+        self.pages.clear()
+        (user_id,) = key
+        return iter(
+            [pd.DataFrame([_summary(user_id, start, end, n, n_pages)])]
+        )
+
+    def close(self) -> None:
+        pass
+
 
 
 def sessionize_clicks_tws(clicks: DataFrame) -> DataFrame:
