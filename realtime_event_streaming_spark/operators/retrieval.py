@@ -2061,3 +2061,178 @@ def merge_ivfpq_index(
         .parquet(f"{path}/codes")
     )
     vecs.write.mode("append").parquet(f"{path}/vectors")
+
+
+# ---------------------------------------------------------------------------
+# RM3 pseudo-relevance feedback: BM25 + relevance-model query expansion
+# ---------------------------------------------------------------------------
+
+#: feedback depth, expansion width and the interpolation weight
+#: (Lavrenko & Croft 2001 relevance models; RM3 = interpolation of the
+#: original query with the relevance model — Abdul-Jaleel et al.,
+#: UMass TREC 2004). alpha weights the ORIGINAL query score.
+RM3_FB_DOCS = 3
+RM3_EXP_TERMS = 3
+RM3_ALPHA_NUM = 6  # alpha = 6/10 as an exact decimal literal below
+
+#: One SQL body shared verbatim by both engines (the bm25_topk
+#: discipline): every stage rounds to 4dp before feeding the next, so
+#: cross-engine libm drift in ln() cannot compound.
+_RM3_BODY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT cast(count(*) AS DOUBLE) AS n_docs,
+         avg(cast(dl AS DOUBLE)) AS avgdl
+  FROM doclen
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+qterms AS (
+  SELECT term, df FROM df
+  ORDER BY df ASC, term ASC LIMIT {N_QUERY_TERMS}
+),
+tf AS (
+  SELECT toks.doc_id, toks.term, count(*) AS tf
+  FROM toks JOIN qterms ON toks.term = qterms.term
+  GROUP BY toks.doc_id, toks.term
+),
+scored AS (
+  SELECT tf.term, tf.doc_id,
+         round(
+           ln(1.0 + (stats.n_docs - qterms.df + 0.5) / (qterms.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * doclen.dl / stats.avgdl)),
+           4) AS bm25
+  FROM tf
+  JOIN qterms ON tf.term = qterms.term
+  JOIN doclen ON tf.doc_id = doclen.doc_id
+  CROSS JOIN stats
+),
+fb AS (
+  SELECT term AS qterm, doc_id, bm25 FROM (
+    SELECT term, doc_id, bm25,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY bm25 DESC, doc_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= {RM3_FB_DOCS}
+),
+fbtf AS (
+  SELECT fb.qterm, toks.term AS eterm, fb.doc_id, fb.bm25,
+         count(*) AS tf_e
+  FROM fb JOIN toks ON toks.doc_id = fb.doc_id
+  GROUP BY fb.qterm, toks.term, fb.doc_id, fb.bm25
+),
+eweight AS (
+  SELECT qterm, eterm,
+         round(sum(round(cast(tf_e AS DOUBLE) / doclen.dl * bm25, 4)), 4)
+           AS w
+  FROM fbtf JOIN doclen ON fbtf.doc_id = doclen.doc_id
+  WHERE eterm <> qterm
+  GROUP BY qterm, eterm
+),
+etop AS (
+  SELECT qterm, eterm, w FROM (
+    SELECT qterm, eterm, w,
+           row_number() OVER (PARTITION BY qterm
+                              ORDER BY w DESC, eterm) AS rnk
+    FROM eweight
+  ) WHERE rnk <= {RM3_EXP_TERMS}
+),
+enorm AS (
+  SELECT qterm, eterm,
+         round(w / sum(w) OVER (PARTITION BY qterm), 4) AS wn
+  FROM etop
+),
+etf AS (
+  SELECT toks.doc_id, toks.term, count(*) AS tf
+  FROM toks
+  JOIN (SELECT DISTINCT eterm FROM etop) e ON toks.term = e.eterm
+  GROUP BY toks.doc_id, toks.term
+),
+escored AS (
+  SELECT etf.term, etf.doc_id,
+         round(
+           ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (etf.tf * ({BM25_K1} + 1.0))
+           / (etf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * doclen.dl / stats.avgdl)),
+           4) AS bm25
+  FROM etf
+  JOIN df ON etf.term = df.term
+  JOIN doclen ON etf.doc_id = doclen.doc_id
+  CROSS JOIN stats
+),
+expcontrib AS (
+  SELECT en.qterm, es.doc_id,
+         round(sum(round(en.wn * es.bm25, 4)), 4) AS exp_score
+  FROM enorm en JOIN escored es ON es.term = en.eterm
+  GROUP BY en.qterm, es.doc_id
+),
+cand AS (
+  SELECT qterm, doc_id FROM (
+    SELECT term AS qterm, doc_id FROM scored
+    UNION
+    SELECT qterm, doc_id FROM expcontrib
+  ) u
+),
+final AS (
+  SELECT c.qterm AS term, c.doc_id,
+         round(0.{RM3_ALPHA_NUM} * coalesce(s.bm25, 0.0)
+               + (1.0 - 0.{RM3_ALPHA_NUM}) * coalesce(x.exp_score, 0.0),
+               4) AS rm3_score
+  FROM cand c
+  LEFT JOIN scored s ON s.term = c.qterm AND s.doc_id = c.doc_id
+  LEFT JOIN expcontrib x ON x.qterm = c.qterm AND x.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT term, doc_id, rm3_score,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY rm3_score DESC, doc_id) AS rnk
+  FROM final
+)
+SELECT term, rnk, doc_id, rm3_score FROM ranked
+WHERE rnk <= {BM25_TOPK}
+ORDER BY term, rnk
+"""
+
+_RM3_SPARK = _RM3_BODY.replace(
+    "unnest(string_split(text, ' '))", "explode(split(text, ' '))"
+)
+
+
+@register("bm25_rm3_topk", _RM3_BODY, tags=("text", "retrieval"))
+def bm25_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_RM3_SPARK)
+bm25_rm3_topk.__doc__ = """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 relevance
+    models; the RM3 interpolation of Abdul-Jaleel et al. 2004) on top
+    of `bm25_topk`: for each probed term, take its top-{f} BM25
+    feedback docs, estimate the relevance model over their vocabulary
+    (P(w|R) ~ sum over feedback docs of tf(w,d)/|d| weighted by the
+    doc's BM25 score), keep the top-{e} expansion terms (original
+    term excluded), L1-normalize their weights, BM25-score the
+    expansion terms against the corpus, and rank candidates by
+    alpha * original + (1 - alpha) * weighted expansion
+    (alpha = 0.{a}). The canonical lexical query-expansion pass a
+    retrieval stack runs when recall matters more than latency —
+    completing the retrieval family (BM25 -> RRF -> MMR -> RM3:
+    ranking, fusion, diversification, expansion).
+
+    Determinism: one SQL body shared VERBATIM by both engines (the
+    bm25_topk discipline); every stage rounds to 4dp before feeding
+    the next, so libm ln() drift cannot compound across stages; all
+    ranks tie-break on (score DESC, id).
+
+    Scale notes (100 TB): feedback is {f} docs x {n} query terms —
+    the fbtf census explodes ONLY those docs (bounded); expansion
+    scoring joins the postings of <= {n} x {e} distinct terms (the
+    qterms-prune discipline: the term join lands BEFORE the tf
+    aggregation, so the scoring shuffle is O(matching postings), not
+    O(corpus tokens)); candidate union and final interpolation are
+    bounded by the probed terms' posting lists. The df table is the
+    one |vocab|-keyed shuffle, shared with bm25_topk's plan.""".format(
+        f=RM3_FB_DOCS, e=RM3_EXP_TERMS, a=RM3_ALPHA_NUM, n=N_QUERY_TERMS
+    )
