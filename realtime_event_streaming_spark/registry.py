@@ -96,12 +96,16 @@ def register(
 #: (the materialized-index ANN serving path the bench headline now
 #: times; judge item 3), and `session_tws_replay` (the state-v2 TIMER
 #: surface — explicit register/delete/expire timers — value-hashed
-#: over the committed fixture). (c) The full round-5 remainder — the 22
+#: over the committed fixture), plus the two late round-10 debuts
+#: `update_ivfpq_index` (probe-merge-probe maintenance of the PQ
+#: serving index) and `bm25_rm3_topk` (RM3 pseudo-relevance-feedback
+#: expansion) — never-rowed queries always claim a slot before any
+#: re-proof. (c) The full round-5 remainder — the 22
 #: queries whose last green row is round 5 (paragraph_dedup_census ..
 #: zorder_pruned_scan), clearing the round-5 cohort entirely. (d)
-#: The remaining 23 slots take the round-6 cohort in name order
-#: (ann_recall_eval .. hybrid_rrf_retrieval); the round-6 remainder
-#: (27 queries) queues for round 11.
+#: The remaining 21 slots take the round-6 cohort in name order
+#: (ann_recall_eval .. gopher_quality_flags); the round-6 remainder
+#: (29 queries) queues for round 11.
 #: Every yielded query remains locally oracle-gated by
 #: tests/test_oracle_parity.py on the FULL registry at every run.
 DRIVER_QUERIES: tuple[str, ...] = (
@@ -112,6 +116,8 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "exact_substring_strip",
     "pq_rerank_serve",
     "session_tws_replay",
+    "update_ivfpq_index",
+    "bm25_rm3_topk",
     # -- (c) the full round-5 remainder (stalest cohort, cleared)
     "paragraph_dedup_census",
     "part_supplier_variety",
@@ -157,8 +163,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "fuzzy_title_pairs",
     "golden_record_entities",
     "gopher_quality_flags",
-    "histogram_quantile_rollup",
-    "hybrid_rrf_retrieval",
 )
 
 
