@@ -556,34 +556,67 @@ def _train_kmeans(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
     cents = vecs.where(F.col("vec_id") < K_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    assign = None
+    av = None
     for _ in range(KMEANS_ITERS):
-        assign = _kmeans_assign(vecs, cents)
-        cents = _kmeans_means(vecs, assign)
-    return cents, assign
+        av = _assign_with_v(vecs, cents)
+        cents = _kmeans_means(av)
+    return cents, av.select("vec_id", "cid")
+
+
+#: Map-side centroid RANKING over the collected one-row centroid
+#: array (used by `_kmeans_rank`, which needs the full rn=1..K probe
+#: order, not just the argmin): each element is struct(d2, cid) with
+#: d2 the 4-dp-rounded squared distance, and array_sort orders by
+#: (d2, cid) — the exact tie rule a window row_number would use, with
+#: ZERO shuffle (the N x K scored exchange + per-vector sort is gone;
+#: the only remaining exchange is the K-row collect_list, free).
+_RANKED_CELLS = (
+    "array_sort(transform(_cs, c -> struct("
+    "round(aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)), "
+    "cast(0 AS DOUBLE), (acc, x) -> acc + x), 4) AS d2, c.cid AS cid)))"
+)
+
+
+def _centroid_row(cents: DataFrame) -> DataFrame:
+    """Collapse the K-row centroid table to ONE row holding the
+    struct array — the broadcastable form the map-side argmin eats."""
+    return cents.groupBy().agg(
+        F.collect_list(F.struct("cid", "cv")).alias("_cs")
+    )
+
+
+def _assign_with_v(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v, cid): nearest-centroid assignment via broadcast
+    cross join + ``min_by`` over struct(d2, cid) — the same (rounded
+    squared distance, cid) tie rule the old window row_number used.
+    The min_by partial-aggregates map-side (all K scored copies of a
+    vector live in one partition), so the exchange carries N
+    pre-reduced rows, not the old N x K scored rows, and the hot
+    aggregate stays inside whole-stage codegen (a transform/array_sort
+    argmin variant measured 2x slower at bench's one-warm-up point:
+    interpreted HOF paths JIT too slowly). The vector is carried
+    through so the means step needs no vec_id self-join."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cid", F.round(F.expr(_D2_SPARK), 4).alias("d2")
+    )
+    return scored.groupBy("vec_id").agg(
+        F.first("v").alias("v"),
+        F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+    )
 
 
 def _kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the K-row centroid table,
-    rank by (rounded squared distance, cid) for cross-engine-stable
-    ties."""
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cid", F.round(F.expr(_D2_SPARK), 4).alias("d2")
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
+    """Nearest-centroid assignment ranked by (rounded squared
+    distance, cid) for cross-engine-stable ties."""
+    return _assign_with_v(vecs, cents).select("vec_id", "cid")
 
 
-def _kmeans_means(vecs: DataFrame, assign: DataFrame) -> DataFrame:
+def _kmeans_means(av: DataFrame) -> DataFrame:
     """Per-centroid elementwise mean, rounded to ROUND-digits so the
-    next iteration's inputs are bit-identical across engines."""
-    pos = vecs.join(assign, "vec_id").select(
-        "cid", F.posexplode("v").alias("i0", "x")
-    )
+    next iteration's inputs are bit-identical across engines. Takes
+    the assignment WITH vectors (`_assign_with_v`) so the only work
+    is one posexplode shuffle — no vec_id self-join."""
+    pos = av.select("cid", F.posexplode("v").alias("i0", "x"))
     m = pos.groupBy("cid", "i0").agg(F.round(F.avg("x"), 4).alias("m"))
     return m.groupBy("cid").agg(
         F.expr(
@@ -739,14 +772,26 @@ IVF_NPROBE = 2
 
 
 def _kmeans_rank(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cid, rn): centroids ranked by (rounded squared
+    """(vec_id, cid, d2, rn): centroids ranked by (rounded squared
     distance, cid) per vector — rn=1 is the cell assignment, rn<=p is
-    the query's probe list."""
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cid", F.round(F.expr(_D2_SPARK), 4).alias("d2")
+    the query's probe list. Map-only: the K-row centroid table is
+    collected to a one-row struct array, sorted per vector with
+    array_sort (same (d2, cid) tie rule the old window row_number
+    used), and posexploded — no N x K exchange, no per-vector sort
+    shuffle."""
+    return (
+        vecs.crossJoin(F.broadcast(_centroid_row(cents)))
+        .select(
+            "vec_id",
+            F.posexplode(F.expr(_RANKED_CELLS)).alias("_p", "_e"),
+        )
+        .select(
+            "vec_id",
+            F.col("_e.cid").alias("cid"),
+            F.col("_e.d2").alias("d2"),
+            (F.col("_p") + 1).cast("int").alias("rn"),
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    return scored.withColumn("rn", F.row_number().over(w))
 
 
 _IVF_KMEANS_DUCK = f"""
@@ -1523,36 +1568,27 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vecs = base.unionByName(planted).localCheckpoint(eager=False)
     _, assign = _train_kmeans(vecs)
-    # Materialize the assignment once: BOTH sides of the within-cluster
-    # pair join consume it, and without this the full two-round Lloyd
-    # training DAG (shuffle-heavy) is planned twice (measured ~0.5 s of
-    # the 5.7 s at sf0.1 — the rest is per-stage scheduling overhead on
-    # local[32], which amortizes away at real data sizes). At warehouse
-    # scale this is the persisted (vec -> cluster) table SemDeDup
-    # materializes anyway.
-    assign = assign.localCheckpoint(eager=False)
     vn = vecs.select(
         "vec_id",
         "v",
         F.sqrt(F.expr(_DOT.format(a="v", b="v"))).alias("norm"),
     )
-    left = (
-        assign.join(vn, "vec_id")
-        .select(
-            F.col("cid"),
-            F.col("vec_id").alias("ia"),
-            F.col("v").alias("va"),
-            F.col("norm").alias("na"),
-        )
+    # One (vec_id, cid, v, norm) table feeds BOTH sides of the
+    # within-cluster self-join AND the cluster census — joined once,
+    # checkpointed once (previously assign joined vn separately per
+    # side: two vec_id shuffle joins instead of one).
+    avn = assign.join(vn, "vec_id").localCheckpoint(eager=False)
+    left = avn.select(
+        F.col("cid"),
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
     )
-    right = (
-        assign.join(vn, "vec_id")
-        .select(
-            F.col("cid"),
-            F.col("vec_id").alias("ib"),
-            F.col("v").alias("vb"),
-            F.col("norm").alias("nb"),
-        )
+    right = avn.select(
+        F.col("cid"),
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
     )
     cos = F.round(
         F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")), 4
@@ -1564,7 +1600,7 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cid")
         .agg(F.countDistinct("ib").alias("n_pruned"))
     )
-    cnt = assign.groupBy("cid").agg(F.count("*").alias("n_vecs"))
+    cnt = avn.groupBy("cid").agg(F.count("*").alias("n_vecs"))
     return (
         cnt.join(pruned, "cid", "left")
         .select(
