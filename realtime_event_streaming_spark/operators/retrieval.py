@@ -1495,91 +1495,100 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " / (na_norm * nb_norm) * 10000) AS BIGINT)"
             ).alias("sim_u"),
         )
-        .localCheckpoint(eager=False)  # every round reuses it
-    )
-    pick = (
-        short.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") == 1)
+        # fresh exprIds: sims descends from `short`, and cogrouping a
+        # frame with its own descendant trips the ambiguous-self-join
+        # analyzer check on the shared qid attribute
         .select(
-            "qid",
-            "nid",
-            "cs_u",
-            F.lit(1).alias("pick"),
-            (F.col("cs_u") * MMR_LAMBDA_DEN)
-            .cast("bigint")
-            .alias("score_u"),
+            F.col("qid").alias("qid"),
+            F.col("na").alias("na"),
+            F.col("nb").alias("nb"),
+            F.col("sim_u").alias("sim_u"),
         )
     )
-    picks = [pick]
-    selall = pick.select("qid", "nid")
-    for r in range(2, MMR_K + 1):
-        cand = short.join(selall, ["qid", "nid"], "left_anti")
-        mx = (
-            cand.join(
-                sims.withColumnRenamed("na", "nid"),
-                ["qid", "nid"],
-            )
-            .join(
-                selall.select("qid", F.col("nid").alias("nb")),
-                ["qid", "nb"],
-            )
-            .groupBy("qid", "nid", "cs_u")
-            .agg(F.max("sim_u").alias("ms_u"))
+
+    def _greedy(key, short_pdf, sims_pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = short_pdf["nid"].to_numpy(np.int64)
+        cs = short_pdf["cs_u"].to_numpy(np.int64)
+        order = np.lexsort((ids, -cs))  # cs desc, nid asc
+        ids, cs = ids[order], cs[order]
+        n = len(ids)
+        pos = {int(i): p for p, i in enumerate(ids)}
+        simm = np.zeros((n, n), dtype=np.int64)
+        for na, nb, su in sims_pdf[["na", "nb", "sim_u"]].itertuples(
+            index=False
+        ):
+            simm[pos[na], pos[nb]] = su
+        picked = [0]  # row 0 IS the (cs desc, nid) argmax
+        scores = [int(cs[0]) * MMR_LAMBDA_DEN]
+        remaining = np.ones(n, dtype=bool)
+        remaining[0] = False
+        ms = simm[:, 0].copy()  # running max-sim-to-picked
+        sentinel = -(1 << 62)  # |score| <= ~1e6: safely below
+        while len(picked) < MMR_K and remaining.any():
+            sc = ln * cs - lo * ms
+            masked = np.where(remaining, sc, sentinel)
+            best = int(np.lexsort((ids, -masked))[0])
+            picked.append(best)
+            scores.append(int(sc[best]))
+            remaining[best] = False
+            ms = np.maximum(ms, simm[:, best])
+        idx = np.array(picked, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "qid": np.full(len(idx), key[0], dtype=np.int64),
+                "nid": ids[idx],
+                "rel": cs[idx].astype(np.float64) / 10000.0,
+                "pick": np.arange(1, len(idx) + 1, dtype=np.int32),
+                "mmr_score": np.array(scores, dtype=np.float64)
+                / (10000.0 * MMR_LAMBDA_DEN),
+            }
         )
-        score_u = (ln * F.col("cs_u") - lo * F.col("ms_u")).cast("bigint")
-        ws = Window.partitionBy("qid").orderBy(
-            F.desc("score_u"), "nid"
+
+    return (
+        short.groupBy("qid")
+        .cogroup(sims.groupBy("qid"))
+        .applyInPandas(
+            _greedy,
+            "qid bigint, nid bigint, rel double, pick int, mmr_score double",
         )
-        p = (
-            mx.select("qid", "nid", "cs_u", score_u.alias("score_u"))
-            .withColumn("rn", F.row_number().over(ws))
-            .where(F.col("rn") == 1)
-            .select(
-                "qid", "nid", "cs_u", F.lit(r).alias("pick"), "score_u"
-            )
-        )
-        picks.append(p)
-        selall = selall.unionAll(p.select("qid", "nid")).localCheckpoint(
-            eager=False
-        )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out.select(
-        "qid",
-        "nid",
-        (F.col("cs_u").cast("double") / 10000).alias("rel"),
-        "pick",
-        (F.col("score_u").cast("double") / (10000 * MMR_LAMBDA_DEN)).alias(
-            "mmr_score"
-        ),
-    ).orderBy("qid", "pick")
+        .orderBy("qid", "pick")
+    )
 mmr_diverse_topk.__doc__ = """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     1998) — the diversification stage between retrieval and a RAG
     prompt: from each query's top-{s} cosine shortlist, greedily pick
     {k} results maximizing lambda*rel - (1-lambda)*max_sim_to_picked
     (lambda = {ln}/{ld} as an exact integer ratio), so near-duplicate
-    passages don't crowd out coverage. The greedy loop is UNROLLED into {k} relational rounds
-    (the BPE/k-means/perceptron bounded-rounds discipline): each round
-    is one anti-join (drop picked), one bounded join onto the
-    precomputed shortlist-pairwise-similarity table, and a per-query
-    argmax window — Catalyst sees one static DAG.
+    passages don't crowd out coverage. The greedy loop runs per-query
+    LOCAL: shortlist and pairwise-sims cogroup by qid into ONE
+    Arrow-batched applyInPandas whose numpy loop does all {k} picks
+    in exact int64 — greedy MMR has no cross-query dependency, so an
+    unrolled relational form (tried first: {k} rounds of
+    anti-join/join/argmax-window) pays {k} cluster-wide barriers and
+    ~4 qid-exchanges per round for nothing; the cogroup pays ONE
+    qid-exchange per side, total. Bounded memory per group:
+    {s} + {s}x{s} int64 rows.
 
     Determinism: relevance and pairwise cosines quantize ONCE per
-    row to BIGINT 1e-4 units; every round's score is then the exact
-    integer {ln}*cs_u - {lo_}*ms_u (a weighted difference of 4dp
-    quantities lands on 5th-decimal midpoints ~10% of the time, where
-    the engines' float round() implementations disagree — measured on
-    first contact and removed by never rounding a float score at
-    all), argmax tie-broken on neighbor id — both engines walk
-    identical greedy paths and the output divides exact integers.
+    row to BIGINT 1e-4 units JVM-SIDE (the only float math there is);
+    every pick's score is then the exact integer {ln}*cs_u -
+    {lo_}*ms_u (a weighted difference of 4dp quantities lands on
+    5th-decimal midpoints ~10% of the time, where the engines' float
+    round() implementations disagree — measured on first contact and
+    removed by never rounding a float score at all), argmax
+    tie-broken on neighbor id via np.lexsort — Python int64 math and
+    DuckDB's unrolled-CTE oracle walk identical greedy paths and the
+    output divides exact integers.
 
     Scale notes (100 TB): everything after the shortlist is bounded —
     {s} rows per query, pairwise sims {s}x{s} per query (computed
-    ONCE, reused by all rounds), and the per-round joins touch only
-    those. The shortlist arm here is the labeled exact baseline (same
-    policy as `ann_bruteforce`); production swaps in the IVF/BM25/RRF
-    searchers — MMR composes with ANY of them unchanged.""".format(
+    ONCE, JVM-side), and the cogroup streams each query's bundle to
+    one Arrow batch. The shortlist arm here is the labeled exact
+    baseline (same policy as `ann_bruteforce`); production swaps in
+    the IVF/BM25/RRF searchers — MMR composes with ANY of them
+    unchanged.""".format(
         s=MMR_SHORT,
         k=MMR_K,
         ln=MMR_LAMBDA_NUM,
