@@ -1573,50 +1573,49 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.sqrt(F.expr(_DOT.format(a="v", b="v"))).alias("norm"),
     )
-    # One (vec_id, cid, v, norm) table feeds BOTH sides of the
-    # within-cluster self-join AND the cluster census — joined once,
-    # checkpointed once (previously assign joined vn separately per
-    # side: two vec_id shuffle joins instead of one).
-    avn = assign.join(vn, "vec_id").localCheckpoint(eager=False)
-    left = avn.select(
-        F.col("cid"),
-        F.col("vec_id").alias("ia"),
-        F.col("v").alias("va"),
-        F.col("norm").alias("na"),
-    )
-    right = avn.select(
-        F.col("cid"),
-        F.col("vec_id").alias("ib"),
-        F.col("v").alias("vb"),
-        F.col("norm").alias("nb"),
-    )
-    cos = F.round(
-        F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")), 4
-    )
-    pruned = (
-        left.join(right, ["cid"])
-        .where(F.col("ia") < F.col("ib"))
-        .where(cos >= SEM_TAU)
-        .groupBy("cid")
-        .agg(F.countDistinct("ib").alias("n_pruned"))
-    )
-    cnt = avn.groupBy("cid").agg(F.count("*").alias("n_vecs"))
-    return (
-        cnt.join(pruned, "cid", "left")
-        .select(
-            "cid",
-            F.col("n_vecs").cast("bigint").alias("n_vecs"),
-            F.coalesce("n_pruned", F.lit(0))
-            .cast("bigint")
-            .alias("n_pruned"),
-            F.round(
-                F.coalesce("n_pruned", F.lit(0)).cast("double")
-                / F.col("n_vecs"),
-                4,
-            ).alias("prune_frac"),
+    # One (vec_id, cid, v, norm) table feeds the per-cluster prune —
+    # joined once; the quadratic pair work happens INSIDE each cid
+    # group as one BLAS Gram matrix instead of a 535k-row relational
+    # self-join whose interpreted zip_with/aggregate dot products
+    # (~34M lambda evals at sf0.1) dominated the query (measured
+    # ~2.2 s of 5.1 s). Per-group memory is O(occupancy^2) — exactly
+    # the SemDeDup contract: production caps occupancy by raising K,
+    # so each cluster's pair block fits one task either way.
+    avn = assign.join(vn, "vec_id")
+    tau_u = int(round(SEM_TAU * 10000))
+
+    def _prune(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        order = np.argsort(ids)
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
+        norms = pdf["norm"].to_numpy(np.float64)[order]
+        # half-up 4-dp quantization (floor(x*1e4 + 0.5)) — the same
+        # round() Spark and DuckDB apply; ids sorted ascending makes
+        # the strict upper triangle exactly the ia < ib pair set
+        cq = np.floor(V @ V.T / np.outer(norms, norms) * 10000.0 + 0.5)
+        dup = np.triu(cq >= tau_u, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                "cid": [key[0]],
+                "n_vecs": [len(ids)],
+                "n_pruned": [int(dup.sum())],
+            }
         )
-        .orderBy("cid")
+
+    census = avn.groupBy("cid").applyInPandas(
+        _prune, "cid bigint, n_vecs bigint, n_pruned bigint"
     )
+    return census.select(
+        "cid",
+        "n_vecs",
+        "n_pruned",
+        F.round(
+            F.col("n_pruned").cast("double") / F.col("n_vecs"), 4
+        ).alias("prune_frac"),
+    ).orderBy("cid")
 semantic_dedup_prune.__doc__ = """SemDeDup (Abbas et al. 2023): cluster the embedding corpus with
     k-means, then prune within each cluster every member whose cosine
     to a lower-id member exceeds {SEM_TAU} (keep-lowest-id — the
@@ -1629,12 +1628,15 @@ semantic_dedup_prune.__doc__ = """SemDeDup (Abbas et al. 2023): cluster the embe
     size, pruned count, prune fraction.
 
     Scale notes (100 TB): training reuses `kmeans_centroids`'s
-    bounded-shuffle Lloyd rounds; the within-cluster pair join is
+    bounded-shuffle Lloyd rounds; the within-cluster pair work is
     quadratic ONLY in cluster occupancy — production SemDeDup caps
     occupancy by raising K (the paper: 50k clusters for 5B images) so
-    each cluster's pair block fits one task; the join here shuffles
-    by cid exactly once. The cosine filter compares against a
-    4-dp-rounded value on both engines, so threshold flips cannot
+    each cluster's pair block fits one task. Here that block IS one
+    task: one cid-shuffle feeds an Arrow-batched applyInPandas that
+    computes the cluster's Gram matrix with BLAS (a relational
+    cid-self-join twin measured 3x slower at sf0.1 — 34M interpreted
+    zip_with lambda evals). The cosine filter compares a half-up
+    4-dp-quantized value on all engines, so threshold flips cannot
     come from summation order.""".format(SEM_TAU=SEM_TAU)
 
 

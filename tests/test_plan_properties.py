@@ -540,19 +540,22 @@ def test_histogram_quantile_merges_bounded_sketch(spark, reg):
     assert "CartesianProduct" not in plan
 
 
-def test_semantic_dedup_pair_join_keyed_by_cluster(spark, reg):
-    """The within-cluster pair join must be an equi-join on cid (the
-    SemDeDup blocking key), never a nested-loop over the corpus; the
-    centroid tables stay broadcast."""
+def test_semantic_dedup_pair_work_is_cluster_local(spark, reg):
+    """The quadratic pair work must be blocked by cid (the SemDeDup
+    contract): ONE cid exchange into a per-cluster Arrow stage — no
+    relational corpus self-join, and nested-loop nodes are fine ONLY
+    because the broadcast K-row centroid cross uses them."""
     plan = _formatted_plan(
         reg["semantic_dedup_prune"].spark_fn(spark, SF), spark
     )
-    # a keyed join (SMJ/SHJ) must carry the pair block; nested-loop
-    # nodes are fine ONLY because the broadcast K-row centroid cross
-    # uses them — the corpus-side pair join must never be one.
-    assert re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
-    pair = re.search(r"(SortMergeJoin|ShuffledHashJoin)[^\n]*", plan)
-    assert pair is not None
+    assert "FlatMapGroupsInPandas" in plan, "per-cluster prune stage"
+    # exactly one FlatMapGroupsInPandas (the prune), fed by a cid
+    # exchange (training's means step adds its own cid exchanges)
+    # formatted plans print each node twice (tree + detail section)
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+    assert re.search(r"hashpartitioning\(cid", plan)
+    # no unkeyed corpus-side pair join survives
+    assert "CartesianProduct" not in plan
 
 
 def test_bm25_prunes_scoring_to_probed_terms(spark, reg):
