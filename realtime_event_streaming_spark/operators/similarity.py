@@ -1592,15 +1592,26 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         order = np.argsort(ids)
         V = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
         norms = pdf["norm"].to_numpy(np.float64)[order]
-        # half-up 4-dp quantization (floor(x*1e4 + 0.5)) — the same
-        # round() Spark and DuckDB apply; ids sorted ascending makes
-        # the strict upper triangle exactly the ia < ib pair set
-        cq = np.floor(V @ V.T / np.outer(norms, norms) * 10000.0 + 0.5)
-        dup = np.triu(cq >= tau_u, k=1).any(axis=0)
+        # Column-blocked Gram: memory O(m*B) instead of the full
+        # O(m^2) matrix, so an over-occupied cluster degrades to more
+        # BLAS passes instead of an executor OOM. Half-up 4-dp
+        # quantization (floor(x*1e4 + 0.5)) — the same round() Spark
+        # and DuckDB apply; ids sorted ascending makes i < j exactly
+        # the ia < ib pair set (column j=0 has no i<j, skip it).
+        m = len(ids)
+        blk = 4096
+        dup = np.zeros(m, dtype=bool)
+        rows = np.arange(m)[:, None]
+        for j0 in range(1, m, blk):
+            j1 = min(j0 + blk, m)
+            g = V @ V[j0:j1].T / np.outer(norms, norms[j0:j1])
+            hit = np.floor(g * 10000.0 + 0.5) >= tau_u
+            hit &= rows < np.arange(j0, j1)[None, :]
+            dup[j0:j1] = hit.any(axis=0)
         return pd.DataFrame(
             {
                 "cid": [key[0]],
-                "n_vecs": [len(ids)],
+                "n_vecs": [m],
                 "n_pruned": [int(dup.sum())],
             }
         )
