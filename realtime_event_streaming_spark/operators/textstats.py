@@ -21,7 +21,7 @@ is keyed by 16-bit bands (same LSH-bucket-join shape as MinHash).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..io import load_table, register_views
 from ..registry import register
@@ -515,6 +515,230 @@ gopher_quality_flags.__doc__ = """The Gopher/MassiveText rule-pack filter (Rae e
     partial counts, then a bounded per-doc max. The final rollup is
     |sources| rows. This is the cheapest possible shape: one shuffle
     for the whole rule pack.""".format(GOPHER_MIN_STOPWORDS=GOPHER_MIN_STOPWORDS, GOPHER_TOPWORD_FRAC=GOPHER_TOPWORD_FRAC)
+
+
+# ---------------------------------------------------------------------------
+# filter-funnel census: sequential-gate attrition through the pipeline
+# ---------------------------------------------------------------------------
+
+#: planted exact copies so the dedup stage provably drops rows at any
+#: SF (the fixture corpus has no verbatim duplicates); offset keeps
+#: planted ids disjoint from real ones and below the CC planted base.
+FUNNEL_PLANT_MOD = 23
+FUNNEL_ID_OFFSET = 50_000_000
+
+_FUNNEL_STAGES = (
+    (1, "lang_en"),
+    (2, "word_count"),
+    (3, "mean_word_len"),
+    (4, "stopwords"),
+    (5, "top_word"),
+    (6, "exact_dedup"),
+)
+
+_FUNNEL_DUCK = f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + {FUNNEL_ID_OFFSET}, text, lang FROM documents
+  WHERE doc_id % {FUNNEL_PLANT_MOD} = 0
+),
+t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS tk FROM corpus),
+m AS (
+  SELECT doc_id, text, lang, len(tk) AS n,
+         round(list_sum(list_transform(tk, x -> cast(length(x) AS BIGINT)))
+               / cast(len(tk) AS DOUBLE), 4) AS mwl,
+         len(list_filter(tk, x -> x IN ({_GOPHER_SW}))) AS sw
+  FROM t
+),
+w AS (
+  SELECT doc_id, max(c) AS mc FROM (
+    SELECT doc_id, x, count(*) AS c
+    FROM t, UNNEST(tk) AS u(x) GROUP BY doc_id, x
+  ) GROUP BY doc_id
+),
+p AS (
+  SELECT m.doc_id, m.text,
+         (lang = 'en') AS p1,
+         (lang = 'en') AND
+           (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}) AS p2,
+         (lang = 'en') AND
+           (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}) AND
+           (mwl >= {GOPHER_MWL_LO} AND mwl <= {GOPHER_MWL_HI}) AS p3,
+         (lang = 'en') AND
+           (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}) AND
+           (mwl >= {GOPHER_MWL_LO} AND mwl <= {GOPHER_MWL_HI}) AND
+           (sw >= {GOPHER_MIN_STOPWORDS}) AS p4,
+         (lang = 'en') AND
+           (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}) AND
+           (mwl >= {GOPHER_MWL_LO} AND mwl <= {GOPHER_MWL_HI}) AND
+           (sw >= {GOPHER_MIN_STOPWORDS}) AND
+           (round(mc / cast(n AS DOUBLE), 4) <= {GOPHER_TOPWORD_FRAC}) AS p5
+  FROM m JOIN w USING (doc_id)
+),
+k AS (
+  SELECT doc_id,
+         (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keep
+  FROM p WHERE p5
+),
+c AS (
+  SELECT (SELECT count(*) FROM p) AS c0,
+         (SELECT count(*) FROM p WHERE p1) AS c1,
+         (SELECT count(*) FROM p WHERE p2) AS c2,
+         (SELECT count(*) FROM p WHERE p3) AS c3,
+         (SELECT count(*) FROM p WHERE p4) AS c4,
+         (SELECT count(*) FROM p WHERE p5) AS c5,
+         (SELECT count(*) FROM k WHERE keep) AS c6
+),
+s AS (
+  SELECT 1 AS stage, 'lang_en' AS stage_name, c0 AS n_in, c1 AS n_out,
+         c0 AS n_total FROM c
+  UNION ALL SELECT 2, 'word_count', c1, c2, c0 FROM c
+  UNION ALL SELECT 3, 'mean_word_len', c2, c3, c0 FROM c
+  UNION ALL SELECT 4, 'stopwords', c3, c4, c0 FROM c
+  UNION ALL SELECT 5, 'top_word', c4, c5, c0 FROM c
+  UNION ALL SELECT 6, 'exact_dedup', c5, c6, c0 FROM c
+)
+SELECT cast(stage AS BIGINT) AS stage, stage_name,
+       cast(n_in AS BIGINT) AS n_in,
+       cast(n_out AS BIGINT) AS n_out,
+       cast(n_in - n_out AS BIGINT) AS dropped,
+       CASE WHEN n_in = 0 THEN 0.0
+            ELSE round(cast((n_in - n_out) * 100 AS DOUBLE) / n_in, 4)
+       END AS drop_pct,
+       round(cast(n_out * 100 AS DOUBLE) / n_total, 4)
+         AS cum_survival_pct
+FROM s
+ORDER BY stage
+"""
+
+
+@register("filter_funnel_census", _FUNNEL_DUCK, tags=("text", "curation"))
+def filter_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    planted = docs.where(F.col("doc_id") % FUNNEL_PLANT_MOD == 0).select(
+        (F.col("doc_id") + FUNNEL_ID_OFFSET).alias("doc_id"), "text", "lang"
+    )
+    corpus = docs.unionByName(planted)
+    tk = F.split("text", " ")
+    n = F.size(tk)
+    mwl = F.round(
+        F.expr(
+            "aggregate(transform(split(text, ' '), x -> length(x)), "
+            "cast(0 as bigint), (acc, x) -> acc + x)"
+        )
+        / n.cast("double"),
+        4,
+    )
+    sw = F.size(
+        F.expr(f"filter(split(text, ' '), x -> x IN ({_GOPHER_SW}))")
+    )
+    m = corpus.select(
+        "doc_id", "text", "lang", n.alias("n"), mwl.alias("mwl"),
+        sw.alias("sw"),
+    )
+    topw = (
+        corpus.select("doc_id", F.explode(tk).alias("x"))
+        .groupBy("doc_id", "x")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mc"))
+    )
+    g1 = F.col("lang") == "en"
+    g2 = (F.col("n") >= GOPHER_MIN_WORDS) & (F.col("n") <= GOPHER_MAX_WORDS)
+    g3 = (F.col("mwl") >= GOPHER_MWL_LO) & (F.col("mwl") <= GOPHER_MWL_HI)
+    g4 = F.col("sw") >= GOPHER_MIN_STOPWORDS
+    g5 = (
+        F.round(F.col("mc") / F.col("n").cast("double"), 4)
+        <= GOPHER_TOPWORD_FRAC
+    )
+    p = m.join(topw, "doc_id").select(
+        "doc_id",
+        "text",
+        g1.alias("p1"),
+        (g1 & g2).alias("p2"),
+        (g1 & g2 & g3).alias("p3"),
+        (g1 & g2 & g3 & g4).alias("p4"),
+        (g1 & g2 & g3 & g4 & g5).alias("p5"),
+    ).localCheckpoint(eager=False)  # feeds the counts AND the dedup gate
+    keep = (
+        p.where("p5")
+        .select(
+            "doc_id",
+            (
+                F.col("doc_id")
+                == F.min("doc_id").over(
+                    Window.partitionBy(F.md5(F.col("text")))
+                )
+            ).alias("keep"),
+        )
+        .where("keep")
+        .agg(F.count("*").cast("bigint").alias("c6"))
+    )
+    pcount = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")
+    counts = p.agg(
+        F.count("*").cast("bigint").alias("c0"),
+        pcount("p1").alias("c1"),
+        pcount("p2").alias("c2"),
+        pcount("p3").alias("c3"),
+        pcount("p4").alias("c4"),
+        pcount("p5").alias("c5"),
+    ).crossJoin(keep)
+    stage_structs = [
+        F.struct(
+            F.lit(st).cast("bigint").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.col(f"c{st - 1}").alias("n_in"),
+            F.col(f"c{st}").alias("n_out"),
+        )
+        for st, name in _FUNNEL_STAGES
+    ]
+    rows = counts.select(
+        "c0", F.explode(F.array(*stage_structs)).alias("s")
+    ).select("c0", "s.*")
+    return rows.select(
+        "stage",
+        "stage_name",
+        "n_in",
+        "n_out",
+        (F.col("n_in") - F.col("n_out")).cast("bigint").alias("dropped"),
+        F.when(F.col("n_in") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                ((F.col("n_in") - F.col("n_out")) * 100).cast("double")
+                / F.col("n_in"),
+                4,
+            )
+        )
+        .alias("drop_pct"),
+        F.round(
+            (F.col("n_out") * 100).cast("double") / F.col("c0"), 4
+        ).alias("cum_survival_pct"),
+    ).orderBy("stage")
+filter_funnel_census.__doc__ = """FineWeb/RefinedWeb-style filter FUNNEL: the per-stage attrition
+    table a dataset builder watches while tuning a curation pipeline.
+    Stages run SEQUENTIALLY (a doc reaches stage k only if it passed
+    1..k-1): language gate (keep 'en'), then the four Gopher rules
+    (word count, mean word length, stopword floor, top-word
+    occupancy — identical thresholds and 4-dp quantization as
+    `gopher_quality_flags`, so the two views reconcile), then exact
+    dedup (keep-lowest-id per md5(text)) among the quality survivors.
+    Each row reports n_in, n_out, dropped, drop_pct and cumulative
+    survival vs the raw corpus — the "where did my tokens go" number
+    (FineWeb keeps ~10% end-to-end; this fixture's funnel shape is
+    pinned by the planted copies). Exact copies are planted
+    (doc_id % {mod} == 0 re-inserted at +{off}) so the dedup stage
+    provably fires at every SF.
+
+    Scale notes (100 TB): the gate predicates are map-side array
+    folds (one doc_id x token shuffle for the top-word rule, shared
+    with the gopher census shape); the prefix-pass table is
+    materialized ONCE and feeds both the count aggregation (6 sums in
+    one pass) and the dedup window (keyed by md5(text) — the exact
+    `dedup_exact_groups` shuffle). Output is 6 rows regardless of
+    corpus size.""".format(mod=FUNNEL_PLANT_MOD, off=FUNNEL_ID_OFFSET)
 
 
 # ---------------------------------------------------------------------------

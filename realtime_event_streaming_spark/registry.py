@@ -99,13 +99,14 @@ def register(
 #: over the committed fixture), plus the two late round-10 debuts
 #: `update_ivfpq_index` (probe-merge-probe maintenance of the PQ
 #: serving index) and `bm25_rm3_topk` (RM3 pseudo-relevance-feedback
-#: expansion) — never-rowed queries always claim a slot before any
+#: expansion) and `filter_funnel_census` (sequential-gate attrition
+#: census) — never-rowed queries always claim a slot before any
 #: re-proof. (c) The full round-5 remainder — the 22
 #: queries whose last green row is round 5 (paragraph_dedup_census ..
 #: zorder_pruned_scan), clearing the round-5 cohort entirely. (d)
-#: The remaining 21 slots take the round-6 cohort in name order
-#: (ann_recall_eval .. gopher_quality_flags); the round-6 remainder
-#: (29 queries) queues for round 11.
+#: The remaining slots take the round-6 cohort in name order
+#: (ann_recall_eval .. golden_record_entities); gopher_quality_flags
+#: and the rest of the round-6 remainder queue for round 11.
 #: Every yielded query remains locally oracle-gated by
 #: tests/test_oracle_parity.py on the FULL registry at every run.
 DRIVER_QUERIES: tuple[str, ...] = (
@@ -118,6 +119,7 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "session_tws_replay",
     "update_ivfpq_index",
     "bm25_rm3_topk",
+    "filter_funnel_census",
     # -- (c) the full round-5 remainder (stalest cohort, cleared)
     "paragraph_dedup_census",
     "part_supplier_variety",
@@ -141,7 +143,7 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "vocab_top_bigrams",
     "weighted_doc_sample",
     "zorder_pruned_scan",
-    # -- (d) round-6 cohort, first 23 in name order
+    # -- (d) round-6 cohort, first 20 in name order
     "ann_recall_eval",
     "bigram_lm_perplexity",
     "bm25_topk",
@@ -162,7 +164,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "funnel_three_step",
     "fuzzy_title_pairs",
     "golden_record_entities",
-    "gopher_quality_flags",
 )
 
 
