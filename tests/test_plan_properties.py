@@ -868,6 +868,28 @@ def test_ndcg_bounded_and_consistent_with_recall(spark, reg):
     assert any(r.ndcg > 0 for r in rows)
 
 
+def test_filter_funnel_telescopes_and_fires_every_stage(spark, reg):
+    """Funnel invariants: stage k+1's n_in is stage k's n_out
+    (sequential gates, no doc skips a stage), counts only fall,
+    cumulative survival is n_out vs the stage-1 input, and the
+    planted exact copies guarantee the dedup stage actually drops
+    rows at any SF."""
+    rows = sorted(
+        reg["filter_funnel_census"].spark_fn(spark, SF).collect(),
+        key=lambda r: r.stage,
+    )
+    assert [r.stage for r in rows] == [1, 2, 3, 4, 5, 6]
+    total = rows[0].n_in
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_in == a.n_out, "funnel must telescope"
+    for r in rows:
+        assert 0 <= r.n_out <= r.n_in
+        assert r.dropped == r.n_in - r.n_out
+        assert abs(r.cum_survival_pct - round(r.n_out * 100 / total, 4)) < 1e-9
+    assert rows[0].n_out < rows[0].n_in, "lang gate must drop non-en docs"
+    assert rows[5].dropped > 0, "planted copies must make dedup fire"
+
+
 def test_k_anonymity_ladder_is_monotone(spark, reg):
     """Dropping a QI column can only merge classes, so every risk
     number must fall (weakly) as the ladder coarsens, and the 'none'
