@@ -558,7 +558,7 @@ w AS (
   ) GROUP BY doc_id
 ),
 p AS (
-  SELECT m.doc_id, m.text,
+  SELECT m.doc_id, m.text, m.n,
          (lang = 'en') AS p1,
          (lang = 'en') AND
            (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}) AS p2,
@@ -577,7 +577,7 @@ p AS (
   FROM m JOIN w USING (doc_id)
 ),
 k AS (
-  SELECT doc_id,
+  SELECT doc_id, n,
          (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keep
   FROM p WHERE p5
 ),
@@ -588,16 +588,23 @@ c AS (
          (SELECT count(*) FROM p WHERE p3) AS c3,
          (SELECT count(*) FROM p WHERE p4) AS c4,
          (SELECT count(*) FROM p WHERE p5) AS c5,
-         (SELECT count(*) FROM k WHERE keep) AS c6
+         (SELECT count(*) FROM k WHERE keep) AS c6,
+         (SELECT coalesce(sum(n), 0) FROM p) AS t0,
+         (SELECT coalesce(sum(n), 0) FROM p WHERE p1) AS t1,
+         (SELECT coalesce(sum(n), 0) FROM p WHERE p2) AS t2,
+         (SELECT coalesce(sum(n), 0) FROM p WHERE p3) AS t3,
+         (SELECT coalesce(sum(n), 0) FROM p WHERE p4) AS t4,
+         (SELECT coalesce(sum(n), 0) FROM p WHERE p5) AS t5,
+         (SELECT coalesce(sum(n), 0) FROM k WHERE keep) AS t6
 ),
 s AS (
   SELECT 1 AS stage, 'lang_en' AS stage_name, c0 AS n_in, c1 AS n_out,
-         c0 AS n_total FROM c
-  UNION ALL SELECT 2, 'word_count', c1, c2, c0 FROM c
-  UNION ALL SELECT 3, 'mean_word_len', c2, c3, c0 FROM c
-  UNION ALL SELECT 4, 'stopwords', c3, c4, c0 FROM c
-  UNION ALL SELECT 5, 'top_word', c4, c5, c0 FROM c
-  UNION ALL SELECT 6, 'exact_dedup', c5, c6, c0 FROM c
+         c0 AS n_total, t1 AS t_out, t0 AS t_total FROM c
+  UNION ALL SELECT 2, 'word_count', c1, c2, c0, t2, t0 FROM c
+  UNION ALL SELECT 3, 'mean_word_len', c2, c3, c0, t3, t0 FROM c
+  UNION ALL SELECT 4, 'stopwords', c3, c4, c0, t4, t0 FROM c
+  UNION ALL SELECT 5, 'top_word', c4, c5, c0, t5, t0 FROM c
+  UNION ALL SELECT 6, 'exact_dedup', c5, c6, c0, t6, t0 FROM c
 )
 SELECT cast(stage AS BIGINT) AS stage, stage_name,
        cast(n_in AS BIGINT) AS n_in,
@@ -607,7 +614,10 @@ SELECT cast(stage AS BIGINT) AS stage, stage_name,
             ELSE round(cast((n_in - n_out) * 100 AS DOUBLE) / n_in, 4)
        END AS drop_pct,
        round(cast(n_out * 100 AS DOUBLE) / n_total, 4)
-         AS cum_survival_pct
+         AS cum_survival_pct,
+       cast(t_out AS BIGINT) AS n_tokens_out,
+       round(cast(t_out * 100 AS DOUBLE) / t_total, 4)
+         AS cum_token_survival_pct
 FROM s
 ORDER BY stage
 """
@@ -657,6 +667,7 @@ def filter_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = m.join(topw, "doc_id").select(
         "doc_id",
         "text",
+        "n",
         g1.alias("p1"),
         (g1 & g2).alias("p2"),
         (g1 & g2 & g3).alias("p3"),
@@ -667,6 +678,7 @@ def filter_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.where("p5")
         .select(
             "doc_id",
+            "n",
             (
                 F.col("doc_id")
                 == F.min("doc_id").over(
@@ -675,9 +687,15 @@ def filter_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
         .where("keep")
-        .agg(F.count("*").cast("bigint").alias("c6"))
+        .agg(
+            F.count("*").cast("bigint").alias("c6"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("t6"),
+        )
     )
     pcount = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")
+    ptoks = lambda c: (
+        F.sum(F.when(F.col(c), F.col("n")).otherwise(0)).cast("bigint")
+    )
     counts = p.agg(
         F.count("*").cast("bigint").alias("c0"),
         pcount("p1").alias("c1"),
@@ -685,6 +703,12 @@ def filter_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         pcount("p3").alias("c3"),
         pcount("p4").alias("c4"),
         pcount("p5").alias("c5"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("t0"),
+        ptoks("p1").alias("t1"),
+        ptoks("p2").alias("t2"),
+        ptoks("p3").alias("t3"),
+        ptoks("p4").alias("t4"),
+        ptoks("p5").alias("t5"),
     ).crossJoin(keep)
     stage_structs = [
         F.struct(
@@ -692,12 +716,13 @@ def filter_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("stage_name"),
             F.col(f"c{st - 1}").alias("n_in"),
             F.col(f"c{st}").alias("n_out"),
+            F.col(f"t{st}").alias("t_out"),
         )
         for st, name in _FUNNEL_STAGES
     ]
     rows = counts.select(
-        "c0", F.explode(F.array(*stage_structs)).alias("s")
-    ).select("c0", "s.*")
+        "c0", "t0", F.explode(F.array(*stage_structs)).alias("s")
+    ).select("c0", "t0", "s.*")
     return rows.select(
         "stage",
         "stage_name",
@@ -716,6 +741,10 @@ def filter_funnel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("n_out") * 100).cast("double") / F.col("c0"), 4
         ).alias("cum_survival_pct"),
+        F.col("t_out").alias("n_tokens_out"),
+        F.round(
+            (F.col("t_out") * 100).cast("double") / F.col("t0"), 4
+        ).alias("cum_token_survival_pct"),
     ).orderBy("stage")
 filter_funnel_census.__doc__ = """FineWeb/RefinedWeb-style filter FUNNEL: the per-stage attrition
     table a dataset builder watches while tuning a curation pipeline.
@@ -726,7 +755,9 @@ filter_funnel_census.__doc__ = """FineWeb/RefinedWeb-style filter FUNNEL: the pe
     `gopher_quality_flags`, so the two views reconcile), then exact
     dedup (keep-lowest-id per md5(text)) among the quality survivors.
     Each row reports n_in, n_out, dropped, drop_pct and cumulative
-    survival vs the raw corpus — the "where did my tokens go" number
+    survival vs the raw corpus at BOTH doc and token grain
+    (n_tokens_out / cum_token_survival_pct — the number dataset
+    papers actually publish) — the "where did my tokens go" table
     (FineWeb keeps ~10% end-to-end; this fixture's funnel shape is
     pinned by the planted copies). Exact copies are planted
     (doc_id % {mod} == 0 re-inserted at +{off}) so the dedup stage

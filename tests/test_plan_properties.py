@@ -888,6 +888,11 @@ def test_filter_funnel_telescopes_and_fires_every_stage(spark, reg):
         assert abs(r.cum_survival_pct - round(r.n_out * 100 / total, 4)) < 1e-9
     assert rows[0].n_out < rows[0].n_in, "lang gate must drop non-en docs"
     assert rows[5].dropped > 0, "planted copies must make dedup fire"
+    toks = [r.n_tokens_out for r in rows]
+    assert all(a >= b >= 0 for a, b in zip(toks, toks[1:])), (
+        "token mass can only fall through the funnel"
+    )
+    assert rows[5].n_tokens_out > 0
 
 
 def test_k_anonymity_ladder_is_monotone(spark, reg):
