@@ -1465,7 +1465,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(wq))
         .where(F.col("rnk") <= MMR_SHORT)
         .drop("rnk")
-        .localCheckpoint(eager=False)  # every round reuses it
+        .localCheckpoint(eager=False)  # feeds the cogroup AND sims
     )
     v1 = vecs.select(
         F.col("vec_id").alias("na"),
