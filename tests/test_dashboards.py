@@ -71,7 +71,11 @@ def _documented_columns(section: str) -> set[str]:
 
 def test_superset_datasets_match_query_schemas(spark):
     reg = load_all()
-    for name in ("minute_rollup", "recent_activity"):
+    for name in (
+        "minute_rollup",
+        "recent_activity",
+        "filter_funnel_census",
+    ):
         actual = set(reg[name].spark_fn(spark, SF_SMOKE).columns)
         documented = _documented_columns(name)
         assert documented == actual, (
