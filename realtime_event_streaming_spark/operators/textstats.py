@@ -772,6 +772,165 @@ filter_funnel_census.__doc__ = """FineWeb/RefinedWeb-style filter FUNNEL: the pe
     corpus size.""".format(mod=FUNNEL_PLANT_MOD, off=FUNNEL_ID_OFFSET)
 
 
+_FUNNEL_BY_SRC_DUCK = f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + {FUNNEL_ID_OFFSET}, text, lang, source FROM documents
+  WHERE doc_id % {FUNNEL_PLANT_MOD} = 0
+),
+t AS (SELECT doc_id, text, lang, source, string_split(text, ' ') AS tk
+      FROM corpus),
+m AS (
+  SELECT doc_id, text, lang, source, len(tk) AS n,
+         round(list_sum(list_transform(tk, x -> cast(length(x) AS BIGINT)))
+               / cast(len(tk) AS DOUBLE), 4) AS mwl,
+         len(list_filter(tk, x -> x IN ({_GOPHER_SW}))) AS sw
+  FROM t
+),
+w AS (
+  SELECT doc_id, max(c) AS mc FROM (
+    SELECT doc_id, x, count(*) AS c
+    FROM t, UNNEST(tk) AS u(x) GROUP BY doc_id, x
+  ) GROUP BY doc_id
+),
+p AS (
+  SELECT m.doc_id, m.text, m.source, m.n,
+         (lang = 'en') AND
+           (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}) AND
+           (mwl >= {GOPHER_MWL_LO} AND mwl <= {GOPHER_MWL_HI}) AND
+           (sw >= {GOPHER_MIN_STOPWORDS}) AND
+           (round(mc / cast(n AS DOUBLE), 4) <= {GOPHER_TOPWORD_FRAC}) AS p5
+  FROM m JOIN w USING (doc_id)
+),
+k AS (
+  SELECT doc_id,
+         (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keep
+  FROM p WHERE p5
+),
+fin AS (SELECT p.source, p.n, coalesce(k.keep, FALSE) AS keep
+        FROM p LEFT JOIN k USING (doc_id))
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_survivors,
+       round(cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 100 AS DOUBLE)
+             / count(*), 4) AS survival_pct,
+       cast(sum(n) AS BIGINT) AS n_tokens,
+       cast(sum(CASE WHEN keep THEN n ELSE 0 END) AS BIGINT)
+         AS n_tokens_surviving,
+       round(cast(sum(CASE WHEN keep THEN n ELSE 0 END) * 100 AS DOUBLE)
+             / sum(n), 4) AS token_survival_pct
+FROM fin
+GROUP BY source
+ORDER BY survival_pct DESC, source
+"""
+
+
+@register(
+    "funnel_survival_by_source", _FUNNEL_BY_SRC_DUCK, tags=("text", "curation")
+)
+def funnel_survival_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    planted = docs.where(F.col("doc_id") % FUNNEL_PLANT_MOD == 0).select(
+        (F.col("doc_id") + FUNNEL_ID_OFFSET).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+    )
+    corpus = docs.unionByName(planted)
+    tk = F.split("text", " ")
+    n = F.size(tk)
+    mwl = F.round(
+        F.expr(
+            "aggregate(transform(split(text, ' '), x -> length(x)), "
+            "cast(0 as bigint), (acc, x) -> acc + x)"
+        )
+        / n.cast("double"),
+        4,
+    )
+    sw = F.size(
+        F.expr(f"filter(split(text, ' '), x -> x IN ({_GOPHER_SW}))")
+    )
+    m = corpus.select(
+        "doc_id", "text", "lang", "source", n.alias("n"),
+        mwl.alias("mwl"), sw.alias("sw"),
+    )
+    topw = (
+        corpus.select("doc_id", F.explode(tk).alias("x"))
+        .groupBy("doc_id", "x")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mc"))
+    )
+    p5 = (
+        (F.col("lang") == "en")
+        & (F.col("n") >= GOPHER_MIN_WORDS)
+        & (F.col("n") <= GOPHER_MAX_WORDS)
+        & (F.col("mwl") >= GOPHER_MWL_LO)
+        & (F.col("mwl") <= GOPHER_MWL_HI)
+        & (F.col("sw") >= GOPHER_MIN_STOPWORDS)
+        & (
+            F.round(F.col("mc") / F.col("n").cast("double"), 4)
+            <= GOPHER_TOPWORD_FRAC
+        )
+    )
+    p = m.join(topw, "doc_id").select(
+        "doc_id", "text", "source", "n", p5.alias("p5")
+    ).localCheckpoint(eager=False)  # feeds the dedup gate AND the rollup
+    k = (
+        p.where("p5")
+        .select(
+            "doc_id",
+            (
+                F.col("doc_id")
+                == F.min("doc_id").over(
+                    Window.partitionBy(F.md5(F.col("text")))
+                )
+            ).alias("keep"),
+        )
+    )
+    fin = p.join(k, "doc_id", "left").select(
+        "source", "n", F.coalesce("keep", F.lit(False)).alias("keep")
+    )
+    kept = lambda e: F.sum(F.when(F.col("keep"), e).otherwise(0)).cast(
+        "bigint"
+    )
+    return (
+        fin.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            kept(F.lit(1)).alias("n_survivors"),
+            F.round(
+                (kept(F.lit(1)) * 100).cast("double") / F.count("*"), 4
+            ).alias("survival_pct"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            kept(F.col("n")).alias("n_tokens_surviving"),
+            F.round(
+                (kept(F.col("n")) * 100).cast("double") / F.sum("n"), 4
+            ).alias("token_survival_pct"),
+        )
+        .orderBy(F.desc("survival_pct"), "source")
+    )
+funnel_survival_by_source.__doc__ = """The SOURCE league table behind `filter_funnel_census`: the same
+    sequential gate stack (lang -> four Gopher rules -> exact dedup
+    among quality survivors) collapsed to end-to-end survival per
+    source, at doc and token grain — the ranking a dataset builder
+    uses to decide which crawls/feeds to renegotiate or drop. Same
+    planted copies ({mod}/{off}) so dedup attrition shows up; same
+    thresholds and 4-dp quantization, so the census and this table
+    reconcile exactly.
+
+    Scale notes (100 TB): identical shape to the census (map-side
+    gate folds + one doc_id x token shuffle + one md5 window), plus a
+    |sources|-row rollup. The keep flag joins back on doc_id — a
+    checkpointed equi-join, never a second text scan.""".format(
+    mod=FUNNEL_PLANT_MOD, off=FUNNEL_ID_OFFSET
+)
+
+
 # ---------------------------------------------------------------------------
 # language-ID confusion matrix (classifier eval census)
 # ---------------------------------------------------------------------------

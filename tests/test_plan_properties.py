@@ -893,6 +893,12 @@ def test_filter_funnel_telescopes_and_fires_every_stage(spark, reg):
         "token mass can only fall through the funnel"
     )
     assert rows[5].n_tokens_out > 0
+    # the source league table is the same gate stack collapsed per
+    # source — its totals must reconcile with the census's final stage
+    src = reg["funnel_survival_by_source"].spark_fn(spark, SF).collect()
+    assert sum(r.n_survivors for r in src) == rows[5].n_out
+    assert sum(r.n_tokens_surviving for r in src) == rows[5].n_tokens_out
+    assert sum(r.n_docs for r in src) == rows[0].n_in
 
 
 def test_k_anonymity_ladder_is_monotone(spark, reg):
