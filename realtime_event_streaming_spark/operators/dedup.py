@@ -2776,3 +2776,235 @@ exact_substring_strip.__doc__ = """ExactSubstr deduplication as a TRANSFORM (Lee
     partition. The suffix-array original is single-machine
     pointer-chasing; this is the distribution-safe restatement at the
     window floor.""".format(w=SPAN_W, top=_XSUB_TOP)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking dedup (Rabin/LBFS-style boundaries)
+# ---------------------------------------------------------------------------
+
+#: CDC parameters: boundary probe is a {k}-token rolling window whose
+#: hash selects a cut with probability 1/{d} (expected chunk ~{d}
+#: tokens); the fixed-size baseline blocks every {fix} tokens.
+_CDC_K = 4
+_CDC_D = 8
+_CDC_FIX = 8
+
+#: planted SHIFTED copies: every {mod}th doc re-enters with one token
+#: prepended, so every byte offset moves — the exact edit that defeats
+#: fixed-size chunking and that content-defined boundaries absorb.
+_CDC_PLANT_MOD = 19
+_CDC_ID_OFFSET = 200_000_000
+_CDC_PREFIX = "zq"
+
+_CDC_LEAD = "lead(t, {i}) OVER (PARTITION BY doc_id ORDER BY pos)"
+
+_CDC_DUCK = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CDC_ID_OFFSET}, '{_CDC_PREFIX} ' || text FROM documents
+  WHERE doc_id % {_CDC_PLANT_MOD} = 0
+),
+toks AS (
+  SELECT doc_id, i AS pos, tk[i] AS t
+  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+       UNNEST(generate_series(1, len(tk))) AS g(i)
+),
+cuts AS (
+  SELECT doc_id, pos, t,
+         CASE WHEN {_CDC_LEAD.format(i=_CDC_K - 1)} IS NULL THEN 0
+              WHEN ('0x' || substr(md5(
+                     t || ' ' || {_CDC_LEAD.format(i=1)}
+                       || ' ' || {_CDC_LEAD.format(i=2)}
+                       || ' ' || {_CDC_LEAD.format(i=3)}
+                   ), 1, 7))::BIGINT % {_CDC_D} = 0
+              THEN 1 ELSE 0 END AS cut
+  FROM toks
+),
+numbered AS (
+  SELECT doc_id, pos, t,
+         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_no
+  FROM cuts
+),
+chunks AS (
+  SELECT doc_id, chunk_no, md5(string_agg(t, ' ' ORDER BY pos)) AS chash,
+         cast(count(*) AS BIGINT) AS ctoks
+  FROM numbered GROUP BY doc_id, chunk_no
+),
+fixedb AS (
+  SELECT doc_id, (pos - 1) // {_CDC_FIX} AS blk,
+         md5(string_agg(t, ' ' ORDER BY pos)) AS fhash
+  FROM toks GROUP BY doc_id, (pos - 1) // {_CDC_FIX}
+),
+stored AS (SELECT cast(sum(ct) AS BIGINT) AS stored_tokens FROM
+           (SELECT chash, max(ctoks) AS ct FROM chunks GROUP BY chash)),
+cstats AS (SELECT cast(count(*) AS BIGINT) AS n_chunks,
+                  cast(count(DISTINCT chash) AS BIGINT)
+                    AS n_distinct_chunks,
+                  cast(sum(ctoks) AS BIGINT) AS logical_tokens
+           FROM chunks),
+cre AS (
+  SELECT cast(count(*) AS BIGINT) AS p_total,
+         cast(sum(CASE WHEN chash IN
+               (SELECT chash FROM chunks WHERE doc_id < {_CDC_ID_OFFSET})
+             THEN 1 ELSE 0 END) AS BIGINT) AS p_hit
+  FROM chunks WHERE doc_id >= {_CDC_ID_OFFSET}
+),
+fre AS (
+  SELECT cast(count(*) AS BIGINT) AS f_total,
+         cast(sum(CASE WHEN fhash IN
+               (SELECT fhash FROM fixedb WHERE doc_id < {_CDC_ID_OFFSET})
+             THEN 1 ELSE 0 END) AS BIGINT) AS f_hit
+  FROM fixedb WHERE doc_id >= {_CDC_ID_OFFSET}
+),
+nd AS (SELECT cast(count(*) AS BIGINT) AS n_docs FROM corpus)
+SELECT n_docs, n_chunks, n_distinct_chunks, logical_tokens, stored_tokens,
+       round(cast((logical_tokens - stored_tokens) * 100 AS DOUBLE)
+             / logical_tokens, 4) AS savings_pct,
+       CASE WHEN p_total = 0 THEN 0.0
+            ELSE round(cast(p_hit * 100 AS DOUBLE) / p_total, 4) END
+         AS cdc_reuse_pct,
+       CASE WHEN f_total = 0 THEN 0.0
+            ELSE round(cast(f_hit * 100 AS DOUBLE) / f_total, 4) END
+         AS fixed_reuse_pct
+FROM nd CROSS JOIN cstats CROSS JOIN stored CROSS JOIN cre CROSS JOIN fre
+"""
+
+
+@register("cdc_chunk_dedup", _CDC_DUCK, tags=("dedup",))
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % _CDC_PLANT_MOD == 0).select(
+        (F.col("doc_id") + _CDC_ID_OFFSET).alias("doc_id"),
+        F.concat(F.lit(_CDC_PREFIX + " "), F.col("text")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    toks = corpus.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "t")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    kg = F.concat_ws(
+        " ",
+        F.col("t"),
+        F.lead("t", 1).over(w),
+        F.lead("t", 2).over(w),
+        F.lead("t", 3).over(w),
+    )
+    cut = F.when(
+        F.lead("t", _CDC_K - 1).over(w).isNotNull()
+        & (
+            F.conv(F.substring(F.md5(kg), 1, 7), 16, 10).cast("bigint")
+            % _CDC_D
+            == 0
+        ),
+        1,
+    ).otherwise(0)
+    numbered = toks.withColumn("cut", cut).withColumn(
+        "chunk_no",
+        F.coalesce(
+            F.sum("cut").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    agg_hash = (
+        "md5(concat_ws(' ', "
+        "transform(array_sort(collect_list(struct(pos, t))), e -> e.t)))"
+    )
+    chunks = numbered.groupBy("doc_id", "chunk_no").agg(
+        F.expr(agg_hash).alias("chash"),
+        F.count("*").cast("bigint").alias("ctoks"),
+    ).localCheckpoint(eager=False)  # stats, store and reuse all read it
+    fixedb = toks.withColumn(
+        "blk", F.floor((F.col("pos") - 1) / _CDC_FIX)
+    ).groupBy("doc_id", "blk").agg(F.expr(agg_hash).alias("fhash"))
+    fixedb = fixedb.localCheckpoint(eager=False)
+    cstats = chunks.agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.countDistinct("chash").cast("bigint").alias("n_distinct_chunks"),
+        F.sum("ctoks").cast("bigint").alias("logical_tokens"),
+    )
+    stored = (
+        chunks.groupBy("chash")
+        .agg(F.max("ctoks").alias("ct"))
+        .agg(F.sum("ct").cast("bigint").alias("stored_tokens"))
+    )
+
+    def _reuse(tbl: DataFrame, key: str, tot: str, hit: str) -> DataFrame:
+        base = (
+            tbl.where(F.col("doc_id") < _CDC_ID_OFFSET)
+            .select(key)
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        return (
+            tbl.where(F.col("doc_id") >= _CDC_ID_OFFSET)
+            .join(F.broadcast(base), key, "left")
+            .agg(
+                F.count("*").cast("bigint").alias(tot),
+                F.sum(F.coalesce("_hit", F.lit(0)))
+                .cast("bigint")
+                .alias(hit),
+            )
+        )
+
+    cre = _reuse(chunks, "chash", "p_total", "p_hit")
+    fre = _reuse(fixedb, "fhash", "f_total", "f_hit")
+    nd = corpus.agg(F.count("*").cast("bigint").alias("n_docs"))
+    pct = lambda num, den: F.when(F.col(den) == 0, F.lit(0.0)).otherwise(
+        F.round((F.col(num) * 100).cast("double") / F.col(den), 4)
+    )
+    return (
+        nd.crossJoin(cstats)
+        .crossJoin(stored)
+        .crossJoin(cre)
+        .crossJoin(fre)
+        .select(
+            "n_docs",
+            "n_chunks",
+            "n_distinct_chunks",
+            "logical_tokens",
+            "stored_tokens",
+            F.round(
+                (
+                    (F.col("logical_tokens") - F.col("stored_tokens")) * 100
+                ).cast("double")
+                / F.col("logical_tokens"),
+                4,
+            ).alias("savings_pct"),
+            pct("p_hit", "p_total").alias("cdc_reuse_pct"),
+            pct("f_hit", "f_total").alias("fixed_reuse_pct"),
+        )
+    )
+cdc_chunk_dedup.__doc__ = """Content-defined chunking dedup census (Rabin/LBFS lineage —
+    Muthitacharoen et al. 2001; the storage-dedup technique behind
+    borg/restic and crawl re-fetch stores): each doc is split where a
+    {k}-token rolling-window hash is 0 mod {d} (expected chunk ~{d}
+    tokens), chunks are content-addressed by md5, and the census
+    reports chunk counts, logical vs stored token mass, and the
+    headline CONTRAST — planted copies of every {mod}th doc re-enter
+    with ONE token prepended (every offset shifts), and the output
+    shows the fraction of their chunks already present in the base
+    store under CDC boundaries (high: boundaries move WITH content)
+    vs fixed {fix}-token blocks (near zero: every block's content
+    shifts). The shift-robustness number IS the reason content-defined
+    beats fixed-size chunking for re-crawled/edited corpora.
+
+    Determinism: boundaries and chunk ids are md5-derived on both
+    engines (same '0x'+7-hex-digit BIGINT dialect as
+    `join_size_estimate`); all ratios are exact-integer counts under
+    half-up 4-dp division.
+
+    Scale notes (100 TB): the token table never leaves its doc
+    partition until the chunk group-by (keyed by doc — map-side);
+    the only corpus-wide shuffles are the content-hash group-bys on
+    16-byte keys (the dedup store's own index shape), and the reuse
+    probes are broadcast semi-joins against the distinct-hash store.
+    This is exactly how a chunk store admits a re-crawl: hash, probe,
+    upload only the misses.""".format(
+    k=_CDC_K, d=_CDC_D, mod=_CDC_PLANT_MOD, fix=_CDC_FIX
+)
