@@ -901,6 +901,20 @@ def test_filter_funnel_telescopes_and_fires_every_stage(spark, reg):
     assert sum(r.n_docs for r in src) == rows[0].n_in
 
 
+def test_cdc_chunking_absorbs_shifts_where_fixed_blocks_cannot(spark, reg):
+    """The reason content-defined chunking exists: planted copies with
+    ONE token prepended (every offset shifted) must reuse most of
+    their chunks under CDC boundaries and almost none under fixed
+    blocks; store accounting must reconcile."""
+    r = reg["cdc_chunk_dedup"].spark_fn(spark, SF).collect()[0]
+    assert r.n_distinct_chunks <= r.n_chunks
+    assert r.stored_tokens <= r.logical_tokens
+    assert r.savings_pct > 0, "planted copies must dedup at chunk grain"
+    assert r.cdc_reuse_pct > 50, "CDC boundaries must move with content"
+    assert r.fixed_reuse_pct < 10, "fixed blocks must break on a shift"
+    assert r.cdc_reuse_pct > 5 * r.fixed_reuse_pct
+
+
 def test_k_anonymity_ladder_is_monotone(spark, reg):
     """Dropping a QI column can only merge classes, so every risk
     number must fall (weakly) as the ladder coarsens, and the 'none'
