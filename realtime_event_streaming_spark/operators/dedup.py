@@ -3008,3 +3008,128 @@ cdc_chunk_dedup.__doc__ = """Content-defined chunking dedup census (Rabin/LBFS l
     upload only the misses.""".format(
     k=_CDC_K, d=_CDC_D, mod=_CDC_PLANT_MOD, fix=_CDC_FIX
 )
+
+
+# ---------------------------------------------------------------------------
+# source syndication matrix (cross-source shared-content containment)
+# ---------------------------------------------------------------------------
+
+#: shingle grain for the cross-source fingerprint postings.
+_SYN_K = 5
+
+#: planted MIRROR feed: every {mod}th doc re-enters verbatim under a
+#: synthetic aggregator source, so the matrix provably surfaces a
+#: syndication edge to each original source at any SF.
+_SYN_PLANT_MOD = 17
+_SYN_ID_OFFSET = 300_000_000
+_SYN_SOURCE = "mirror-feed"
+
+_SYN_TOP = 10
+
+_SYN_DUCK = f"""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + {_SYN_ID_OFFSET}, text, '{_SYN_SOURCE}' FROM documents
+  WHERE doc_id % {_SYN_PLANT_MOD} = 0
+),
+fp AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(tk[i:i + {_SYN_K - 1}], ' ')) AS fid
+  FROM (SELECT source, string_split(text, ' ') AS tk FROM corpus),
+       UNNEST(generate_series(1, len(tk) - {_SYN_K - 1})) AS g(i)
+),
+stats AS (SELECT source, cast(count(*) AS BIGINT) AS n_fids
+          FROM fp GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         cast(count(*) AS BIGINT) AS shared_fids
+  FROM fp a JOIN fp b ON a.fid = b.fid AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, shared_fids,
+       round(cast(shared_fids * 100 AS DOUBLE)
+             / least(sa.n_fids, sb.n_fids), 4) AS containment_pct
+FROM pairs
+JOIN stats sa ON sa.source = src_a
+JOIN stats sb ON sb.source = src_b
+ORDER BY shared_fids DESC, src_a, src_b
+LIMIT {_SYN_TOP}
+"""
+
+
+@register("source_syndication_matrix", _SYN_DUCK, tags=("dedup", "curation"))
+def source_syndication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    planted = docs.where(F.col("doc_id") % _SYN_PLANT_MOD == 0).select(
+        (F.col("doc_id") + _SYN_ID_OFFSET).alias("doc_id"),
+        "text",
+        F.lit(_SYN_SOURCE).alias("source"),
+    )
+    corpus = docs.unionByName(planted)
+    # map-side shingling: slice the token array per start offset —
+    # no positional window, no per-token shuffle
+    shingles = (
+        f"CASE WHEN size(tk) >= {_SYN_K} THEN "
+        f"transform(sequence(1, size(tk) - {_SYN_K - 1}), "
+        f"i -> md5(concat_ws(' ', slice(tk, i, {_SYN_K})))) "
+        "ELSE array() END"
+    )
+    fp = (
+        corpus.select(
+            "source", F.split("text", " ").alias("tk")
+        )
+        .select("source", F.explode(F.expr(shingles)).alias("fid"))
+        .distinct()
+        .localCheckpoint(eager=False)  # stats and BOTH pair sides read it
+    )
+    stats = fp.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_fids")
+    )
+    a = fp.select(F.col("source").alias("src_a"), "fid")
+    b = fp.select(F.col("source").alias("src_b"), "fid")
+    pairs = (
+        a.join(b, "fid")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("shared_fids"))
+    )
+    sa = stats.select(F.col("source").alias("src_a"), F.col("n_fids").alias("na"))
+    sb = stats.select(F.col("source").alias("src_b"), F.col("n_fids").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_fids",
+            F.round(
+                (F.col("shared_fids") * 100).cast("double")
+                / F.least("na", "nb"),
+                4,
+            ).alias("containment_pct"),
+        )
+        .orderBy(F.desc("shared_fids"), "src_a", "src_b")
+        .limit(_SYN_TOP)
+    )
+source_syndication_matrix.__doc__ = """Cross-source SYNDICATION matrix: which source pairs share verbatim
+    content, by distinct {k}-token shingle fingerprints, scored with
+    Broder containment (shared / smaller side) — the mirror/aggregator
+    detector a curation team runs before per-source weighting, since
+    a mirrored feed double-counts its originals' tokens under any
+    source-level mix policy. A synthetic aggregator is planted (every
+    {mod}th doc re-enters verbatim under '{src}'), so the matrix
+    provably surfaces one syndication edge per original source; the
+    top-{top} edges ship with exact shared counts and 4-dp
+    containment.
+
+    Scale notes (100 TB): shingling is map-side (token-array slices,
+    no positional window); the (source, fid) table is distinct-
+    reduced BEFORE the fid-keyed posting self-join, and the pair
+    rollup is bounded by the source-domain squared. The per-source
+    denominators broadcast. Same posting-join discipline as
+    `dedup_minhash_lsh` — never an all-pairs document comparison.""".format(
+    k=_SYN_K, mod=_SYN_PLANT_MOD, src=_SYN_SOURCE, top=_SYN_TOP
+)
