@@ -2798,14 +2798,10 @@ _CDC_PREFIX = "zq"
 
 _CDC_LEAD = "lead(t, {i}) OVER (PARTITION BY doc_id ORDER BY pos)"
 
-_CDC_DUCK = f"""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + {_CDC_ID_OFFSET}, '{_CDC_PREFIX} ' || text FROM documents
-  WHERE doc_id % {_CDC_PLANT_MOD} = 0
-),
-toks AS (
+#: the toks -> cuts -> numbered -> chunks CTE chain over a CTE named
+#: `corpus` (doc_id, text) — shared by the census and the admission
+#: twin so both engines chunk with ONE definition.
+_CDC_CHUNK_CTES = f"""toks AS (
   SELECT doc_id, i AS pos, tk[i] AS t
   FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
        UNNEST(generate_series(1, len(tk))) AS g(i)
@@ -2831,7 +2827,16 @@ chunks AS (
   SELECT doc_id, chunk_no, md5(string_agg(t, ' ' ORDER BY pos)) AS chash,
          cast(count(*) AS BIGINT) AS ctoks
   FROM numbered GROUP BY doc_id, chunk_no
+)"""
+
+_CDC_DUCK = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CDC_ID_OFFSET}, '{_CDC_PREFIX} ' || text FROM documents
+  WHERE doc_id % {_CDC_PLANT_MOD} = 0
 ),
+{_CDC_CHUNK_CTES},
 fixedb AS (
   SELECT doc_id, (pos - 1) // {_CDC_FIX} AS blk,
          md5(string_agg(t, ' ' ORDER BY pos)) AS fhash
@@ -2872,16 +2877,21 @@ FROM nd CROSS JOIN cstats CROSS JOIN stored CROSS JOIN cre CROSS JOIN fre
 """
 
 
-@register("cdc_chunk_dedup", _CDC_DUCK, tags=("dedup",))
-def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: md5 over the chunk's tokens in position order (array_sort makes
+#: collect_list deterministic) — shared by CDC chunks and the fixed
+#: baseline blocks.
+_CDC_AGG_HASH = (
+    "md5(concat_ws(' ', "
+    "transform(array_sort(collect_list(struct(pos, t))), e -> e.t)))"
+)
+
+
+def _cdc_token_chunks(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(toks, chunks) for a (doc_id, text) frame: the Spark mirror of
+    `_CDC_CHUNK_CTES` — positional tokens, content-defined cut flags,
+    running chunk numbers, content-addressed chunks."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = docs.where(F.col("doc_id") % _CDC_PLANT_MOD == 0).select(
-        (F.col("doc_id") + _CDC_ID_OFFSET).alias("doc_id"),
-        F.concat(F.lit(_CDC_PREFIX + " "), F.col("text")).alias("text"),
-    )
-    corpus = docs.unionByName(planted)
     toks = corpus.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "t")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
@@ -2911,17 +2921,27 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ),
     )
-    agg_hash = (
-        "md5(concat_ws(' ', "
-        "transform(array_sort(collect_list(struct(pos, t))), e -> e.t)))"
-    )
     chunks = numbered.groupBy("doc_id", "chunk_no").agg(
-        F.expr(agg_hash).alias("chash"),
+        F.expr(_CDC_AGG_HASH).alias("chash"),
         F.count("*").cast("bigint").alias("ctoks"),
-    ).localCheckpoint(eager=False)  # stats, store and reuse all read it
+    )
+    return toks, chunks
+
+
+@register("cdc_chunk_dedup", _CDC_DUCK, tags=("dedup",))
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % _CDC_PLANT_MOD == 0).select(
+        (F.col("doc_id") + _CDC_ID_OFFSET).alias("doc_id"),
+        F.concat(F.lit(_CDC_PREFIX + " "), F.col("text")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    toks, chunks = _cdc_token_chunks(corpus)
+    # stats, store and reuse all read it
+    chunks = chunks.localCheckpoint(eager=False)
     fixedb = toks.withColumn(
         "blk", F.floor((F.col("pos") - 1) / _CDC_FIX)
-    ).groupBy("doc_id", "blk").agg(F.expr(agg_hash).alias("fhash"))
+    ).groupBy("doc_id", "blk").agg(F.expr(_CDC_AGG_HASH).alias("fhash"))
     fixedb = fixedb.localCheckpoint(eager=False)
     cstats = chunks.agg(
         F.count("*").cast("bigint").alias("n_chunks"),
@@ -3132,4 +3152,162 @@ source_syndication_matrix.__doc__ = """Cross-source SYNDICATION matrix: which so
     denominators broadcast. Same posting-join discipline as
     `dedup_minhash_lsh` — never an all-pairs document comparison.""".format(
     k=_SYN_K, mod=_SYN_PLANT_MOD, src=_SYN_SOURCE, top=_SYN_TOP
+)
+
+
+# ---------------------------------------------------------------------------
+# chunk-store admission: the CDC census's incremental twin
+# ---------------------------------------------------------------------------
+
+#: re-crawl batch: the top (1 - frac) of doc ids is the organic new
+#: slice; every {mod}th STORED doc also re-arrives shifted by one
+#: prepended token (the edited-re-fetch case CDC exists for).
+_CHS_CUT_FRAC = 0.9
+_CHS_PLANT_MOD = 19
+_CHS_ID_OFFSET = 400_000_000
+
+_CHS_DUCK = f"""
+WITH mx AS (SELECT cast(floor({_CHS_CUT_FRAC} * max(doc_id)) AS BIGINT) AS c
+            FROM documents),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CHS_ID_OFFSET}, '{_CDC_PREFIX} ' || text FROM documents, mx
+  WHERE doc_id < c AND doc_id % {_CHS_PLANT_MOD} = 0
+),
+{_CDC_CHUNK_CTES},
+store AS (
+  SELECT DISTINCT chash FROM chunks, mx WHERE doc_id < c
+),
+bp AS (
+  SELECT ch.chash, ch.ctoks,
+         (ch.chash IN (SELECT chash FROM store)) AS hit
+  FROM chunks ch, mx WHERE ch.doc_id >= c
+),
+up AS (
+  SELECT cast(coalesce(count(DISTINCT chash), 0) AS BIGINT)
+           AS uploaded_chunks,
+         cast(coalesce((SELECT sum(ct) FROM
+           (SELECT chash, max(ctoks) AS ct FROM bp WHERE NOT hit
+            GROUP BY chash)), 0) AS BIGINT) AS uploaded_tokens
+  FROM bp WHERE NOT hit
+),
+tot AS (
+  SELECT cast(count(*) AS BIGINT) AS batch_chunks,
+         cast(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS reused_chunks,
+         cast(sum(ctoks) AS BIGINT) AS logical_batch_tokens
+  FROM bp
+),
+nb AS (SELECT cast(count(*) AS BIGINT) AS batch_docs
+       FROM corpus, mx WHERE doc_id >= c)
+SELECT batch_docs, batch_chunks, reused_chunks, uploaded_chunks,
+       round(cast(reused_chunks * 100 AS DOUBLE) / batch_chunks, 4)
+         AS reuse_pct,
+       logical_batch_tokens, uploaded_tokens,
+       round(cast((logical_batch_tokens - uploaded_tokens) * 100 AS DOUBLE)
+             / logical_batch_tokens, 4) AS upload_savings_pct
+FROM nb CROSS JOIN tot CROSS JOIN up
+"""
+
+
+@register("update_chunk_store", _CHS_DUCK, tags=("dedup",))
+def update_chunk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = F.broadcast(
+        docs.agg(
+            F.floor(_CHS_CUT_FRAC * F.max("doc_id")).cast("long").alias("c")
+        )
+    )
+    with_cut = docs.crossJoin(mx)
+    stored_docs = with_cut.where("doc_id < c").select("doc_id", "text")
+    organic = with_cut.where("doc_id >= c").select("doc_id", "text")
+    planted = with_cut.where(
+        f"doc_id < c AND doc_id % {_CHS_PLANT_MOD} = 0"
+    ).select(
+        (F.col("doc_id") + _CHS_ID_OFFSET).alias("doc_id"),
+        F.concat(F.lit(_CDC_PREFIX + " "), F.col("text")).alias("text"),
+    )
+    batch = organic.unionByName(planted)
+    _, chunks = _cdc_token_chunks(stored_docs.unionByName(batch))
+    chunks = chunks.crossJoin(mx).localCheckpoint(eager=False)
+    store = (
+        chunks.where("doc_id < c")
+        .select("chash")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    bp = (
+        chunks.where("doc_id >= c")
+        .join(F.broadcast(store), "chash", "left")
+        .select(
+            "chash", "ctoks", F.coalesce("_hit", F.lit(0)).alias("hit")
+        )
+        .localCheckpoint(eager=False)  # totals and upload both read it
+    )
+    up = (
+        bp.where("hit = 0")
+        .groupBy("chash")
+        .agg(F.max("ctoks").alias("ct"))
+        .agg(
+            F.count("*").cast("bigint").alias("uploaded_chunks"),
+            F.coalesce(F.sum("ct"), F.lit(0))
+            .cast("bigint")
+            .alias("uploaded_tokens"),
+        )
+    )
+    tot = bp.agg(
+        F.count("*").cast("bigint").alias("batch_chunks"),
+        F.sum("hit").cast("bigint").alias("reused_chunks"),
+        F.sum("ctoks").cast("bigint").alias("logical_batch_tokens"),
+    )
+    nb = batch.agg(F.count("*").cast("bigint").alias("batch_docs"))
+    return (
+        nb.crossJoin(tot)
+        .crossJoin(up)
+        .select(
+            "batch_docs",
+            "batch_chunks",
+            "reused_chunks",
+            "uploaded_chunks",
+            F.round(
+                (F.col("reused_chunks") * 100).cast("double")
+                / F.col("batch_chunks"),
+                4,
+            ).alias("reuse_pct"),
+            "logical_batch_tokens",
+            "uploaded_tokens",
+            F.round(
+                (
+                    (
+                        F.col("logical_batch_tokens")
+                        - F.col("uploaded_tokens")
+                    )
+                    * 100
+                ).cast("double")
+                / F.col("logical_batch_tokens"),
+                4,
+            ).alias("upload_savings_pct"),
+        )
+    )
+update_chunk_store.__doc__ = """Chunk-store ADMISSION — `cdc_chunk_dedup`'s incremental twin,
+    completing the CDC family with the probe-the-store discipline of
+    `update_dedup_index`/`update_ann_index`: the bottom
+    {frac:.0%} of doc ids is the standing content-addressed store;
+    the arriving batch (organic new top slice + every {mod}th stored
+    doc re-fetched with ONE token prepended) is chunked with the SAME
+    boundary definition, probed, and only the missing chunks upload.
+    Output: batch/chunk counts, reuse rate, and logical-vs-uploaded
+    token mass — the bandwidth-savings number a re-crawl store
+    operates on (rsync/borg/restic semantics at corpus scale).
+
+    Scale notes (100 TB): the store side is distinct 16-byte hashes
+    (broadcast here; a bucket equi-join against the materialized
+    store index at warehouse scale — the `probe_dedup_index` shape);
+    the batch side chunks map-side per doc and probes once. Nothing
+    rescans the stored corpus text — in production the store IS the
+    persisted chunk-hash table, exactly like the dedup/ANN index
+    twins; here it derives from one shared chunking pass so the
+    oracle can restate the whole computation.""".format(
+    frac=_CHS_CUT_FRAC, mod=_CHS_PLANT_MOD
 )

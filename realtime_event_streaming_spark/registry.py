@@ -108,8 +108,8 @@ def register(
 #: (ann_recall_eval .. golden_record_entities); gopher_quality_flags
 #: and the rest of the round-6 remainder queue for round 11.
 #: Round-11 rotation should LEAD with the never-rowed round-10 late
-#: debuts `funnel_survival_by_source`, `cdc_chunk_dedup` and
-#: `source_syndication_matrix` (all locally green at
+#: debuts `funnel_survival_by_source`, `cdc_chunk_dedup`,
+#: `source_syndication_matrix` and `update_chunk_store` (all locally green at
 #: sf0.001/0.01/0.1 and sf1), then the round-6 remainder per the
 #: standing stalest-first rule.
 #: Every yielded query remains locally oracle-gated by
