@@ -915,6 +915,38 @@ def test_cdc_chunking_absorbs_shifts_where_fixed_blocks_cannot(spark, reg):
     assert r.cdc_reuse_pct > 5 * r.fixed_reuse_pct
 
 
+def test_syndication_matrix_surfaces_the_planted_mirror(spark, reg):
+    """The planted verbatim mirror feed must dominate the top edges
+    (it contains every 17th doc of every source), and containment is
+    a valid percentage of the smaller side."""
+    rows = reg["source_syndication_matrix"].spark_fn(spark, SF).collect()
+    assert rows, "matrix must surface edges"
+    assert any(r.src_a == "mirror-feed" for r in rows), (
+        "planted mirror edge missing from top edges"
+    )
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert r.shared_fids > 0
+        assert 0 < r.containment_pct <= 100
+    shared = [r.shared_fids for r in rows]
+    assert shared == sorted(shared, reverse=True)
+
+
+def test_chunk_store_admission_reuses_shifts_and_uploads_novelty(spark, reg):
+    """The admission twin's contract: shifted re-fetches reuse stored
+    chunks (reused > 0), the organic slice brings novelty
+    (uploaded > 0), upload counts DISTINCT chunks (<= occurrence-grain
+    misses), and the store never uploads more token mass than the
+    batch carries."""
+    r = reg["update_chunk_store"].spark_fn(spark, SF).collect()[0]
+    assert r.reused_chunks > 0, "shifted re-fetches must hit the store"
+    assert r.uploaded_chunks > 0, "organic docs must bring novel chunks"
+    assert r.uploaded_chunks <= r.batch_chunks - r.reused_chunks
+    assert 0 < r.reuse_pct < 100
+    assert 0 <= r.uploaded_tokens <= r.logical_batch_tokens
+    assert 0 < r.upload_savings_pct < 100
+
+
 def test_k_anonymity_ladder_is_monotone(spark, reg):
     """Dropping a QI column can only merge classes, so every risk
     number must fall (weakly) as the ladder coarsens, and the 'none'
