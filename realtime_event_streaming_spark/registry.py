@@ -83,41 +83,25 @@ def register(
 #: (their proof is cumulative across rounds, and every one of them
 #: remains oracle-gated locally by tests/test_oracle_parity.py, which
 #: checks the FULL registry at every run).
-#: Round-10 rotation policy (standing stalest-first rule; judge r9
-#: "Next round" items 1, 5, 6 and 3): (a) `prototypicality_prune`
-#: LEADS — the single registered query that has never had a driver
-#: row (round-9 late debut, locally green at sf0.001/0.01/0.1 and
-#: sf1); with it green, cumulative ever-green reaches every query
-#: ever registered before this round. (b) The round-10 debuts —
-#: `anomaly_tws_replay` (the transformWithState state-v2 path,
-#: driver-hashed via a bit-identical recursive-CTE Welford oracle;
-#: judge item 6), `exact_substring_strip` (Lee et al. ExactSubstr
-#: span removal as a transform; judge item 5), and `pq_rerank_serve`
-#: (the materialized-index ANN serving path the bench headline now
-#: times; judge item 3), and `session_tws_replay` (the state-v2 TIMER
-#: surface — explicit register/delete/expire timers — value-hashed
-#: over the committed fixture), plus the two late round-10 debuts
-#: `update_ivfpq_index` (probe-merge-probe maintenance of the PQ
-#: serving index) and `bm25_rm3_topk` (RM3 pseudo-relevance-feedback
-#: expansion) and `filter_funnel_census` (sequential-gate attrition
-#: census) — never-rowed queries always claim a slot before any
-#: re-proof. (c) The full round-5 remainder — the 22
-#: queries whose last green row is round 5 (paragraph_dedup_census ..
-#: zorder_pruned_scan), clearing the round-5 cohort entirely. (d)
-#: The remaining slots take the round-6 cohort in name order
-#: (ann_recall_eval .. golden_record_entities); gopher_quality_flags
-#: and the rest of the round-6 remainder queue for round 11.
-#: Round-11 rotation should LEAD with the never-rowed round-10 late
-#: debuts `funnel_survival_by_source`, `cdc_chunk_dedup`,
-#: `source_syndication_matrix` and `update_chunk_store` (all locally green at
-#: sf0.001/0.01/0.1 and sf1), then the round-6 remainder per the
-#: standing stalest-first rule.
+#: Round-11 rotation policy (standing stalest-first rule). The
+#: round-10 driver artifacts (CORRECTNESS_r10/BENCH_r10) were never
+#: recorded, so every round-9/10 debut is STILL never-rowed: all 12
+#: of them lead this window — `prototypicality_prune` (r9 late
+#: debut), the round-10 debuts `anomaly_tws_replay`,
+#: `exact_substring_strip`, `pq_rerank_serve`, `session_tws_replay`,
+#: `update_ivfpq_index`, `bm25_rm3_topk`, `filter_funnel_census`,
+#: and the four late round-10 debuts `funnel_survival_by_source`,
+#: `cdc_chunk_dedup`, `source_syndication_matrix`,
+#: `update_chunk_store` (all locally green at sf0.001/0.01/0.1 and
+#: sf1). Then (b) the full round-5 remainder — the 22 queries whose
+#: last green row is round 5 — and (c) the first 16 of the round-6
+#: cohort in name order (ann_recall_eval .. dup_cluster_powerlaw);
+#: the round-6 remainder queues for round 12.
 #: Every yielded query remains locally oracle-gated by
 #: tests/test_oracle_parity.py on the FULL registry at every run.
 DRIVER_QUERIES: tuple[str, ...] = (
-    # -- (a) the one never-rowed query
+    # -- (a) the 12 never-rowed debuts (rounds 9-10)
     "prototypicality_prune",
-    # -- (b) round-10 debuts
     "anomaly_tws_replay",
     "exact_substring_strip",
     "pq_rerank_serve",
@@ -125,7 +109,11 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "update_ivfpq_index",
     "bm25_rm3_topk",
     "filter_funnel_census",
-    # -- (c) the full round-5 remainder (stalest cohort, cleared)
+    "funnel_survival_by_source",
+    "cdc_chunk_dedup",
+    "source_syndication_matrix",
+    "update_chunk_store",
+    # -- (b) the full round-5 remainder (stalest cohort, cleared)
     "paragraph_dedup_census",
     "part_supplier_variety",
     "pca_power_iteration",
@@ -148,7 +136,7 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "vocab_top_bigrams",
     "weighted_doc_sample",
     "zorder_pruned_scan",
-    # -- (d) round-6 cohort, first 20 in name order
+    # -- (c) round-6 cohort, first 16 in name order
     "ann_recall_eval",
     "bigram_lm_perplexity",
     "bm25_topk",
@@ -165,10 +153,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "dominant_part_suppliers",
     "dsir_importance_weights",
     "dup_cluster_powerlaw",
-    "event_transition_matrix",
-    "funnel_three_step",
-    "fuzzy_title_pairs",
-    "golden_record_entities",
 )
 
 
