@@ -911,3 +911,113 @@ generation_provenance.__doc__ = """N-gram PROVENANCE of generated text — the m
     a bounded window.""".format(
         ln=_PROV_LEN, m=_PROV_MOD, n5=_PROV_LEN - 4
     )
+
+
+# ---------------------------------------------------------------------------
+# blocklist phrase census: multi-word deny-list tagging (safety filter)
+# ---------------------------------------------------------------------------
+
+#: The deny-list: (phrase, severity) tiers. In production this is the
+#: safety/compliance phrase list (bad-words, spam templates, SEO
+#: boilerplate) — here a fixed panel of 2-3-word phrases that occur
+#: organically in the fixture vocabulary at every scale factor
+#: (verified: 11/12 hit at sf0.001; `sort merge join` exercises the
+#: zero-hit path both engines must agree on).
+_BLOCK_PHRASES: tuple[tuple[str, str], ...] = (
+    ("big table scan", "high"),
+    ("data line", "low"),
+    ("filter window row", "medium"),
+    ("hash join", "low"),
+    ("key order sort", "low"),
+    ("merge join", "medium"),
+    ("slow query", "high"),
+    ("slow scan", "high"),
+    ("sort merge", "medium"),
+    ("sort merge join", "high"),
+    ("stream batch", "medium"),
+    ("table scan", "low"),
+)
+
+_BLOCK_VALUES = ", ".join(
+    f"('{p}', '{s}')" for p, s in _BLOCK_PHRASES
+)
+
+_BLOCK_DUCK = f"""
+WITH dict(phrase, severity) AS (VALUES {_BLOCK_VALUES}),
+toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, source, tk[i] || ' ' || tk[i+1] AS g
+  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS t(i)
+  UNION ALL
+  SELECT doc_id, source, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+  FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS t(i)
+)
+SELECT source, phrase, severity,
+       cast(count(DISTINCT doc_id) AS BIGINT) AS docs_with,
+       cast(count(*) AS BIGINT) AS hits_total
+FROM grams JOIN dict ON g = phrase
+GROUP BY source, phrase, severity
+ORDER BY source, phrase
+"""
+
+
+@register("blocklist_phrase_census", _BLOCK_DUCK, tags=("curation", "text"))
+def blocklist_phrase_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dict_df = spark.createDataFrame(
+        list(_BLOCK_PHRASES), "phrase string, severity string"
+    )
+    tk = F.split("text", " ")
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.concat(
+                F.when(
+                    F.size(tk) >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(split(text, ' ')) - 1), "
+                        "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+                        "element_at(split(text, ' '), i + 1)))"
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+                F.when(
+                    F.size(tk) >= 3,
+                    F.expr(
+                        "transform(sequence(1, size(split(text, ' ')) - 2), "
+                        "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+                        "element_at(split(text, ' '), i + 1), "
+                        "element_at(split(text, ' '), i + 2)))"
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("g"),
+    )
+    return (
+        grams.join(F.broadcast(dict_df), grams.g == dict_df.phrase)
+        .groupBy("source", "phrase", "severity")
+        .agg(
+            F.countDistinct("doc_id").alias("docs_with"),
+            F.count(F.lit(1)).alias("hits_total"),
+        )
+        .orderBy("source", "phrase")
+    )
+blocklist_phrase_census.__doc__ = """Multi-word deny-list phrase census — the safety/compliance
+    filter gate every production corpus passes (bad-word phrase
+    lists, spam templates, SEO boilerplate): each document's word 2-
+    and 3-grams are matched against a {n}-phrase severity-tiered
+    blocklist; output is the (source, phrase) census with
+    docs-containing and total-occurrence counts. The relational
+    Aho-Corasick substitute: the dictionary side is the automaton,
+    the gram explode is the text scan.
+
+    Scale notes (100 TB): the deny list is KBs — it BROADCASTS, so
+    matching is a map-side hash-join over the gram stream inside
+    whole-stage codegen with no corpus shuffle; non-matching grams
+    (the overwhelming majority) die map-side. The only shuffle is
+    the bounded (source, phrase, severity) rollup, at most
+    |sources| x |dict| groups. countDistinct(doc_id) partial-aggregates
+    per partition because matched grams arrive doc-contiguous from
+    the explode.""".format(n=len(_BLOCK_PHRASES))

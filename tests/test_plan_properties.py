@@ -1178,3 +1178,41 @@ def test_session_tws_replay_exercises_both_closure_paths(spark, reg):
         if rs[-1].session_end_ms <= horizon
     ]
     assert timer_closed, "no timer-closed session found"
+
+
+def test_blocklist_census_matches_independent_count(spark, reg):
+    """The deny-list census's totals must reconcile with an
+    independent direct count of one phrase, severities must follow
+    the dict, and docs_with can never exceed hits_total (a doc
+    counts once but can hit many times)."""
+    from realtime_event_streaming_spark.operators.curation import (
+        _BLOCK_PHRASES,
+    )
+
+    rows = reg["blocklist_phrase_census"].spark_fn(spark, SF).collect()
+    sev = dict(_BLOCK_PHRASES)
+    assert rows, "fixture vocabulary must produce organic hits"
+    for r in rows:
+        assert r.phrase in sev and r.severity == sev[r.phrase]
+        assert 1 <= r.docs_with <= r.hits_total
+    # independent count: non-overlap-free occurrence count of one
+    # bigram via sliding-window transform, straight off the table
+    docs = load_table(spark, SF, "documents")
+    expect = (
+        docs.select(
+            F.expr(
+                "size(filter(transform(sequence(1, size(split(text,' '))-1),"
+                " i -> concat_ws(' ', element_at(split(text,' '), i),"
+                " element_at(split(text,' '), i+1))), g -> g = 'table scan'))"
+            ).alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    got = sum(r.hits_total for r in rows if r.phrase == "table scan")
+    assert got == expect
+    # the plan must broadcast the dictionary side
+    plan = reg["blocklist_phrase_census"].spark_fn(
+        spark, SF
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
