@@ -1021,3 +1021,103 @@ blocklist_phrase_census.__doc__ = """Multi-word deny-list phrase census — the 
     |sources| x |dict| groups. countDistinct(doc_id) partial-aggregates
     per partition because matched grams arrive doc-contiguous from
     the explode.""".format(n=len(_BLOCK_PHRASES))
+
+
+# ---------------------------------------------------------------------------
+# source ablation contrast: leave-one-source-out corpus metrics, one pass
+# ---------------------------------------------------------------------------
+
+_ABLATE_DUCK = """
+WITH per_src AS (
+  SELECT source,
+         cast(count(*) AS BIGINT) AS n_docs,
+         cast(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT source, n_docs, n_tokens,
+         sum(n_docs) OVER () AS t_docs,
+         sum(n_tokens) OVER () AS t_tokens,
+         sum(n_tokens * ln(n_tokens)) OVER () AS t_nlogn
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       round(cast(n_tokens AS DOUBLE) / t_tokens, 4) AS token_share,
+       round(cast(t_tokens - n_tokens AS DOUBLE)
+             / nullif(t_docs - n_docs, 0), 4) AS mean_len_excl,
+       round(cast(t_tokens - n_tokens AS DOUBLE)
+             / nullif(t_docs - n_docs, 0)
+             - cast(t_tokens AS DOUBLE) / t_docs, 4) AS delta_mean_len,
+       round(ln(t_tokens - n_tokens)
+             - (t_nlogn - n_tokens * ln(n_tokens))
+               / (t_tokens - n_tokens), 4) AS mix_entropy_excl,
+       round((ln(t_tokens - n_tokens)
+              - (t_nlogn - n_tokens * ln(n_tokens))
+                / (t_tokens - n_tokens))
+             - (ln(t_tokens) - t_nlogn / t_tokens), 4) AS delta_entropy
+FROM tot
+ORDER BY source
+"""
+
+
+@register(
+    "source_ablation_contrast", _ABLATE_DUCK, tags=("curation", "sampling")
+)
+def source_ablation_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    t_docs = F.sum("n_docs").over(w)
+    t_tokens = F.sum("n_tokens").over(w)
+    t_nlogn = F.sum(F.col("n_tokens") * F.log("n_tokens")).over(w)
+    excl_tokens = (t_tokens - F.col("n_tokens")).cast("double")
+    excl_docs = F.nullif((t_docs - F.col("n_docs")).cast("double"), F.lit(0.0))
+    h_excl = F.log(t_tokens - F.col("n_tokens")) - (
+        t_nlogn - F.col("n_tokens") * F.log("n_tokens")
+    ) / (t_tokens - F.col("n_tokens"))
+    h_all = F.log(t_tokens) - t_nlogn / t_tokens
+    return (
+        per_src.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / t_tokens, 4).alias(
+                "token_share"
+            ),
+            F.round(excl_tokens / excl_docs, 4).alias("mean_len_excl"),
+            F.round(
+                excl_tokens / excl_docs
+                - t_tokens.cast("double") / t_docs,
+                4,
+            ).alias("delta_mean_len"),
+            F.round(h_excl, 4).alias("mix_entropy_excl"),
+            F.round(h_excl - h_all, 4).alias("delta_entropy"),
+        )
+        .orderBy("source")
+    )
+source_ablation_contrast.__doc__ = """Leave-one-source-out ablation contrast in ONE corpus pass —
+    the data-mixture diagnostic behind source-ablation studies
+    ("what does the corpus look like without source S?"): for every
+    source, the mean document length and the token-mass mixture
+    entropy of the corpus EXCLUDING that source, plus the deltas vs
+    the full corpus. Removal of a dominant source collapses entropy
+    (negative delta); removal of a long-doc source drops the mean.
+
+    The algebra is what makes it one-pass: both ablated metrics
+    decompose into TOTAL-minus-OWN terms —
+    mean_excl = (T_tok - c_tok) / (T_doc - c_doc) and
+    H_excl = ln(T_tok - c_tok) - (sum(c ln c) - c_tok ln c_tok)
+    / (T_tok - c_tok) — so one groupBy(source) plus unbounded window
+    totals over the |sources|-row aggregate answers every ablation
+    at once; no per-source corpus rescan (the naive form is
+    |sources| full scans).
+
+    Scale notes (100 TB): the corpus scan computes two additive
+    per-source sums map-side; the window runs over the bounded
+    per-source table (hundreds of rows). The single-partition
+    unbounded window is safe at that cardinality."""

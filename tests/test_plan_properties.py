@@ -1216,3 +1216,32 @@ def test_blocklist_census_matches_independent_count(spark, reg):
         spark, SF
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_source_ablation_matches_bruteforce_exclusion(spark, reg):
+    """The one-pass total-minus-own algebra must agree with the naive
+    per-source rescan it replaces: pick one source, actually filter
+    it out, and recompute both ablated metrics directly."""
+    import math
+
+    rows = {
+        r.source: r
+        for r in reg["source_ablation_contrast"].spark_fn(spark, SF).collect()
+    }
+    assert abs(sum(r.token_share for r in rows.values()) - 1.0) < 1e-2
+    docs = load_table(spark, SF, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("n")
+    )
+    victim = sorted(rows)[0]
+    rest = docs.filter(F.col("source") != victim)
+    agg = rest.agg(
+        F.sum("n").alias("t"), F.count(F.lit(1)).alias("d")
+    ).collect()[0]
+    assert abs(rows[victim].mean_len_excl - round(agg.t / agg.d, 4)) <= 1e-9
+    per = {
+        r.source: r.t
+        for r in rest.groupBy("source").agg(F.sum("n").alias("t")).collect()
+    }
+    tot = sum(per.values())
+    h = math.log(tot) - sum(c * math.log(c) for c in per.values()) / tot
+    assert abs(rows[victim].mix_entropy_excl - round(h, 4)) <= 2e-4
