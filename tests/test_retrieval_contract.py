@@ -52,3 +52,19 @@ def test_tuned_point_is_cheaper_than_default():
 
     tuned, default = adc_rows(TUNED_NPROBE), adc_rows(None)
     assert tuned < default, (tuned, default)
+
+
+def test_graph_ann_meets_recall_floor():
+    """`graph_ann_beam`'s beam width is sized by a measured sweep
+    (B=32 -> 0.68, B=48 -> 0.78, B=64 -> 0.84 at sf0.1); the shipped
+    point must stay >= 0.8 mean recall@5 at the sweep scale. Runs the
+    DuckDB restatement (oracle parity pins spark == oracle)."""
+    from realtime_event_streaming_spark.operators.similarity import (
+        _GRAPH_RECALL_DUCK,
+    )
+
+    con = duck_connection(SWEEP_SF)
+    rows = con.execute(_GRAPH_RECALL_DUCK).fetchall()
+    assert rows, "recall eval returned no rows"
+    mean = sum(r[2] for r in rows) / len(rows)
+    assert mean >= 0.8, f"graph ANN mean recall@5 {mean} < 0.8"
