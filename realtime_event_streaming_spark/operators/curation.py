@@ -1121,3 +1121,137 @@ source_ablation_contrast.__doc__ = """Leave-one-source-out ablation contrast in 
     per-source sums map-side; the window runs over the bounded
     per-source table (hundreds of rows). The single-partition
     unbounded window is safe at that cardinality."""
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-lite: iterative domain-mixture reweighting (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+#: exponentiated-gradient rounds / step size / uniform-smoothing mass
+_DOREMI_T = 5
+_DOREMI_ETA = 0.5
+_DOREMI_C = 0.2
+
+
+def _doremi_rounds_duck() -> str:
+    """T unrolled exponentiated-gradient rounds, each MATERIALIZED
+    (each round is referenced twice — by the next round and by the
+    trajectory union — so inline CTEs re-derive the whole prefix and
+    go exponential in T)."""
+    parts = []
+    for t in range(1, _DOREMI_T + 1):
+        prev = f"r{t - 1}"
+        parts.append(f""",
+r{t} AS MATERIALIZED (
+  SELECT source, xent, avg_xent,
+         (1 - {_DOREMI_C}) * (w * exp({_DOREMI_ETA} * (xent - avg_xent)))
+             / sum(w * exp({_DOREMI_ETA} * (xent - avg_xent))) OVER ()
+         + {_DOREMI_C} / (count(*) OVER ()) AS w
+  FROM {prev}
+)""")
+    return "".join(parts)
+
+
+_DOREMI_TRAJECTORY = " UNION ALL ".join(
+    f"SELECT {t} AS step, source, xent, w FROM r{t}"
+    for t in range(_DOREMI_T + 1)
+)
+
+_DOREMI_DUCK = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+lm AS MATERIALIZED (
+  SELECT tok, cast(count(*) AS DOUBLE) AS c FROM toks GROUP BY tok
+),
+tot AS (SELECT sum(c) AS t FROM lm),
+src_xent AS MATERIALIZED (
+  SELECT s.source, -sum(ln(l.c / t.t)) / count(*) AS xent
+  FROM toks s JOIN lm l ON l.tok = s.tok CROSS JOIN tot t
+  GROUP BY s.source
+),
+r0 AS MATERIALIZED (
+  SELECT source, xent, avg(xent) OVER () AS avg_xent,
+         cast(1 AS DOUBLE) / (count(*) OVER ()) AS w
+  FROM src_xent
+){_doremi_rounds_duck()}
+SELECT step, source, round(xent, 4) AS xent, round(w, 6) AS weight
+FROM ({_DOREMI_TRAJECTORY})
+ORDER BY step, source
+"""
+
+
+@register(
+    "doremi_mix_reweight", _DOREMI_DUCK, tags=("curation", "sampling")
+)
+def doremi_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    lm = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    total = F.sum("c").over(Window.partitionBy())
+    lm = lm.select("tok", "c", total.alias("t"))
+    src_xent = (
+        toks.join(lm, "tok")
+        .groupBy("source")
+        .agg(
+            (-F.sum(F.log(F.col("c") / F.col("t"))) / F.count(F.lit(1)))
+            .alias("xent")
+        )
+    )
+    w_all = Window.partitionBy()
+    state = src_xent.select(
+        "source",
+        "xent",
+        F.avg("xent").over(w_all).alias("avg_xent"),
+        (F.lit(1.0) / F.count(F.lit(1)).over(w_all)).alias("w"),
+    ).localCheckpoint(eager=False)
+    trajectory = state.select(
+        F.lit(0).alias("step"), "source", "xent", "w"
+    )
+    for t in range(1, _DOREMI_T + 1):
+        boost = F.col("w") * F.exp(
+            _DOREMI_ETA * (F.col("xent") - F.col("avg_xent"))
+        )
+        state = state.select(
+            "source",
+            "xent",
+            "avg_xent",
+            (
+                (1 - _DOREMI_C) * boost / F.sum(boost).over(w_all)
+                + _DOREMI_C / F.count(F.lit(1)).over(w_all)
+            ).alias("w"),
+        ).localCheckpoint(eager=False)
+        trajectory = trajectory.union(
+            state.select(F.lit(t).alias("step"), "source", "xent", "w")
+        )
+    return trajectory.select(
+        "step",
+        "source",
+        F.round("xent", 4).alias("xent"),
+        F.round("w", 6).alias("weight"),
+    ).orderBy("step", "source")
+doremi_mix_reweight.__doc__ = """DoReMi-style ADAPTIVE domain reweighting (Xie et al. 2023,
+    "Doremi: Optimizing Data Mixtures") — the iterative counterpart
+    of the static `source_mix_weights`/`mix_schedule_plan`: each
+    source's excess loss under a proxy model drives {t} rounds of the
+    Group-DRO exponentiated-gradient update
+    w <- (1-c) * normalize(w * exp(eta * (xent - avg))) + c/k.
+    The proxy model is the corpus-wide unigram LM (per-source
+    cross-entropy in nats/token); the uniform-smoothing mass c is
+    what makes the rounds genuinely stateful (without it the product
+    telescopes to one closed form). Output is the full (step, source)
+    weight trajectory, step 0 = uniform.
+
+    Scale notes (100 TB): ONE corpus pass builds the LM counts and
+    the per-source cross-entropy (token join is vocab-bounded — the
+    LM side broadcasts in production); the {t} EG rounds run over the
+    |sources|-row state table (window ops over tens of rows), each
+    localCheckpointed so the unrolled lineage stays linear (the
+    DuckDB oracle marks every round MATERIALIZED for the same
+    reason).""".format(t=_DOREMI_T)

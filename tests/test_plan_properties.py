@@ -1245,3 +1245,36 @@ def test_source_ablation_matches_bruteforce_exclusion(spark, reg):
     tot = sum(per.values())
     h = math.log(tot) - sum(c * math.log(c) for c in per.values()) / tot
     assert abs(rows[victim].mix_entropy_excl - round(h, 4)) <= 2e-4
+
+
+def test_doremi_trajectory_invariants(spark, reg):
+    """EG-update invariants: step 0 is uniform, weights stay a
+    distribution at every step, the smoothing floor c/k holds, and
+    the max-excess-loss source is strictly upweighted while the
+    min-loss source is strictly downweighted by the final step."""
+    from realtime_event_streaming_spark.operators.curation import (
+        _DOREMI_C,
+        _DOREMI_T,
+    )
+
+    rows = reg["doremi_mix_reweight"].spark_fn(spark, SF).collect()
+    by_step = {}
+    for r in rows:
+        by_step.setdefault(r.step, {})[r.source] = r
+    assert sorted(by_step) == list(range(_DOREMI_T + 1))
+    k = len(by_step[0])
+    for step, srcs in by_step.items():
+        tot = sum(r.weight for r in srcs.values())
+        assert abs(tot - 1.0) < 1e-4, f"step {step} weights sum {tot}"
+        if step > 0:
+            floor = _DOREMI_C / k
+            assert all(
+                r.weight >= floor - 1e-9 for r in srcs.values()
+            ), f"smoothing floor violated at step {step}"
+    assert all(
+        abs(r.weight - 1.0 / k) < 1e-6 for r in by_step[0].values()
+    ), "step 0 must be uniform"
+    hi = max(by_step[0].values(), key=lambda r: (r.xent, r.source)).source
+    lo = min(by_step[0].values(), key=lambda r: (r.xent, r.source)).source
+    assert by_step[_DOREMI_T][hi].weight > by_step[0][hi].weight
+    assert by_step[_DOREMI_T][lo].weight < by_step[0][lo].weight
