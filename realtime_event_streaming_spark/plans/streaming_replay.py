@@ -359,3 +359,96 @@ def rollup_parts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m_min", "country")
     )
+
+
+# ---------------------------------------------------------------------------
+# at-least-once dedup replay: dropDuplicatesWithinWatermark
+# ---------------------------------------------------------------------------
+
+#: Batch twin: redelivery is a no-op relationally (DISTINCT event_id
+#: collapses it), so the oracle is simply the per-(minute, page)
+#: census over the committed bytes, restricted to the windows the
+#: watermark finalized — identical discipline to _REPLAY_DUCK.
+_STREAM_DEDUP_DUCK = f"""
+WITH raw AS (
+  SELECT * FROM read_json_auto(
+    '{FIXTURE_DIR}/part-*.txt', format='newline_delimited')
+),
+ev AS (
+  SELECT DISTINCT event_id, make_timestamp(ts * 1000) AS t, page FROM raw
+),
+mx AS (SELECT max(t) AS mt FROM ev)
+SELECT strftime(date_trunc('minute', t), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       page,
+       cast(count(*) AS BIGINT) AS cnt
+FROM ev, mx
+WHERE date_trunc('minute', t) + INTERVAL 1 MINUTE
+        <= mt - INTERVAL '{EXACT_WATERMARK}'
+GROUP BY date_trunc('minute', t), page
+ORDER BY window_start, page
+"""
+
+
+@register("stream_dedup_replay", _STREAM_DEDUP_DUCK, tags=("streaming",))
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` under simulated at-least-once
+    redelivery — the Kafka-consumer dedup stage every exactly-once
+    pipeline runs: the committed wire fixture is read through TWO
+    independent file sources (every event delivered twice, possibly
+    in different micro-batches — the redelivery pattern), unioned,
+    deduplicated on the wire `event_id` within the watermark, then
+    rolled up per (minute, page) in append mode. The memory-sink
+    result must equal the batch census of the SINGLE-delivery bytes —
+    the driver's hash match proves the stateful dedup removed exactly
+    the redelivered copies, across micro-batch boundaries.
+
+    Unlike plain `dropDuplicates`, the WithinWatermark form BOUNDS
+    the dedup state: a key is evictable once the watermark passes its
+    event time (at-least-once sources re-deliver within bounded
+    lag), which is what makes the operator viable on an unbounded
+    stream at production scale — state is O(events per watermark
+    horizon), not O(stream history).
+
+    sf_dir is unused — the input is the engine's own wire format
+    (committed fixture), not a warehouse table."""
+    from ..session import fixture_scale_shuffle
+
+    in_dir = _ensure_fixture(spark)
+    name = "replay_stream_dedup"
+    if any(t.name == name for t in spark.catalog.listTables()):
+        spark.catalog.dropTempView(name)
+    with fixture_scale_shuffle(spark):
+        first = parse_clicks(
+            read_json_file_stream(spark, in_dir), watermark=EXACT_WATERMARK
+        )
+        second = parse_clicks(
+            read_json_file_stream(spark, in_dir), watermark=EXACT_WATERMARK
+        )
+        deduped = first.union(second).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        agg = (
+            deduped.groupBy(F.window("ts", "1 minute"), "page")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.col("window.start").alias("ws"), "page", "cnt"
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select(
+            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "page",
+            "cnt",
+        )
+        .orderBy("window_start", "page")
+    )

@@ -435,3 +435,58 @@ def test_stream_stream_join_carries_state_across_batches(spark):
         (u, v, a) for (u, v, a) in cross if (u, fmt(v), fmt(a)) not in got
     ]
     assert not missing, f"cross-batch pairs dropped: {missing[:3]}"
+
+
+def test_stream_dedup_removes_exactly_the_redelivered_copies(spark):
+    """The dropDuplicatesWithinWatermark replay must emit exactly the
+    single-delivery counts: re-running the same doubled-source
+    pipeline WITHOUT the dedup stage yields exactly 2x every row —
+    proving the duplicates were really present and the dedup removed
+    precisely them (not more, not less)."""
+    from realtime_event_streaming_spark.plans.streaming_replay import (
+        _ensure_fixture,
+    )
+    from realtime_event_streaming_spark.registry import load_all
+    from realtime_event_streaming_spark.session import fixture_scale_shuffle
+
+    deduped = {
+        (r.window_start, r.page): r.cnt
+        for r in load_all()["stream_dedup_replay"]
+        .spark_fn(spark, "unused")
+        .collect()
+    }
+    assert deduped, "replay emitted no finalized windows"
+
+    in_dir = _ensure_fixture(spark)
+    name = "replay_stream_dedup_off"
+    if any(t.name == name for t in spark.catalog.listTables()):
+        spark.catalog.dropTempView(name)
+    with fixture_scale_shuffle(spark):
+        first = parse_clicks(
+            read_json_file_stream(spark, in_dir), watermark=EXACT_WATERMARK
+        )
+        second = parse_clicks(
+            read_json_file_stream(spark, in_dir), watermark=EXACT_WATERMARK
+        )
+        q = (
+            first.union(second)
+            .groupBy(F.window("ts", "1 minute"), "page")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("window.start").alias("ws"), "page", "cnt")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    raw = {
+        (
+            r.ws.strftime("%Y-%m-%d %H:%M:%S"),
+            r.page,
+        ): r.cnt
+        for r in spark.table(name).collect()
+    }
+    assert set(raw) == set(deduped)
+    for k, cnt in deduped.items():
+        assert raw[k] == 2 * cnt, f"window {k}: raw {raw[k]} != 2x {cnt}"
