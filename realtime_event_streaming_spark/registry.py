@@ -93,10 +93,12 @@ def register(
 #: and the four late round-10 debuts `funnel_survival_by_source`,
 #: `cdc_chunk_dedup`, `source_syndication_matrix`,
 #: `update_chunk_store` (all locally green at sf0.001/0.01/0.1 and
-#: sf1). Then (b) the full round-5 remainder — the 22 queries whose
-#: last green row is round 5 — and (c) the first 16 of the round-6
-#: cohort in name order (ann_recall_eval .. dup_cluster_powerlaw);
-#: the round-6 remainder queues for round 12.
+#: sf1). Then (b) the round-11 debuts (blocklist phrase census,
+#: one-pass source ablation, NSW graph ANN + its recall contract,
+#: DoReMi reweighting, dropDuplicatesWithinWatermark replay), (c)
+#: the full round-5 remainder — the 22 queries whose last green row
+#: is round 5 — and (d) the first 10 of the round-6 cohort in name
+#: order; the round-6 remainder queues for round 12.
 #: Every yielded query remains locally oracle-gated by
 #: tests/test_oracle_parity.py on the FULL registry at every run.
 DRIVER_QUERIES: tuple[str, ...] = (
@@ -113,7 +115,14 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "cdc_chunk_dedup",
     "source_syndication_matrix",
     "update_chunk_store",
-    # -- (b) the full round-5 remainder (stalest cohort, cleared)
+    # -- (b) round-11 debuts
+    "blocklist_phrase_census",
+    "source_ablation_contrast",
+    "graph_ann_beam",
+    "graph_ann_recall",
+    "doremi_mix_reweight",
+    "stream_dedup_replay",
+    # -- (c) the full round-5 remainder (stalest cohort, cleared)
     "paragraph_dedup_census",
     "part_supplier_variety",
     "pca_power_iteration",
@@ -136,7 +145,7 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "vocab_top_bigrams",
     "weighted_doc_sample",
     "zorder_pruned_scan",
-    # -- (c) round-6 cohort, first 16 in name order
+    # -- (d) round-6 cohort, first 10 in name order
     "ann_recall_eval",
     "bigram_lm_perplexity",
     "bm25_topk",
@@ -147,12 +156,6 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "cluster_cap_sample",
     "compaction_roundtrip",
     "cusum_change_points",
-    "dedup_exact_summary",
-    "dedup_survivors",
-    "discount_uplift",
-    "dominant_part_suppliers",
-    "dsir_importance_weights",
-    "dup_cluster_powerlaw",
 )
 
 
