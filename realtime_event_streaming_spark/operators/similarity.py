@@ -2518,43 +2518,60 @@ qs AS MATERIALIZED (
 frontier0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM qs)"""
 
 
-def _nsw_hops_duck() -> str:
-    """The H unrolled greedy-beam hops as materialized CTEs."""
+def _nsw_hops_duck_for(
+    prefix: str, edges: str = "edges", vecs: str = "vecs", qs: str = "qs"
+) -> str:
+    """The H unrolled greedy-beam hops as materialized CTEs,
+    parametric over the edge table / vector table / query panel so
+    the maintenance query can run several searches (insertion,
+    pre-probe, post-probe) in one statement. ``prefix`` namespaces
+    the CTEs; a ``{prefix}frontier0`` CTE must precede this block."""
     parts = []
     for h in range(1, _NSW_H + 1):
-        prev = f"frontier{h - 1}"
+        prev = f"{prefix}frontier{h - 1}"
         parts.append(f""",
-cand{h} AS MATERIALIZED (
+{prefix}cand{h} AS MATERIALIZED (
   SELECT DISTINCT query_id, node FROM (
     SELECT f.query_id, e.dst AS node
-    FROM {prev} f JOIN edges e ON e.src = f.node
+    FROM {prev} f JOIN {edges} e ON e.src = f.node
     UNION ALL SELECT query_id, node FROM {prev})
 ),
-sc{h} AS MATERIALIZED (
+{prefix}sc{h} AS MATERIALIZED (
   SELECT c.query_id, c.node,
          round(list_dot_product(q.qv, x.v) / (q.qnorm * x.norm), 4) AS score
-  FROM cand{h} c
-  JOIN vecs x ON x.vec_id = c.node
-  JOIN qs q ON q.query_id = c.query_id
+  FROM {prefix}cand{h} c
+  JOIN {vecs} x ON x.vec_id = c.node
+  JOIN {qs} q ON q.query_id = c.query_id
 ),
-frontier{h} AS MATERIALIZED (
+{prefix}frontier{h} AS MATERIALIZED (
   SELECT query_id, node FROM (
     SELECT query_id, node,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY score DESC, node) AS rn
-    FROM sc{h})
+    FROM {prefix}sc{h})
   WHERE rn <= {_NSW_B}
 )""")
     return "".join(parts)
 
 
-_NSW_VISITED_DUCK = (
-    "visited AS MATERIALIZED (SELECT DISTINCT query_id, node, score FROM ("
-    + " UNION ALL ".join(
-        f"SELECT * FROM sc{h}" for h in range(1, _NSW_H + 1)
+def _nsw_visited_duck_for(prefix: str) -> str:
+    """CTE collecting every (query_id, node, score) the prefixed
+    beam evaluated."""
+    return (
+        f"{prefix}visited AS MATERIALIZED "
+        "(SELECT DISTINCT query_id, node, score FROM ("
+        + " UNION ALL ".join(
+            f"SELECT * FROM {prefix}sc{h}" for h in range(1, _NSW_H + 1)
+        )
+        + "))"
     )
-    + "))"
-)
+
+
+def _nsw_hops_duck() -> str:
+    return _nsw_hops_duck_for("")
+
+
+_NSW_VISITED_DUCK = _nsw_visited_duck_for("")
 
 _GRAPH_ANN_DUCK = f"""
 WITH {_nsw_graph_duck()}{_nsw_hops_duck()},
@@ -2570,12 +2587,10 @@ ORDER BY query_id, rank
 """
 
 
-def _nsw_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the NSW beam search; return every (query_id, node, score)
-    the search EVALUATED (the candidate pool final top-k draws from).
-    Each hop is localCheckpointed — hop h's plan references hop h-1,
-    and Catalyst inlines, so an unchained plan is exponential in H."""
-    vecs = _vectors(spark, sf_dir)
+def nsw_near_links(vecs: DataFrame) -> DataFrame:
+    """NSW near links: top-M cosine neighbors within each node's LSH
+    bucket (sub-quadratic build — the `embedding_near_dup`
+    discipline). ``vecs`` must carry (vec_id, v, norm, bucket)."""
     a = vecs.select(
         F.col("vec_id").alias("src"),
         F.col("v").alias("av"),
@@ -2592,7 +2607,7 @@ def _nsw_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
     wnear = Window.partitionBy("src").orderBy(
         F.desc("ncos"), F.col("dst")
     )
-    near = (
+    return (
         a.join(
             b,
             (F.col("bucket") == F.col("bbucket"))
@@ -2603,21 +2618,30 @@ def _nsw_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _NSW_M)
         .select("src", "dst")
     )
+
+
+def nsw_long_links(vecs: DataFrame) -> DataFrame:
+    """Kleinberg small-world long links: +/- power-of-two id strides.
+    Pure arithmetic over the CURRENT id population — never
+    materialized in an index (dangling targets drop at scoring)."""
     steps = F.explode(
         F.array(*[F.lit(s) for s in _NSW_STEPS])
     ).alias("s")
     ids = vecs.select(F.col("vec_id").alias("src"), steps)
-    longl = ids.select(
+    return ids.select(
         "src", (F.col("src") + F.col("s")).alias("dst")
     ).union(ids.select("src", (F.col("src") - F.col("s")).alias("dst")))
-    edges = (
-        near.union(longl).distinct().localCheckpoint(eager=False)
-    )
-    qs = vecs.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
-    )
+
+
+def nsw_beam(
+    qs: DataFrame, vecs: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """Greedy beam search over an NSW edge table: H hops, width B,
+    from entry node 0; returns every (query_id, node, score) the
+    search EVALUATED (the pool a top-k draws from). ``qs`` carries
+    (query_id, qv, qnorm); ``vecs`` (vec_id, v, norm). Each hop is
+    localCheckpointed — hop h's plan references hop h-1, and Catalyst
+    inlines, so an unchained plan is exponential in H."""
     nodes = vecs.select(
         F.col("vec_id").alias("node_id"),
         F.col("v").alias("nv"),
@@ -2654,6 +2678,25 @@ def _nsw_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "node")
         )
     return visited.distinct()
+
+
+def _nsw_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the full NSW graph inline and run the query panel's beam
+    search (the self-contained correctness form; `update_nsw_index`
+    is the materialized serving twin)."""
+    vecs = _vectors(spark, sf_dir)
+    edges = (
+        nsw_near_links(vecs)
+        .union(nsw_long_links(vecs))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    qs = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    return nsw_beam(qs, vecs, edges)
 
 
 @register("graph_ann_beam", _GRAPH_ANN_DUCK, tags=("similarity", "retrieval"))
@@ -2798,3 +2841,93 @@ graph_ann_recall.__doc__ = """Recall@{k} contract for `graph_ann_beam` vs the ex
     baseline); the graph arm re-runs the beam search. Fixture
     measurement drives the pinned floor in
     tests/test_retrieval_contract.py.""".format(k=TOPK)
+
+
+# ---------------------------------------------------------------------------
+# NSW index lifecycle: write / merge (bulk insertion) / probe
+# ---------------------------------------------------------------------------
+
+
+def write_nsw_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize the NSW near-link table (the maintained state; long
+    links are id arithmetic derived at probe time, nothing to store)."""
+    vecs = _vectors(spark, sf_dir)
+    nsw_near_links(vecs).write.mode("overwrite").parquet(f"{path}/near")
+
+
+def merge_nsw_index(
+    spark: SparkSession,
+    path: str,
+    corpus_vecs: DataFrame,
+    batch_vecs: DataFrame,
+) -> None:
+    """Bulk NSW insertion (the standard order-free batch variant of
+    Malkov et al.'s sequential insert): every new vector beam-searches
+    the CURRENT graph for its top-M neighbors, then bidirectional
+    edges (new->nb, nb->new) are appended to the near-link table. New
+    nodes do not see each other during the search — that makes the
+    result independent of insertion order (and relational). Existing
+    near links are never retouched: O(batch x H x B x degree) work,
+    never O(corpus)."""
+    near = spark.read.parquet(f"{path}/near")
+    edges = (
+        near.union(nsw_long_links(corpus_vecs))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bqs = batch_vecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("node")
+    )
+    top = (
+        nsw_beam(bqs, corpus_vecs, edges)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _NSW_M)
+        .select(
+            F.col("query_id").alias("new_id"), F.col("node").alias("nb")
+        )
+    )
+    ins = top.select(
+        F.col("new_id").alias("src"), F.col("nb").alias("dst")
+    ).union(
+        top.select(F.col("nb").alias("src"), F.col("new_id").alias("dst"))
+    )
+    # materialize BEFORE appending: the plan reads the same parquet
+    # dir the append writes into
+    ins = ins.localCheckpoint(eager=True)
+    ins.write.mode("append").parquet(f"{path}/near")
+
+
+def probe_nsw_index(
+    spark: SparkSession, path: str, vecs: DataFrame, queries: DataFrame
+) -> DataFrame:
+    """Beam-search the materialized graph: stored near links + derived
+    long links over the current id population. ``vecs`` carries
+    (vec_id, v, norm) for every live vector; ``queries``
+    (query_id, qv, qnorm). Returns (query_id, rank, neighbor_id,
+    cosine) top-k."""
+    near = spark.read.parquet(f"{path}/near")
+    edges = (
+        near.union(nsw_long_links(vecs))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("node")
+    )
+    return (
+        nsw_beam(queries, vecs, edges)
+        .where(F.col("node") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            "rank",
+            F.col("node").alias("neighbor_id"),
+            F.col("score").alias("cosine"),
+        )
+    )

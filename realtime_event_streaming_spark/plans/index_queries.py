@@ -1049,3 +1049,192 @@ def update_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("phase", "query_id", "rnk", "neighbor_id", "exact_d2")
         .orderBy("phase", "query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# NSW-graph maintenance: probe-merge-probe (the graph-ANN serving path)
+# ---------------------------------------------------------------------------
+
+from ..operators.similarity import (  # noqa: E402
+    _DUCK_VECTORS,
+    _nsw_hops_duck_for,
+    _nsw_visited_duck_for,
+    _NSW_M,
+    _NSW_STEP_VALUES,
+    _vectors,
+    merge_nsw_index,
+    probe_nsw_index,
+    write_nsw_index,
+)
+
+#: every vec_id % MOD == RES vector is re-admitted verbatim under a
+#: new id (max + 1 + vec_id) — the copy recipe `update_ann_index`
+#: established, so the two maintenance paths are directly comparable
+_NSW_MNT_MOD = 9
+_NSW_MNT_RES = 4
+
+
+def _nsw_mnt_batch(vecs) -> DataFrame:
+    mx = F.broadcast(vecs.agg(F.max("vec_id").alias("m")))
+    return (
+        vecs.crossJoin(mx)
+        .where(F.col("vec_id") % _NSW_MNT_MOD == _NSW_MNT_RES)
+        .select(
+            (F.col("vec_id") + F.col("m") + 1).alias("vec_id"),
+            "v",
+            "norm",
+        )
+    )
+
+
+def _build_nsw_maint(spark: SparkSession, sf_dir: str, path: str) -> None:
+    base, merged = f"{path}/base", f"{path}/merged"
+    write_nsw_index(spark, sf_dir, base)
+    shutil.copytree(base, merged)
+    vecs = _vectors(spark, sf_dir)
+    merge_nsw_index(spark, merged, vecs, _nsw_mnt_batch(vecs))
+
+
+def _duck_longl(name: str, tbl: str) -> str:
+    """Long-link CTE over a vector table's id population."""
+    return f"""{name} AS (
+  SELECT t.vec_id AS src, t.vec_id + s.s AS dst
+  FROM {tbl} t, (VALUES {_NSW_STEP_VALUES}) AS s(s)
+  UNION ALL
+  SELECT t.vec_id, t.vec_id - s.s
+  FROM {tbl} t, (VALUES {_NSW_STEP_VALUES}) AS s(s)
+)"""
+
+
+_UPDATE_NSW_DUCK = f"""
+WITH {_DUCK_VECTORS},
+mx AS (SELECT max(vec_id) AS m FROM vecs),
+base_near AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.v, b.v) / (a.norm * b.norm) DESC,
+                      b.vec_id) AS rn
+    FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+  WHERE rn <= {_NSW_M}
+),
+batch AS MATERIALIZED (
+  SELECT v.vec_id + mx.m + 1 AS vec_id, v.v, v.norm
+  FROM vecs v, mx WHERE v.vec_id % {_NSW_MNT_MOD} = {_NSW_MNT_RES}
+),
+vecs_post AS MATERIALIZED (
+  SELECT vec_id, v, norm FROM vecs
+  UNION ALL SELECT vec_id, v, norm FROM batch
+),
+{_duck_longl("base_long", "vecs")},
+base_edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst
+  FROM (SELECT * FROM base_near UNION ALL SELECT * FROM base_long)
+),
+ins_qs AS MATERIALIZED (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM batch
+),
+insfrontier0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM ins_qs),
+{_nsw_hops_duck_for("ins", edges="base_edges", vecs="vecs", qs="ins_qs").lstrip(",")},
+{_nsw_visited_duck_for("ins")},
+ins_top AS MATERIALIZED (
+  SELECT query_id AS new_id, node AS nb FROM (
+    SELECT query_id, node,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, node) AS rn
+    FROM insvisited)
+  WHERE rn <= {_NSW_M}
+),
+merged_near AS MATERIALIZED (
+  SELECT src, dst FROM base_near
+  UNION ALL SELECT new_id, nb FROM ins_top
+  UNION ALL SELECT nb, new_id FROM ins_top
+),
+{_duck_longl("post_long", "vecs_post")},
+post_edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst
+  FROM (SELECT * FROM merged_near UNION ALL SELECT * FROM post_long)
+),
+qs AS MATERIALIZED (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+  FROM vecs WHERE vec_id < {N_QUERIES}
+),
+prefrontier0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM qs),
+{_nsw_hops_duck_for("pre", edges="base_edges", vecs="vecs", qs="qs").lstrip(",")},
+{_nsw_visited_duck_for("pre")},
+postfrontier0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM qs),
+{_nsw_hops_duck_for("post", edges="post_edges", vecs="vecs_post", qs="qs").lstrip(",")},
+{_nsw_visited_duck_for("post")},
+pre_topk AS (
+  SELECT query_id, rank, neighbor_id, cosine FROM (
+    SELECT query_id, node AS neighbor_id, score AS cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, node) AS rank
+    FROM previsited WHERE node <> query_id)
+  WHERE rank <= {TOPK}
+),
+post_topk AS (
+  SELECT query_id, rank, neighbor_id, cosine FROM (
+    SELECT query_id, node AS neighbor_id, score AS cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, node) AS rank
+    FROM postvisited WHERE node <> query_id)
+  WHERE rank <= {TOPK}
+)
+SELECT 'pre_merge' AS phase, query_id, rank, neighbor_id, cosine
+FROM pre_topk
+UNION ALL
+SELECT 'post_merge', query_id, rank, neighbor_id, cosine
+FROM post_topk
+ORDER BY phase, query_id, rank
+"""
+
+
+@register(
+    "update_nsw_index", _UPDATE_NSW_DUCK, tags=("similarity", "maintenance")
+)
+def update_nsw_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _index_path(spark, sf_dir, "nsw_maint", _build_nsw_maint)
+    vecs = _vectors(spark, sf_dir)
+    qs = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    base_vecs = vecs.select("vec_id", "v", "norm")
+    pre = probe_nsw_index(
+        spark, f"{path}/base", base_vecs, qs
+    ).withColumn("phase", F.lit("pre_merge"))
+    vecs_post = base_vecs.union(_nsw_mnt_batch(vecs))
+    post = probe_nsw_index(
+        spark, f"{path}/merged", vecs_post, qs
+    ).withColumn("phase", F.lit("post_merge"))
+    return (
+        pre.unionByName(post)
+        .select("phase", "query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("phase", "query_id", "rank")
+    )
+update_nsw_index.__doc__ = """NSW-graph MAINTENANCE, probe-merge-probe — the graph-ANN
+    serving path (`update_ann_index`'s discipline applied to
+    `graph_ann_beam`'s index): the query panel beam-searches the
+    materialized near-link table before and after a vector batch
+    (verbatim copies of every vec_id % {mod} == {res} vector under
+    new ids) was bulk-INSERTED. Insertion is Malkov et al.'s insert
+    made order-free: each new vector beam-searches the CURRENT graph
+    for its top-{m} neighbors (new nodes blind to each other) and
+    bidirectional edges are appended; existing near links are never
+    retouched, and long links are id arithmetic derived at probe
+    time — nothing to rebuild. A copy's nearest neighbor is its own
+    source (cosine 1.0), so the insert provably wires every copy to
+    its source and the post-merge probe must surface copies next to
+    sources wherever the beam reaches them.
+
+    Scale notes (100 TB / 10^9 vectors): merge cost is
+    O(batch x H x B x degree) — independent of corpus size, the
+    property that makes graph indexes maintainable online (compare
+    `update_ivfpq_index`, whose probe-merge-probe this mirrors). The
+    oracle restates build, insertion and both probes inline, so the
+    driver hash proves the merged table holds exactly
+    base + insertion edges.""".format(
+        mod=_NSW_MNT_MOD, res=_NSW_MNT_RES, m=_NSW_M
+    )

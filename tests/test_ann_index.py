@@ -113,3 +113,48 @@ def test_merge_appends_searchable_vectors_and_compaction_is_invisible(
     assert stats["files_after"] < stats["files_before"]
     again = probe_ann_index(spark, path, _queries(spark)).collect()
     assert sorted(map(tuple, post)) == sorted(map(tuple, again))
+
+
+def test_nsw_merge_wires_copies_to_sources(spark):
+    """update_nsw_index invariants: pre/post phases share the query
+    panel; pre-merge top-k never contains a batch id; every copy
+    whose SOURCE sits at pre-merge rank <= TOPK-1 must surface in the
+    post-merge top-k (the copy scores identically to its source and
+    the insert wired them bidirectionally, so the beam that reached
+    the source reaches the copy one hop further)."""
+    from realtime_event_streaming_spark.plans.index_queries import (
+        _NSW_MNT_MOD,
+        _NSW_MNT_RES,
+    )
+    from realtime_event_streaming_spark.io import load_table
+    from realtime_event_streaming_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["update_nsw_index"].spark_fn(spark, sf).collect()
+    mx = (
+        load_table(spark, sf, "embeddings")
+        .agg({"vec_id": "max"})
+        .collect()[0][0]
+    )
+    pre = [r for r in rows if r.phase == "pre_merge"]
+    post = [r for r in rows if r.phase == "post_merge"]
+    assert {r.query_id for r in pre} == {r.query_id for r in post}
+    assert all(r.neighbor_id <= mx for r in pre), (
+        "pre-merge probe must not see batch ids"
+    )
+    assert any(r.neighbor_id > mx for r in post), (
+        "post-merge probe must surface inserted copies"
+    )
+    from collections import defaultdict
+
+    post_by_q = defaultdict(set)
+    for r in post:
+        post_by_q[r.query_id].add(r.neighbor_id)
+    for r in pre:
+        src = r.neighbor_id
+        if src % _NSW_MNT_MOD == _NSW_MNT_RES and r.rank <= 4:
+            copy_id = src + mx + 1
+            assert copy_id in post_by_q[r.query_id], (
+                f"copy {copy_id} of rank-{r.rank} source {src} missing "
+                f"from post-merge top-k of query {r.query_id}"
+            )
