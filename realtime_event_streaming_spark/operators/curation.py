@@ -1255,3 +1255,99 @@ doremi_mix_reweight.__doc__ = """DoReMi-style ADAPTIVE domain reweighting (Xie e
     localCheckpointed so the unrolled lineage stays linear (the
     DuckDB oracle marks every round MATERIALIZED for the same
     reason).""".format(t=_DOREMI_T)
+
+
+# ---------------------------------------------------------------------------
+# blocklist scrub: the deny-list REMOVAL transform, self-checking
+# ---------------------------------------------------------------------------
+
+#: leftmost-LONGEST emulation under leftmost-first alternation: order
+#: alternatives by descending word count, then descending char
+#: length, then alphabetically — a longer phrase starting at the same
+#: position always precedes its own prefix ("sort merge join" before
+#: "sort merge"), so both RE2 (DuckDB) and java.util.regex (Spark)
+#: pick the longer match.
+_BLOCK_RE = (
+    r"\b("
+    + "|".join(
+        p
+        for p in sorted(
+            (p for p, _ in _BLOCK_PHRASES),
+            key=lambda p: (-len(p.split()), -len(p), p),
+        )
+    )
+    + r")\b"
+)
+
+
+def _scrub_sql(cnt: str, gflag: str, rx: str) -> str:
+    """One body, two dialects (the `_redact_sql` pattern): ``cnt``
+    counts regex matches, ``gflag`` makes DuckDB's regexp_replace
+    global, ``rx`` is the alternation with dialect-appropriate
+    escaping (Spark SQL string literals consume one backslash level —
+    '\\b' would be a BACKSPACE — so its variant doubles them)."""
+    return f"""
+WITH scrubbed AS (
+  SELECT doc_id, source, text,
+         regexp_replace(text, '{rx}', '<blocked>'{gflag}) AS clean
+  FROM documents
+),
+scan AS (
+  SELECT source,
+         {cnt.format(col="text", re=rx)} AS hits,
+         {cnt.format(col="clean", re=rx)} AS residual,
+         {cnt.format(col="clean", re="<blocked>")} AS tags,
+         CASE WHEN clean = text THEN 1 ELSE 0 END AS unchanged
+  FROM scrubbed
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(hits) AS BIGINT) AS phrases_scrubbed,
+       cast(sum(tags) AS BIGINT) AS tags_inserted,
+       cast(sum(residual) AS BIGINT) AS residual_matches,
+       cast(sum(unchanged) AS BIGINT) AS docs_unchanged,
+       cast(sum(1 - unchanged) AS BIGINT) AS docs_scrubbed
+FROM scan GROUP BY source ORDER BY source
+"""
+
+
+_SCRUB_DUCK = _scrub_sql(
+    "len(regexp_extract_all({col}, '{re}'))", ", 'g'", _BLOCK_RE
+)
+_SCRUB_SPARK = _scrub_sql(
+    "regexp_count({col}, '{re}')", "", _BLOCK_RE.replace("\\", "\\\\")
+)
+
+
+@register(
+    "blocklist_scrub_roundtrip", _SCRUB_DUCK, tags=("curation", "text")
+)
+def blocklist_scrub_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import register_views
+
+    register_views(spark, sf_dir, tables=("documents",))
+    return spark.sql(_SCRUB_SPARK)
+blocklist_scrub_roundtrip.__doc__ = """The deny-list SCRUB pass itself, self-checking
+    (`blocklist_phrase_census` counts exposure; this one removes it
+    and PROVES the removal — the `pii_redaction_roundtrip`
+    discipline applied to multi-word phrases): every deny-list
+    occurrence is replaced with a `<blocked>` tag under
+    leftmost-LONGEST semantics (alternation ordered longest-first, so
+    `sort merge join` scrubs as ONE phrase, not its two overlapping
+    sub-phrases), and the output row carries the proof obligations —
+    residual_matches (post-scrub re-scan, must be 0), tag
+    conservation (tags_inserted == phrases_scrubbed under the same
+    scan semantics), and clean-document integrity (docs_unchanged:
+    a doc with no match is byte-identical).
+
+    Note the deliberate semantic split: the census counts EVERY
+    occurrence including overlaps (exposure accounting); the scrub
+    counts leftmost-longest non-overlapping matches (what a single
+    replace pass can remove) — the two numbers answer different
+    questions and are both pinned by tests.
+
+    Scale notes (100 TB): pure map — one regexp_replace + three
+    regexp counts per row inside whole-stage codegen, one bounded
+    per-source rollup. In production the deny list compiles into one
+    alternation (or an Aho-Corasick automaton via mapInPandas when
+    the list outgrows regex); the relational shape is unchanged."""

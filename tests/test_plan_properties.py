@@ -1278,3 +1278,25 @@ def test_doremi_trajectory_invariants(spark, reg):
     lo = min(by_step[0].values(), key=lambda r: (r.xent, r.source)).source
     assert by_step[_DOREMI_T][hi].weight > by_step[0][hi].weight
     assert by_step[_DOREMI_T][lo].weight < by_step[0][lo].weight
+
+
+def test_blocklist_scrub_reconciles_with_census(spark, reg):
+    """Scrub proof obligations: residual re-scan is 0 everywhere, tag
+    conservation holds, and the deliberate semantic split vs the
+    census is bounded the right way — leftmost-longest non-overlapping
+    matches (scrub) can never exceed the census's all-occurrence
+    count, and both see work in the fixture."""
+    scrub = {
+        r.source: r
+        for r in reg["blocklist_scrub_roundtrip"].spark_fn(spark, SF).collect()
+    }
+    census = {}
+    for r in reg["blocklist_phrase_census"].spark_fn(spark, SF).collect():
+        census[r.source] = census.get(r.source, 0) + r.hits_total
+    assert scrub and census
+    assert sum(r.phrases_scrubbed for r in scrub.values()) > 0
+    for src, r in scrub.items():
+        assert r.residual_matches == 0
+        assert r.tags_inserted == r.phrases_scrubbed
+        assert r.docs_unchanged + r.docs_scrubbed == r.n_docs
+        assert r.phrases_scrubbed <= census.get(src, 0)
