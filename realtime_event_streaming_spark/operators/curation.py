@@ -969,27 +969,32 @@ def blocklist_phrase_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     dict_df = spark.createDataFrame(
         list(_BLOCK_PHRASES), "phrase string, severity string"
     )
-    tk = F.split("text", " ")
-    grams = docs.select(
+    # project the token array ONCE: split(text) referenced inside a
+    # transform lambda re-evaluates per element (no common-subexpr
+    # elimination across the lambda boundary) — O(tokens^2) per doc
+    toks = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("tk")
+    )
+    grams = toks.select(
         "doc_id",
         "source",
         F.explode(
             F.concat(
                 F.when(
-                    F.size(tk) >= 2,
+                    F.size("tk") >= 2,
                     F.expr(
-                        "transform(sequence(1, size(split(text, ' ')) - 1), "
-                        "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-                        "element_at(split(text, ' '), i + 1)))"
+                        "transform(sequence(1, size(tk) - 1), "
+                        "i -> concat_ws(' ', element_at(tk, i), "
+                        "element_at(tk, i + 1)))"
                     ),
                 ).otherwise(F.array().cast("array<string>")),
                 F.when(
-                    F.size(tk) >= 3,
+                    F.size("tk") >= 3,
                     F.expr(
-                        "transform(sequence(1, size(split(text, ' ')) - 2), "
-                        "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-                        "element_at(split(text, ' '), i + 1), "
-                        "element_at(split(text, ' '), i + 2)))"
+                        "transform(sequence(1, size(tk) - 2), "
+                        "i -> concat_ws(' ', element_at(tk, i), "
+                        "element_at(tk, i + 1), "
+                        "element_at(tk, i + 2)))"
                     ),
                 ).otherwise(F.array().cast("array<string>")),
             )

@@ -99,9 +99,10 @@ def register(
 #: the full round-5 remainder — the 22 queries whose last green row
 #: is round 5 — and (d) the first 10 of the round-6 cohort in name
 #: order; the round-6 remainder queues for round 12.
-#: Round-12 rotation should LEAD with the round-11 late debut
-#: `update_nsw_index` (locally green at sf0.001/0.01/0.1), then the
-#: round-6 remainder per the standing stalest-first rule.
+#: Round-12 rotation should LEAD with the round-11 late debuts
+#: `update_nsw_index` and `blocklist_scrub_roundtrip` (locally green
+#: at sf0.001/0.01/0.1 and sf1), then the round-6 remainder per the
+#: standing stalest-first rule.
 #: Every yielded query remains locally oracle-gated by
 #: tests/test_oracle_parity.py on the FULL registry at every run.
 DRIVER_QUERIES: tuple[str, ...] = (
