@@ -2727,7 +2727,12 @@ graph_ann_beam.__doc__ = """Graph-based ANN — the navigable-small-world family
     a {h}-hop greedy beam (width {b}) from a single fixed entry node,
     reporting top-{k} of every candidate the beam evaluated.
     Recall@5 vs exact: 0.84 at sf0.1 (2000 vectors), 0.92+ at
-    sf0.001/0.01 — `graph_ann_recall` pins the contract.
+    sf0.001/0.01 — `graph_ann_recall` pins the contract. At a FIXED
+    beam, recall degrades as the corpus grows (0.26 at 10x vectors);
+    the measured recovery levers — scale B (efSearch) ~n^0.6, or
+    densify the stored graph (M=24/B=128 matches M=8/B=192) — are
+    tabulated in PERF.md "NSW at 10x vectors"; production deployments
+    tune B per corpus snapshot exactly as HNSW tunes efSearch.
 
     Scale notes (100 TB / 10^9 vectors): the SEARCH cost per query is
     O(H x B x degree) score evaluations — independent of corpus size
