@@ -1238,3 +1238,71 @@ update_nsw_index.__doc__ = """NSW-graph MAINTENANCE, probe-merge-probe — the g
     base + insertion edges.""".format(
         mod=_NSW_MNT_MOD, res=_NSW_MNT_RES, m=_NSW_M
     )
+
+
+# ---------------------------------------------------------------------------
+# NSW serving probe: the graph-ANN query path against the standing index
+# ---------------------------------------------------------------------------
+
+#: the "pre" arm of _UPDATE_NSW_DUCK as a standalone statement — the
+#: serving read `pq_rerank_serve` is to the IVF-PQ stack
+_GRAPH_SERVE_DUCK = f"""
+WITH {_DUCK_VECTORS},
+base_near AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.v, b.v) / (a.norm * b.norm) DESC,
+                      b.vec_id) AS rn
+    FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+  WHERE rn <= {_NSW_M}
+),
+{_duck_longl("base_long", "vecs")},
+base_edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst
+  FROM (SELECT * FROM base_near UNION ALL SELECT * FROM base_long)
+),
+qs AS MATERIALIZED (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+  FROM vecs WHERE vec_id < {N_QUERIES}
+),
+srvfrontier0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM qs),
+{_nsw_hops_duck_for("srv", edges="base_edges", vecs="vecs", qs="qs").lstrip(",")},
+{_nsw_visited_duck_for("srv")}
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT query_id, node AS neighbor_id, score AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, node) AS rank
+  FROM srvvisited WHERE node <> query_id)
+WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "graph_ann_serve",
+    _GRAPH_SERVE_DUCK,
+    tags=("similarity", "retrieval"),
+)
+def graph_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _index_path(spark, sf_dir, "nsw_maint", _build_nsw_maint)
+    vecs = _vectors(spark, sf_dir)
+    qs = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    return probe_nsw_index(
+        spark, f"{path}/base", vecs.select("vec_id", "v", "norm"), qs
+    ).orderBy("query_id", "rank")
+graph_ann_serve.__doc__ = """The graph-ANN SERVING read — `pq_rerank_serve`'s discipline for
+    the NSW stack: beam-search the query panel against the
+    MATERIALIZED near-link table (built once per process per SF, the
+    `update_nsw_index` base) plus probe-time arithmetic long links.
+    Zero graph construction in the query plan: the only work is
+    H x B x degree edge lookups and score evaluations per query,
+    independent of corpus size (measured flat 4.5 -> 5.6 s at 10x
+    vectors, PERF.md "NSW at 10x vectors"). Same result as
+    `graph_ann_beam` (whose plan retrains the graph inline — the
+    self-contained correctness form); the oracle restates build +
+    search in one statement."""

@@ -158,3 +158,20 @@ def test_nsw_merge_wires_copies_to_sources(spark):
                 f"copy {copy_id} of rank-{r.rank} source {src} missing "
                 f"from post-merge top-k of query {r.query_id}"
             )
+
+
+def test_graph_serve_equals_inline_beam(spark):
+    """`graph_ann_serve` (materialized near-link table + probe-time
+    long links) must return exactly `graph_ann_beam`'s rows — the
+    serving split changes WHERE the graph lives, never the answer."""
+    from realtime_event_streaming_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    reg = load_all()
+    serve = sorted(
+        map(tuple, reg["graph_ann_serve"].spark_fn(spark, sf).collect())
+    )
+    beam = sorted(
+        map(tuple, reg["graph_ann_beam"].spark_fn(spark, sf).collect())
+    )
+    assert serve == beam
