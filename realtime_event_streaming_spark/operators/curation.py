@@ -1356,3 +1356,120 @@ blocklist_scrub_roundtrip.__doc__ = """The deny-list SCRUB pass itself, self-che
     per-source rollup. In production the deny list compiles into one
     alternation (or an Aho-Corasick automaton via mapInPandas when
     the list outgrows regex); the relational shape is unchanged."""
+
+
+# ---------------------------------------------------------------------------
+# generation diversity: distinct-n + self-overlap of the generation panel
+# ---------------------------------------------------------------------------
+
+_GDIV_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+),
+gens AS (
+  SELECT doc_id AS gen_id,
+         tk[{_PROV_START + 1}:{_PROV_START + _PROV_LEN}] AS gtk
+  FROM toks
+  WHERE doc_id % {_PROV_MOD} = 0
+    AND len(tk) >= {_PROV_START + _PROV_LEN}
+),
+g1 AS (
+  SELECT gen_id, gtk[i] AS g
+  FROM gens, UNNEST(generate_series(1, len(gtk))) AS t(i)
+),
+g2 AS (
+  SELECT gen_id, gtk[i] || ' ' || gtk[i+1] AS g
+  FROM gens, UNNEST(generate_series(1, len(gtk) - 1)) AS t(i)
+),
+g3 AS (
+  SELECT gen_id, gtk[i] || ' ' || gtk[i+1] || ' ' || gtk[i+2] AS g
+  FROM gens, UNNEST(generate_series(1, len(gtk) - 2)) AS t(i)
+),
+d1 AS (SELECT gen_id, cast(count(DISTINCT g) AS DOUBLE) / count(*) AS r
+       FROM g1 GROUP BY gen_id),
+d2 AS (SELECT gen_id, cast(count(DISTINCT g) AS DOUBLE) / count(*) AS r
+       FROM g2 GROUP BY gen_id),
+d3 AS (SELECT gen_id, cast(count(DISTINCT g) AS DOUBLE) / count(*) AS r
+       FROM g3 GROUP BY gen_id),
+gsets AS (SELECT DISTINCT gen_id, g FROM g3),
+gsz AS (SELECT gen_id, cast(count(*) AS BIGINT) AS n FROM gsets
+        GROUP BY gen_id),
+ovl AS (
+  SELECT a.gen_id, b.gen_id AS other_id,
+         cast(count(*) AS BIGINT) AS shared
+  FROM gsets a JOIN gsets b ON a.g = b.g AND a.gen_id <> b.gen_id
+  GROUP BY a.gen_id, b.gen_id
+),
+selfb AS (
+  SELECT o.gen_id,
+         max(cast(o.shared AS DOUBLE)
+             / (sa.n + sb.n - o.shared)) AS max_jac
+  FROM ovl o
+  JOIN gsz sa ON sa.gen_id = o.gen_id
+  JOIN gsz sb ON sb.gen_id = o.other_id
+  GROUP BY o.gen_id
+)
+SELECT d1.gen_id,
+       round(d1.r, 4) AS distinct1,
+       round(d2.r, 4) AS distinct2,
+       round(d3.r, 4) AS distinct3,
+       round(coalesce(s.max_jac, 0), 4) AS max_self_jaccard
+FROM d1
+JOIN d2 ON d2.gen_id = d1.gen_id
+JOIN d3 ON d3.gen_id = d1.gen_id
+LEFT JOIN selfb s ON s.gen_id = d1.gen_id
+ORDER BY d1.gen_id
+"""
+
+
+@register("generation_diversity", _GDIV_DUCK, tags=("curation", "text"))
+def generation_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import register_views
+
+    register_views(spark, sf_dir, tables=("documents",))
+    spark_sql = (
+        _GDIV_DUCK
+        .replace("string_split(text, ' ')", "split(text, ' ')")
+        .replace("len(", "size(")
+        .replace(
+            f"tk[{_PROV_START + 1}:{_PROV_START + _PROV_LEN}]",
+            f"slice(tk, {_PROV_START + 1}, {_PROV_LEN})",
+        )
+        .replace("gtk[i] || ' ' || gtk[i+1] || ' ' || gtk[i+2]",
+                 "concat_ws(' ', element_at(gtk, i), element_at(gtk, i+1), "
+                 "element_at(gtk, i+2))")
+        .replace("gtk[i] || ' ' || gtk[i+1]",
+                 "concat_ws(' ', element_at(gtk, i), element_at(gtk, i+1))")
+        .replace("gtk[i]", "element_at(gtk, i)")
+        .replace(
+            "FROM gens, UNNEST(generate_series(1, size(gtk))) AS t(i)",
+            "FROM gens LATERAL VIEW explode(sequence(1, size(gtk))) t AS i",
+        )
+        .replace(
+            "FROM gens, UNNEST(generate_series(1, size(gtk) - 1)) AS t(i)",
+            "FROM gens LATERAL VIEW explode(sequence(1, size(gtk) - 1)) "
+            "t AS i",
+        )
+        .replace(
+            "FROM gens, UNNEST(generate_series(1, size(gtk) - 2)) AS t(i)",
+            "FROM gens LATERAL VIEW explode(sequence(1, size(gtk) - 2)) "
+            "t AS i",
+        )
+    )
+    return spark.sql(spark_sql)
+generation_diversity.__doc__ = """Diversity metrics of the generation panel — the standard
+    text-generation evals next to `generation_provenance`'s
+    attribution: per generation, distinct-1/2/3 (Li et al. 2016 —
+    the type/token ratio at n-gram grain that collapses under
+    repetitive decoding) and max pairwise 3-gram Jaccard against
+    every OTHER generation (the self-BLEU shape: how much the model
+    repeats ITSELF across samples; max, not mean, because one clone
+    pair is the failure signal). Same deterministic panel as
+    provenance ({ln}-token excerpts of every {m}th doc).
+
+    Scale notes (100 TB): the panel is a model's eval sample —
+    bounded (hundreds to thousands), never the corpus; distinct-n is
+    per-generation local; the pairwise stage is gram-blocked
+    (equi-join on shared 3-grams, never all-pairs) over the bounded
+    panel.""".format(ln=_PROV_LEN, m=_PROV_MOD)

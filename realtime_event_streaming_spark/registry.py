@@ -100,9 +100,10 @@ def register(
 #: is round 5 — and (d) the first 10 of the round-6 cohort in name
 #: order; the round-6 remainder queues for round 12.
 #: Round-12 rotation should LEAD with the round-11 late debuts
-#: `update_nsw_index` and `blocklist_scrub_roundtrip` (locally green
-#: at sf0.001/0.01/0.1 and sf1), then the round-6 remainder per the
-#: standing stalest-first rule.
+#: `update_nsw_index`, `blocklist_scrub_roundtrip`, `graph_ann_serve`
+#: and `generation_diversity` (all locally green at sf0.001/0.01/0.1
+#: AND sf1), then the round-6 remainder per the standing
+#: stalest-first rule.
 #: Every yielded query remains locally oracle-gated by
 #: tests/test_oracle_parity.py on the FULL registry at every run.
 DRIVER_QUERIES: tuple[str, ...] = (
