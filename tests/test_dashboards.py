@@ -75,6 +75,8 @@ def test_superset_datasets_match_query_schemas(spark):
         "minute_rollup",
         "recent_activity",
         "filter_funnel_census",
+        "source_ablation_contrast",
+        "graph_ann_recall",
     ):
         actual = set(reg[name].spark_fn(spark, SF_SMOKE).columns)
         documented = _documented_columns(name)
