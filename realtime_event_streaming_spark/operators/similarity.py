@@ -2481,6 +2481,11 @@ _NSW_STEPS = tuple(2**j for j in range(20))
 
 _NSW_STEP_VALUES = ", ".join(f"({s})" for s in _NSW_STEPS)
 
+#: both signs, for frontier-side arithmetic long-link candidates
+_NSW_STEP_VALUES_SIGNED = ", ".join(
+    f"({s})" for s in (*_NSW_STEPS, *(-s for s in _NSW_STEPS))
+)
+
 
 def _nsw_graph_duck() -> str:
     """Shared DuckDB CTE block: vecs + NSW edge table + query panel.
@@ -2491,7 +2496,7 @@ def _nsw_graph_duck() -> str:
     materialized)."""
     return f"""
 {_DUCK_VECTORS},
-near AS MATERIALIZED (
+edges AS MATERIALIZED (
   SELECT src, dst FROM (
     SELECT a.vec_id AS src, b.vec_id AS dst,
            row_number() OVER (PARTITION BY a.vec_id
@@ -2499,17 +2504,6 @@ near AS MATERIALIZED (
                       b.vec_id) AS rn
     FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
   WHERE rn <= {_NSW_M}
-),
-longl AS (
-  SELECT v.vec_id AS src, v.vec_id + t.s AS dst
-  FROM vecs v, (VALUES {_NSW_STEP_VALUES}) AS t(s)
-  UNION ALL
-  SELECT v.vec_id, v.vec_id - t.s
-  FROM vecs v, (VALUES {_NSW_STEP_VALUES}) AS t(s)
-),
-edges AS MATERIALIZED (
-  SELECT DISTINCT src, dst
-  FROM (SELECT * FROM near UNION ALL SELECT * FROM longl)
 ),
 qs AS MATERIALIZED (
   SELECT vec_id AS query_id, v AS qv, norm AS qnorm
@@ -2534,6 +2528,9 @@ def _nsw_hops_duck_for(
   SELECT DISTINCT query_id, node FROM (
     SELECT f.query_id, e.dst AS node
     FROM {prev} f JOIN {edges} e ON e.src = f.node
+    UNION ALL
+    SELECT f.query_id, f.node + t.s
+    FROM {prev} f, (VALUES {_NSW_STEP_VALUES_SIGNED}) AS t(s)
     UNION ALL SELECT query_id, node FROM {prev})
 ),
 {prefix}sc{h} AS MATERIALIZED (
@@ -2620,26 +2617,19 @@ def nsw_near_links(vecs: DataFrame) -> DataFrame:
     )
 
 
-def nsw_long_links(vecs: DataFrame) -> DataFrame:
-    """Kleinberg small-world long links: +/- power-of-two id strides.
-    Pure arithmetic over the CURRENT id population — never
-    materialized in an index (dangling targets drop at scoring)."""
-    steps = F.explode(
-        F.array(*[F.lit(s) for s in _NSW_STEPS])
-    ).alias("s")
-    ids = vecs.select(F.col("vec_id").alias("src"), steps)
-    return ids.select(
-        "src", (F.col("src") + F.col("s")).alias("dst")
-    ).union(ids.select("src", (F.col("src") - F.col("s")).alias("dst")))
-
-
 def nsw_beam(
-    qs: DataFrame, vecs: DataFrame, edges: DataFrame
+    qs: DataFrame, vecs: DataFrame, near: DataFrame
 ) -> DataFrame:
-    """Greedy beam search over an NSW edge table: H hops, width B,
-    from entry node 0; returns every (query_id, node, score) the
+    """Greedy beam search over the NSW near-link table: H hops, width
+    B, from entry node 0; returns every (query_id, node, score) the
     search EVALUATED (the pool a top-k draws from). ``qs`` carries
-    (query_id, qv, qnorm); ``vecs`` (vec_id, v, norm). Each hop is
+    (query_id, qv, qnorm); ``vecs`` (vec_id, v, norm); ``near`` the
+    stored (src, dst) near links. Long-link candidates are generated
+    ARITHMETICALLY from the frontier (node +/- 2^j — identical to
+    joining a materialized long-link table, since a dangling target
+    drops at the scoring join, but O(frontier) instead of O(corpus)
+    per hop: the sf10 measurement caught the corpus-sized derive+
+    distinct costing 66 s/probe at 200k vectors). Each hop is
     localCheckpointed — hop h's plan references hop h-1, and Catalyst
     inlines, so an unchained plan is exponential in H."""
     nodes = vecs.select(
@@ -2654,17 +2644,24 @@ def nsw_beam(
     wbeam = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("node")
     )
+    strides = F.explode(
+        F.array(
+            *[F.lit(s) for s in _NSW_STEPS],
+            *[F.lit(-s) for s in _NSW_STEPS],
+        )
+    ).alias("s")
     frontier = qs.select(
         "query_id", F.lit(0).cast("long").alias("node")
     )
     visited = None
     for _ in range(_NSW_H):
-        cand = (
-            frontier.join(edges, frontier.node == edges.src)
-            .select("query_id", F.col("dst").alias("node"))
-            .union(frontier)
-            .distinct()
+        hops = frontier.join(
+            near, frontier.node == near.src
+        ).select("query_id", F.col("dst").alias("node"))
+        longc = frontier.select("query_id", "node", strides).select(
+            "query_id", (F.col("node") + F.col("s")).alias("node")
         )
+        cand = hops.union(longc).union(frontier).distinct()
         sc = (
             cand.join(nodes, cand.node == nodes.node_id)
             .join(F.broadcast(qs), "query_id")
@@ -2681,22 +2678,17 @@ def nsw_beam(
 
 
 def _nsw_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build the full NSW graph inline and run the query panel's beam
+    """Build the NSW near links inline and run the query panel's beam
     search (the self-contained correctness form; `update_nsw_index`
     is the materialized serving twin)."""
     vecs = _vectors(spark, sf_dir)
-    edges = (
-        nsw_near_links(vecs)
-        .union(nsw_long_links(vecs))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    near = nsw_near_links(vecs).localCheckpoint(eager=False)
     qs = vecs.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
     )
-    return nsw_beam(qs, vecs, edges)
+    return nsw_beam(qs, vecs, near)
 
 
 @register("graph_ann_beam", _GRAPH_ANN_DUCK, tags=("similarity", "retrieval"))
@@ -2853,11 +2845,33 @@ graph_ann_recall.__doc__ = """Recall@{k} contract for `graph_ann_beam` vs the ex
 # ---------------------------------------------------------------------------
 
 
-def write_nsw_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+def write_nsw_index(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    bucket_bits: int | None = None,
+) -> None:
     """Materialize the NSW near-link table (the maintained state; long
-    links are id arithmetic derived at probe time, nothing to store)."""
+    links are id arithmetic derived at search time, nothing to store).
+
+    ``bucket_bits`` is the PRODUCTION scale lever: the near-link join
+    is quadratic WITHIN each LSH bucket, so bucket count must grow
+    with the corpus (bits ~ log2(n / 32) keeps ~32 vectors/bucket).
+    The registered queries pin bits={b} (the contract-scale tuning);
+    at 200k vectors that leaves ~780/bucket and a 22-minute build,
+    vs ~2 minutes at bits=12 (measured, PERF.md)."""
     vecs = _vectors(spark, sf_dir)
+    if bucket_bits is not None:
+        bucket = F.expr(
+            "concat_ws('', transform(sequence(1, {b}), "
+            "i -> CASE WHEN element_at(v, i) >= cast(0 AS DOUBLE) "
+            "THEN '1' ELSE '0' END))".format(b=bucket_bits)
+        )
+        vecs = vecs.withColumn("bucket", bucket)
     nsw_near_links(vecs).write.mode("overwrite").parquet(f"{path}/near")
+
+
+write_nsw_index.__doc__ = write_nsw_index.__doc__.format(b=LSH_BITS)
 
 
 def merge_nsw_index(
@@ -2875,11 +2889,6 @@ def merge_nsw_index(
     near links are never retouched: O(batch x H x B x degree) work,
     never O(corpus)."""
     near = spark.read.parquet(f"{path}/near")
-    edges = (
-        near.union(nsw_long_links(corpus_vecs))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
     bqs = batch_vecs.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -2889,7 +2898,7 @@ def merge_nsw_index(
         F.desc("score"), F.col("node")
     )
     top = (
-        nsw_beam(bqs, corpus_vecs, edges)
+        nsw_beam(bqs, corpus_vecs, near)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _NSW_M)
         .select(
@@ -2910,22 +2919,19 @@ def merge_nsw_index(
 def probe_nsw_index(
     spark: SparkSession, path: str, vecs: DataFrame, queries: DataFrame
 ) -> DataFrame:
-    """Beam-search the materialized graph: stored near links + derived
-    long links over the current id population. ``vecs`` carries
-    (vec_id, v, norm) for every live vector; ``queries``
+    """Beam-search the materialized graph: stored near links + long
+    links derived arithmetically from the beam frontier (O(frontier)
+    per hop — the sf10 measurement caught the corpus-sized long-link
+    derive costing 66 s/probe at 200k vectors before this). ``vecs``
+    carries (vec_id, v, norm) for every live vector; ``queries``
     (query_id, qv, qnorm). Returns (query_id, rank, neighbor_id,
     cosine) top-k."""
     near = spark.read.parquet(f"{path}/near")
-    edges = (
-        near.union(nsw_long_links(vecs))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("node")
     )
     return (
-        nsw_beam(queries, vecs, edges)
+        nsw_beam(queries, vecs, near)
         .where(F.col("node") != F.col("query_id"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOPK)

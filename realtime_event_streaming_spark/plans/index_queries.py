@@ -1060,7 +1060,6 @@ from ..operators.similarity import (  # noqa: E402
     _nsw_hops_duck_for,
     _nsw_visited_duck_for,
     _NSW_M,
-    _NSW_STEP_VALUES,
     _vectors,
     merge_nsw_index,
     probe_nsw_index,
@@ -1095,17 +1094,6 @@ def _build_nsw_maint(spark: SparkSession, sf_dir: str, path: str) -> None:
     merge_nsw_index(spark, merged, vecs, _nsw_mnt_batch(vecs))
 
 
-def _duck_longl(name: str, tbl: str) -> str:
-    """Long-link CTE over a vector table's id population."""
-    return f"""{name} AS (
-  SELECT t.vec_id AS src, t.vec_id + s.s AS dst
-  FROM {tbl} t, (VALUES {_NSW_STEP_VALUES}) AS s(s)
-  UNION ALL
-  SELECT t.vec_id, t.vec_id - s.s
-  FROM {tbl} t, (VALUES {_NSW_STEP_VALUES}) AS s(s)
-)"""
-
-
 _UPDATE_NSW_DUCK = f"""
 WITH {_DUCK_VECTORS},
 mx AS (SELECT max(vec_id) AS m FROM vecs),
@@ -1126,16 +1114,11 @@ vecs_post AS MATERIALIZED (
   SELECT vec_id, v, norm FROM vecs
   UNION ALL SELECT vec_id, v, norm FROM batch
 ),
-{_duck_longl("base_long", "vecs")},
-base_edges AS MATERIALIZED (
-  SELECT DISTINCT src, dst
-  FROM (SELECT * FROM base_near UNION ALL SELECT * FROM base_long)
-),
 ins_qs AS MATERIALIZED (
   SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM batch
 ),
 insfrontier0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM ins_qs),
-{_nsw_hops_duck_for("ins", edges="base_edges", vecs="vecs", qs="ins_qs").lstrip(",")},
+{_nsw_hops_duck_for("ins", edges="base_near", vecs="vecs", qs="ins_qs").lstrip(",")},
 {_nsw_visited_duck_for("ins")},
 ins_top AS MATERIALIZED (
   SELECT query_id AS new_id, node AS nb FROM (
@@ -1150,20 +1133,15 @@ merged_near AS MATERIALIZED (
   UNION ALL SELECT new_id, nb FROM ins_top
   UNION ALL SELECT nb, new_id FROM ins_top
 ),
-{_duck_longl("post_long", "vecs_post")},
-post_edges AS MATERIALIZED (
-  SELECT DISTINCT src, dst
-  FROM (SELECT * FROM merged_near UNION ALL SELECT * FROM post_long)
-),
 qs AS MATERIALIZED (
   SELECT vec_id AS query_id, v AS qv, norm AS qnorm
   FROM vecs WHERE vec_id < {N_QUERIES}
 ),
 prefrontier0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM qs),
-{_nsw_hops_duck_for("pre", edges="base_edges", vecs="vecs", qs="qs").lstrip(",")},
+{_nsw_hops_duck_for("pre", edges="base_near", vecs="vecs", qs="qs").lstrip(",")},
 {_nsw_visited_duck_for("pre")},
 postfrontier0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM qs),
-{_nsw_hops_duck_for("post", edges="post_edges", vecs="vecs_post", qs="qs").lstrip(",")},
+{_nsw_hops_duck_for("post", edges="merged_near", vecs="vecs_post", qs="qs").lstrip(",")},
 {_nsw_visited_duck_for("post")},
 pre_topk AS (
   SELECT query_id, rank, neighbor_id, cosine FROM (
@@ -1257,17 +1235,12 @@ base_near AS MATERIALIZED (
     FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
   WHERE rn <= {_NSW_M}
 ),
-{_duck_longl("base_long", "vecs")},
-base_edges AS MATERIALIZED (
-  SELECT DISTINCT src, dst
-  FROM (SELECT * FROM base_near UNION ALL SELECT * FROM base_long)
-),
 qs AS MATERIALIZED (
   SELECT vec_id AS query_id, v AS qv, norm AS qnorm
   FROM vecs WHERE vec_id < {N_QUERIES}
 ),
 srvfrontier0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM qs),
-{_nsw_hops_duck_for("srv", edges="base_edges", vecs="vecs", qs="qs").lstrip(",")},
+{_nsw_hops_duck_for("srv", edges="base_near", vecs="vecs", qs="qs").lstrip(",")},
 {_nsw_visited_duck_for("srv")}
 SELECT query_id, rank, neighbor_id, cosine FROM (
   SELECT query_id, node AS neighbor_id, score AS cosine,
@@ -1300,9 +1273,10 @@ graph_ann_serve.__doc__ = """The graph-ANN SERVING read — `pq_rerank_serve`'s 
     MATERIALIZED near-link table (built once per process per SF, the
     `update_nsw_index` base) plus probe-time arithmetic long links.
     Zero graph construction in the query plan: the only work is
-    H x B x degree edge lookups and score evaluations per query,
-    independent of corpus size (measured flat 4.5 -> 5.6 s at 10x
-    vectors, PERF.md "NSW at 10x vectors"). Same result as
+    H x B x degree edge lookups and score evaluations per query —
+    measured flat 6.2 -> 5.8 s from 2k to 20k vectors and 4x at 100x
+    (24.8 s at 200k, the per-hop vector-lookup scan; PERF.md "NSW at
+    10x/100x vectors"). Same result as
     `graph_ann_beam` (whose plan retrains the graph inline — the
     self-contained correctness form); the oracle restates build +
     search in one statement."""
