@@ -2632,11 +2632,15 @@ def nsw_beam(
     distinct costing 66 s/probe at 200k vectors). Each hop is
     localCheckpointed — hop h's plan references hop h-1, and Catalyst
     inlines, so an unchained plan is exponential in H."""
+    # checkpoint the scoring side ONCE: every hop joins candidates
+    # against it, and without the checkpoint each hop re-scans the
+    # full vector table (measured 24.8 s -> 9.7 s per probe at 200k
+    # vectors; production uses a vec_id-bucketed table instead)
     nodes = vecs.select(
         F.col("vec_id").alias("node_id"),
         F.col("v").alias("nv"),
         F.col("norm").alias("nn"),
-    )
+    ).localCheckpoint(eager=False)
     score = F.round(
         F.expr(_DOT.format(a="qv", b="nv")) / (F.col("qnorm") * F.col("nn")),
         4,
@@ -2926,7 +2930,9 @@ def probe_nsw_index(
     carries (vec_id, v, norm) for every live vector; ``queries``
     (query_id, qv, qnorm). Returns (query_id, rank, neighbor_id,
     cosine) top-k."""
-    near = spark.read.parquet(f"{path}/near")
+    near = spark.read.parquet(f"{path}/near").localCheckpoint(
+        eager=False
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("node")
     )
