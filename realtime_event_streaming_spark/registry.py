@@ -83,84 +83,71 @@ def register(
 #: (their proof is cumulative across rounds, and every one of them
 #: remains oracle-gated locally by tests/test_oracle_parity.py, which
 #: checks the FULL registry at every run).
-#: Round-11 rotation policy (standing stalest-first rule). The
-#: round-10 driver artifacts (CORRECTNESS_r10/BENCH_r10) were never
-#: recorded, so every round-9/10 debut is STILL never-rowed: all 12
-#: of them lead this window — `prototypicality_prune` (r9 late
-#: debut), the round-10 debuts `anomaly_tws_replay`,
-#: `exact_substring_strip`, `pq_rerank_serve`, `session_tws_replay`,
-#: `update_ivfpq_index`, `bm25_rm3_topk`, `filter_funnel_census`,
-#: and the four late round-10 debuts `funnel_survival_by_source`,
-#: `cdc_chunk_dedup`, `source_syndication_matrix`,
-#: `update_chunk_store` (all locally green at sf0.001/0.01/0.1 and
-#: sf1). Then (b) the round-11 debuts (blocklist phrase census,
-#: one-pass source ablation, NSW graph ANN + its recall contract,
-#: DoReMi reweighting, dropDuplicatesWithinWatermark replay), (c)
-#: the full round-5 remainder — the 22 queries whose last green row
-#: is round 5 — and (d) the first 10 of the round-6 cohort in name
-#: order; the round-6 remainder queues for round 12.
-#: Round-12 rotation should LEAD with the round-11 late debuts
-#: `update_nsw_index`, `blocklist_scrub_roundtrip`, `graph_ann_serve`
-#: and `generation_diversity` (all locally green at sf0.001/0.01/0.1
-#: AND sf1), then the round-6 remainder per the standing
-#: stalest-first rule.
+#: Round-12 rotation (standing stalest-first rule, executing the
+#: round-11 note verbatim): (a) LEAD with the four round-11 late
+#: debuts `update_nsw_index`, `blocklist_scrub_roundtrip`,
+#: `graph_ann_serve` and `generation_diversity` — never driver-rowed,
+#: locally green at sf0.001/0.01/0.1 AND sf1; then (b) the FULL
+#: round-6 remainder — the 40 queries whose last green row is round 6
+#: (the stalest cohort after round 11 cleared the round-5 set); then
+#: (c) the first 6 of the round-7 cohort in name order. The round-7
+#: remainder queues for round 13.
 #: Every yielded query remains locally oracle-gated by
 #: tests/test_oracle_parity.py on the FULL registry at every run.
 DRIVER_QUERIES: tuple[str, ...] = (
-    # -- (a) the 12 never-rowed debuts (rounds 9-10)
-    "prototypicality_prune",
-    "anomaly_tws_replay",
-    "exact_substring_strip",
-    "pq_rerank_serve",
-    "session_tws_replay",
-    "update_ivfpq_index",
-    "bm25_rm3_topk",
-    "filter_funnel_census",
-    "funnel_survival_by_source",
-    "cdc_chunk_dedup",
-    "source_syndication_matrix",
-    "update_chunk_store",
-    # -- (b) round-11 debuts
-    "blocklist_phrase_census",
-    "source_ablation_contrast",
-    "graph_ann_beam",
-    "graph_ann_recall",
-    "doremi_mix_reweight",
-    "stream_dedup_replay",
-    # -- (c) the full round-5 remainder (stalest cohort, cleared)
-    "paragraph_dedup_census",
-    "part_supplier_variety",
-    "pca_power_iteration",
-    "per_source_sample",
-    "pii_scan",
-    "probe_ann_index",
-    "probe_dedup_index",
-    "props_field_stats",
-    "quality_classifier_scores",
-    "quality_quartile_mix",
-    "returned_item_ranking",
-    "salted_user_enrich",
-    "seasonal_anomaly_hourly",
-    "shard_manifest",
-    "sole_return_suppliers",
-    "temperature_resample_counts",
-    "text_normalize_roundtrip",
-    "top_supplier_revenue",
-    "vocab_coverage_curve",
-    "vocab_top_bigrams",
-    "weighted_doc_sample",
-    "zorder_pruned_scan",
-    # -- (d) round-6 cohort, first 10 in name order
-    "ann_recall_eval",
-    "bigram_lm_perplexity",
-    "bm25_topk",
-    "boilerplate_strip",
-    "bpe_encode_lengths",
-    "bpe_merge_steps_runs",
-    "clickgen_source_histogram",
-    "cluster_cap_sample",
-    "compaction_roundtrip",
-    "cusum_change_points",
+    # -- (a) the 4 never-rowed round-11 late debuts
+    "update_nsw_index",
+    "blocklist_scrub_roundtrip",
+    "graph_ann_serve",
+    "generation_diversity",
+    # -- (b) the full round-6 remainder (stalest cohort)
+    "dedup_exact_summary",
+    "dedup_survivors",
+    "discount_uplift",
+    "dominant_part_suppliers",
+    "dsir_importance_weights",
+    "dup_cluster_powerlaw",
+    "event_transition_matrix",
+    "funnel_three_step",
+    "fuzzy_title_pairs",
+    "golden_record_entities",
+    "gopher_quality_flags",
+    "histogram_quantile_rollup",
+    "hybrid_rrf_retrieval",
+    "idle_customer_balance",
+    "ivf_pq_topk",
+    "label_centroid_norms",
+    "langid_confusion_matrix",
+    "minhash_estimate_accuracy",
+    "ngram_novelty_rate",
+    "pca_topk_components",
+    "pq_adc_topk",
+    "priority_by_latency",
+    "profit_by_nation_year",
+    "reagg_from_minute",
+    "repeated_substring_census",
+    "residual_ivf_pq_topk",
+    "robust_mad_outliers",
+    "scd2_dim_merge",
+    "schema_evolution_scan",
+    "semantic_dedup_prune",
+    "slo_burn_rate",
+    "small_quantity_revenue",
+    "split_leakage_audit",
+    "stream_stream_attribution",
+    "streaming_rollup_replay",
+    "time_decay_attribution",
+    "trailing_rate_range_frame",
+    "update_ann_index",
+    "update_dedup_index",
+    "user_erasure_audit",
+    # -- (c) round-7 cohort, first 6 in name order
+    "activity_streak_histogram",
+    "ann_lsh_topk",
+    "approx_distinct_accuracy",
+    "approx_quantile_accuracy",
+    "attribution_model_compare",
+    "audience_set_ops",
 )
 
 
