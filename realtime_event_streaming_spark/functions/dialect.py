@@ -63,6 +63,29 @@ EPOCH_S_DUCK = "(epoch_us({col}) // 1000000)"
 MD5_64_SQL = "substr(md5({x}), 1, 16)"
 
 
+def to_spark_sql(sql: str, *subs: tuple[str, str]) -> str:
+    """Targeted DuckDB->Spark substitution with a presence check.
+
+    A handful of dual-dialect queries differ in one or two tokens
+    (``//`` vs ``div``, ``quantile_cont`` vs ``percentile``); they
+    derive the Spark statement from the shared body with targeted
+    substitutions rather than maintaining two near-identical
+    statements. A blind ``str.replace`` is fragile: edit the body so a
+    pattern no longer matches and the rewrite silently no-ops,
+    shipping DuckDB syntax to Spark (round-12 ADVICE, found on
+    `generation_diversity` — now a fully dual statement). This helper
+    makes every remaining substitution self-checking: a missing
+    pattern raises at import time instead of failing at run time."""
+    for old, new in subs:
+        if old not in sql:
+            raise ValueError(
+                f"dialect substitution pattern {old!r} not found — the "
+                "shared SQL body drifted from its Spark rewrite"
+            )
+        sql = sql.replace(old, new)
+    return sql
+
+
 def fmt_ts_spark(col: str) -> str:
     return TS_FMT_SPARK.format(col=col)
 

@@ -1362,29 +1362,43 @@ blocklist_scrub_roundtrip.__doc__ = """The deny-list SCRUB pass itself, self-che
 # generation diversity: distinct-n + self-overlap of the generation panel
 # ---------------------------------------------------------------------------
 
-_GDIV_DUCK = f"""
+def _gdiv_sql(
+    split: str,
+    size: str,
+    slice_: str,
+    elem: str,
+    gram2: str,
+    gram3: str,
+    scan: str,
+) -> str:
+    """Shared generation-diversity statement; the two dialects differ
+    only in the array/lateral snippets passed in (the `_jl_body`
+    discipline — one body, explicit per-dialect fills, so an edit
+    cannot silently diverge the engines the way the former chained
+    ``.replace()`` rewrite could — round-12 ADVICE)."""
+    return f"""
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-  WHERE len(string_split(text, ' ')) >= 5
+  SELECT doc_id, {split} AS tk FROM documents
+  WHERE {size.format(x=split)} >= 5
 ),
 gens AS (
   SELECT doc_id AS gen_id,
-         tk[{_PROV_START + 1}:{_PROV_START + _PROV_LEN}] AS gtk
+         {slice_} AS gtk
   FROM toks
   WHERE doc_id % {_PROV_MOD} = 0
-    AND len(tk) >= {_PROV_START + _PROV_LEN}
+    AND {size.format(x='tk')} >= {_PROV_START + _PROV_LEN}
 ),
 g1 AS (
-  SELECT gen_id, gtk[i] AS g
-  FROM gens, UNNEST(generate_series(1, len(gtk))) AS t(i)
+  SELECT gen_id, {elem.format(i='i')} AS g
+  {scan.format(n='')}
 ),
 g2 AS (
-  SELECT gen_id, gtk[i] || ' ' || gtk[i+1] AS g
-  FROM gens, UNNEST(generate_series(1, len(gtk) - 1)) AS t(i)
+  SELECT gen_id, {gram2} AS g
+  {scan.format(n=' - 1')}
 ),
 g3 AS (
-  SELECT gen_id, gtk[i] || ' ' || gtk[i+1] || ' ' || gtk[i+2] AS g
-  FROM gens, UNNEST(generate_series(1, len(gtk) - 2)) AS t(i)
+  SELECT gen_id, {gram3} AS g
+  {scan.format(n=' - 2')}
 ),
 d1 AS (SELECT gen_id, cast(count(DISTINCT g) AS DOUBLE) / count(*) AS r
        FROM g1 GROUP BY gen_id),
@@ -1423,41 +1437,36 @@ ORDER BY d1.gen_id
 """
 
 
+_GDIV_DUCK = _gdiv_sql(
+    split="string_split(text, ' ')",
+    size="len({x})",
+    slice_=f"tk[{_PROV_START + 1}:{_PROV_START + _PROV_LEN}]",
+    elem="gtk[{i}]",
+    gram2="gtk[i] || ' ' || gtk[i+1]",
+    gram3="gtk[i] || ' ' || gtk[i+1] || ' ' || gtk[i+2]",
+    scan="FROM gens, UNNEST(generate_series(1, len(gtk){n})) AS t(i)",
+)
+
+_GDIV_SPARK = _gdiv_sql(
+    split="split(text, ' ')",
+    size="size({x})",
+    slice_=f"slice(tk, {_PROV_START + 1}, {_PROV_LEN})",
+    elem="element_at(gtk, {i})",
+    gram2="concat_ws(' ', element_at(gtk, i), element_at(gtk, i+1))",
+    gram3=(
+        "concat_ws(' ', element_at(gtk, i), element_at(gtk, i+1), "
+        "element_at(gtk, i+2))"
+    ),
+    scan="FROM gens LATERAL VIEW explode(sequence(1, size(gtk){n})) t AS i",
+)
+
+
 @register("generation_diversity", _GDIV_DUCK, tags=("curation", "text"))
 def generation_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import register_views
 
     register_views(spark, sf_dir, tables=("documents",))
-    spark_sql = (
-        _GDIV_DUCK
-        .replace("string_split(text, ' ')", "split(text, ' ')")
-        .replace("len(", "size(")
-        .replace(
-            f"tk[{_PROV_START + 1}:{_PROV_START + _PROV_LEN}]",
-            f"slice(tk, {_PROV_START + 1}, {_PROV_LEN})",
-        )
-        .replace("gtk[i] || ' ' || gtk[i+1] || ' ' || gtk[i+2]",
-                 "concat_ws(' ', element_at(gtk, i), element_at(gtk, i+1), "
-                 "element_at(gtk, i+2))")
-        .replace("gtk[i] || ' ' || gtk[i+1]",
-                 "concat_ws(' ', element_at(gtk, i), element_at(gtk, i+1))")
-        .replace("gtk[i]", "element_at(gtk, i)")
-        .replace(
-            "FROM gens, UNNEST(generate_series(1, size(gtk))) AS t(i)",
-            "FROM gens LATERAL VIEW explode(sequence(1, size(gtk))) t AS i",
-        )
-        .replace(
-            "FROM gens, UNNEST(generate_series(1, size(gtk) - 1)) AS t(i)",
-            "FROM gens LATERAL VIEW explode(sequence(1, size(gtk) - 1)) "
-            "t AS i",
-        )
-        .replace(
-            "FROM gens, UNNEST(generate_series(1, size(gtk) - 2)) AS t(i)",
-            "FROM gens LATERAL VIEW explode(sequence(1, size(gtk) - 2)) "
-            "t AS i",
-        )
-    )
-    return spark.sql(spark_sql)
+    return spark.sql(_GDIV_SPARK)
 generation_diversity.__doc__ = """Diversity metrics of the generation panel — the standard
     text-generation evals next to `generation_provenance`'s
     attribution: per generation, distinct-1/2/3 (Li et al. 2016 —

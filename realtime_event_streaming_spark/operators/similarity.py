@@ -2848,6 +2848,21 @@ graph_ann_recall.__doc__ = """Recall@{k} contract for `graph_ann_beam` vs the ex
 # NSW index lifecycle: write / merge (bulk insertion) / probe
 # ---------------------------------------------------------------------------
 
+#: Near-link store partition count (directory partitions on
+#: ``pt = pmod(src, _NSW_PARTS)``). Merges rewrite ONLY the partitions
+#: holding touched srcs (dynamic partition overwrite) — the degree
+#: prune below needs to replace rows, and a bounded partition rewrite
+#: keeps that off the O(corpus) path. At 10^9 vectors raise this so a
+#: partition stays executor-memory-sized; the merge cost scales with
+#: touched partitions, not partition count.
+_NSW_PARTS = 64
+
+
+def _nsw_pt():
+    """``pt`` partition expression (built lazily — a module-level
+    Column would demand an active SparkContext at import time)."""
+    return F.pmod(F.col("src"), F.lit(_NSW_PARTS))
+
 
 def write_nsw_index(
     spark: SparkSession,
@@ -2872,7 +2887,9 @@ def write_nsw_index(
             "THEN '1' ELSE '0' END))".format(b=bucket_bits)
         )
         vecs = vecs.withColumn("bucket", bucket)
-    nsw_near_links(vecs).write.mode("overwrite").parquet(f"{path}/near")
+    nsw_near_links(vecs).withColumn("pt", _nsw_pt()).write.mode(
+        "overwrite"
+    ).partitionBy("pt").parquet(f"{path}/near")
 
 
 write_nsw_index.__doc__ = write_nsw_index.__doc__.format(b=LSH_BITS)
@@ -2886,13 +2903,19 @@ def merge_nsw_index(
 ) -> None:
     """Bulk NSW insertion (the standard order-free batch variant of
     Malkov et al.'s sequential insert): every new vector beam-searches
-    the CURRENT graph for its top-M neighbors, then bidirectional
-    edges (new->nb, nb->new) are appended to the near-link table. New
-    nodes do not see each other during the search — that makes the
-    result independent of insertion order (and relational). Existing
-    near links are never retouched: O(batch x H x B x degree) work,
-    never O(corpus)."""
-    near = spark.read.parquet(f"{path}/near")
+    the CURRENT graph for its top-M neighbors, bidirectional edges
+    (new->nb, nb->new) are added, then every src that RECEIVED a new
+    reverse edge has its out-edges re-selected to top-M by cosine —
+    Malkov's neighbor re-selection, which keeps node degree bounded by
+    _NSW_M across arbitrarily many merges (round-12 ADVICE: without
+    the prune, repeated merges grow degree unboundedly and per-hop
+    probe cost with it). New nodes do not see each other during the
+    search, so the result is independent of insertion order (and
+    relational). Work is O(batch x H x B x degree) for the search plus
+    O(touched srcs x degree) for the prune; the store rewrite touches
+    only the pmod(src) partitions holding touched srcs (dynamic
+    partition overwrite), never the whole table."""
+    near = spark.read.parquet(f"{path}/near").select("src", "dst")
     bqs = batch_vecs.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -2908,16 +2931,66 @@ def merge_nsw_index(
         .select(
             F.col("query_id").alias("new_id"), F.col("node").alias("nb")
         )
+        .localCheckpoint(eager=False)
     )
-    ins = top.select(
+    new_fwd = top.select(
         F.col("new_id").alias("src"), F.col("nb").alias("dst")
-    ).union(
-        top.select(F.col("nb").alias("src"), F.col("new_id").alias("dst"))
     )
-    # materialize BEFORE appending: the plan reads the same parquet
-    # dir the append writes into
-    ins = ins.localCheckpoint(eager=True)
-    ins.write.mode("append").parquet(f"{path}/near")
+    new_rev = top.select(
+        F.col("nb").alias("src"), F.col("new_id").alias("dst")
+    )
+    # Only srcs that received a reverse edge can exceed the degree cap
+    # (new srcs carry exactly top-M from the search). The partitions to
+    # rewrite are those holding an affected OR new src — a bounded
+    # driver-side list (<= _NSW_PARTS values) that partition-prunes the
+    # re-read of the store.
+    affected = new_rev.select("src").distinct()
+    pts = sorted(
+        r[0]
+        for r in affected.union(new_fwd.select("src"))
+        .select(_nsw_pt().alias("pt"))
+        .distinct()
+        .collect()
+    )
+    old_pt = (
+        spark.read.parquet(f"{path}/near")
+        .where(F.col("pt").isin(pts))
+        .select("src", "dst")
+    )
+    untouched = old_pt.join(affected, "src", "left_anti")
+    to_rank = old_pt.join(affected, "src", "left_semi").union(new_rev)
+    allv = corpus_vecs.select("vec_id", "v", "norm").union(
+        batch_vecs.select("vec_id", "v", "norm")
+    )
+    sv = allv.select(
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("s_v"),
+        F.col("norm").alias("s_n"),
+    )
+    dv = allv.select(
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("d_v"),
+        F.col("norm").alias("d_n"),
+    )
+    pcos = F.expr(_DOT.format(a="s_v", b="d_v")) / (
+        F.col("s_n") * F.col("d_n")
+    )
+    wsrc = Window.partitionBy("src").orderBy(F.desc("pcos"), F.col("dst"))
+    pruned = (
+        to_rank.join(sv, "src")
+        .join(dv, "dst")
+        .select("src", "dst", pcos.alias("pcos"))
+        .withColumn("rn", F.row_number().over(wsrc))
+        .where(F.col("rn") <= _NSW_M)
+        .select("src", "dst")
+    )
+    out = untouched.union(pruned).union(new_fwd).withColumn("pt", _nsw_pt())
+    # materialize BEFORE writing: the plan reads the same parquet dir
+    # the dynamic-partition overwrite rewrites
+    out = out.localCheckpoint(eager=True)
+    out.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("pt").parquet(f"{path}/near")
 
 
 def probe_nsw_index(
@@ -2930,8 +3003,10 @@ def probe_nsw_index(
     carries (vec_id, v, norm) for every live vector; ``queries``
     (query_id, qv, qnorm). Returns (query_id, rank, neighbor_id,
     cosine) top-k."""
-    near = spark.read.parquet(f"{path}/near").localCheckpoint(
-        eager=False
+    near = (
+        spark.read.parquet(f"{path}/near")
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("node")

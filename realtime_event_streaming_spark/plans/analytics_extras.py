@@ -398,11 +398,13 @@ SELECT stat, round(value, 4) AS value FROM (
 ORDER BY stat
 """
 
-_DATACARD_SPARK = _DATACARD_BODY.replace(
-    "string_split(text, ' ')", "split(text, ' ')"
-).replace(
-    "SELECT unnest(tk) AS tok FROM toks", "SELECT explode(tk) AS tok FROM toks"
-).replace("len(tk)", "size(tk)")
+_DATACARD_SPARK = D.to_spark_sql(
+    _DATACARD_BODY,
+    ("string_split(text, ' ')", "split(text, ' ')"),
+    ("SELECT unnest(tk) AS tok FROM toks",
+     "SELECT explode(tk) AS tok FROM toks"),
+    ("len(tk)", "size(tk)"),
+)
 
 
 @register("corpus_datacard", _DATACARD_BODY, tags=("curation",))

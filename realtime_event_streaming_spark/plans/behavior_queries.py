@@ -275,9 +275,10 @@ GROUP BY dev.event_type
 ORDER BY dev.event_type
 """
 
-_MAD_SPARK = _MAD_BODY.replace("quantile_cont(value, 0.5)",
-                               "percentile(value, 0.5)").replace(
-    "quantile_cont(ad, 0.5)", "percentile(ad, 0.5)"
+_MAD_SPARK = D.to_spark_sql(
+    _MAD_BODY,
+    ("quantile_cont(value, 0.5)", "percentile(value, 0.5)"),
+    ("quantile_cont(ad, 0.5)", "percentile(ad, 0.5)"),
 )
 
 
@@ -460,7 +461,7 @@ FROM rates ORDER BY hour
 """
 
 
-_BURN_SPARK = _BURN_BODY.replace("//", "div")
+_BURN_SPARK = D.to_spark_sql(_BURN_BODY, ("//", "div"))
 
 
 @register("slo_burn_rate", _BURN_BODY, tags=("anomaly", "reference"))

@@ -180,9 +180,11 @@ SELECT cast(n_views AS BIGINT) AS n_views,
 FROM counts
 """
 
-_F3_SPARK = _F3_BODY.replace(
-    "epoch_ms(ts)", "unix_millis(cast(ts AS TIMESTAMP))"
-).replace("(pms - vms) // 60000", "(pms - vms) div 60000")
+_F3_SPARK = D.to_spark_sql(
+    _F3_BODY,
+    ("epoch_ms(ts)", "unix_millis(cast(ts AS TIMESTAMP))"),
+    ("(pms - vms) // 60000", "(pms - vms) div 60000"),
+)
 
 
 @register("funnel_three_step", _F3_BODY, tags=("behavior",))
@@ -248,9 +250,11 @@ GROUP BY touch_type
 ORDER BY touch_type
 """
 
-_ATTRCMP_SPARK = _ATTRCMP_BODY.replace(
-    "epoch_ms(ts)", "unix_millis(cast(ts AS TIMESTAMP))"
-).replace("(p.ms - t.ms) // 60000", "(p.ms - t.ms) div 60000")
+_ATTRCMP_SPARK = D.to_spark_sql(
+    _ATTRCMP_BODY,
+    ("epoch_ms(ts)", "unix_millis(cast(ts AS TIMESTAMP))"),
+    ("(p.ms - t.ms) // 60000", "(p.ms - t.ms) div 60000"),
+)
 
 
 @register("attribution_model_compare", _ATTRCMP_BODY, tags=("behavior",))

@@ -1128,10 +1128,26 @@ ins_top AS MATERIALIZED (
     FROM insvisited)
   WHERE rn <= {_NSW_M}
 ),
-merged_near AS MATERIALIZED (
+raw_near AS (
   SELECT src, dst FROM base_near
   UNION ALL SELECT new_id, nb FROM ins_top
   UNION ALL SELECT nb, new_id FROM ins_top
+),
+-- Malkov neighbor re-selection: every src's out-edges pruned back to
+-- top-M by cosine. A no-op for untouched srcs (they hold <= M edges);
+-- it bounds the degree of srcs that received reverse edges. Restates
+-- merge_nsw_index's selective prune as one global statement (equal:
+-- top-M of <= M edges is the identity).
+merged_near AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT e.src, e.dst,
+           row_number() OVER (PARTITION BY e.src
+             ORDER BY list_dot_product(a.v, b.v) / (a.norm * b.norm) DESC,
+                      e.dst) AS rn
+    FROM raw_near e
+    JOIN vecs_post a ON a.vec_id = e.src
+    JOIN vecs_post b ON b.vec_id = e.dst)
+  WHERE rn <= {_NSW_M}
 ),
 qs AS MATERIALIZED (
   SELECT vec_id AS query_id, v AS qv, norm AS qnorm
@@ -1199,21 +1215,26 @@ update_nsw_index.__doc__ = """NSW-graph MAINTENANCE, probe-merge-probe — the g
     (verbatim copies of every vec_id % {mod} == {res} vector under
     new ids) was bulk-INSERTED. Insertion is Malkov et al.'s insert
     made order-free: each new vector beam-searches the CURRENT graph
-    for its top-{m} neighbors (new nodes blind to each other) and
-    bidirectional edges are appended; existing near links are never
-    retouched, and long links are id arithmetic derived at probe
-    time — nothing to rebuild. A copy's nearest neighbor is its own
-    source (cosine 1.0), so the insert provably wires every copy to
-    its source and the post-merge probe must surface copies next to
-    sources wherever the beam reaches them.
+    for its top-{m} neighbors (new nodes blind to each other),
+    bidirectional edges are added, and each src receiving a reverse
+    edge is re-selected to top-{m} by cosine (the degree prune that
+    keeps per-hop cost bounded across merges); long links are id
+    arithmetic derived at probe time — nothing to rebuild. A copy's
+    nearest neighbor is its own source (cosine 1.0, the maximum), so
+    its edges survive any prune: the insert provably wires every copy
+    to its source and the post-merge probe must surface copies next
+    to sources wherever the beam reaches them.
 
     Scale notes (100 TB / 10^9 vectors): merge cost is
-    O(batch x H x B x degree) — independent of corpus size, the
-    property that makes graph indexes maintainable online (compare
-    `update_ivfpq_index`, whose probe-merge-probe this mirrors). The
-    oracle restates build, insertion and both probes inline, so the
-    driver hash proves the merged table holds exactly
-    base + insertion edges.""".format(
+    O(batch x H x B x degree) for the search plus O(touched srcs x
+    degree) for the prune — independent of corpus size, the property
+    that makes graph indexes maintainable online (compare
+    `update_ivfpq_index`, whose probe-merge-probe this mirrors); the
+    store rewrite is a dynamic partition overwrite of the pmod(src)
+    partitions holding touched srcs. The oracle restates build,
+    insertion, prune and both probes inline, so the driver hash
+    proves the merged table holds exactly the pruned
+    base + insertion edge set.""".format(
         mod=_NSW_MNT_MOD, res=_NSW_MNT_RES, m=_NSW_M
     )
 

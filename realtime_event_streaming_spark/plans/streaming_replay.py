@@ -410,6 +410,18 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream at production scale — state is O(events per watermark
     horizon), not O(stream history).
 
+    Source pacing (round-12 ADVICE): the first source replays
+    one file per trigger (the micro-batch discipline under test);
+    the SECOND drains every file in its first trigger, so each
+    redelivered copy is on the books before or with its event — no
+    copy can be late-dropped however the two sources order their
+    file listings. Exactness then needs no mtime-lockstep assumption:
+    the global watermark is the MIN over both watermark nodes, so it
+    trails the slow (file-per-trigger) source, and whichever of an
+    (event, copy) pair arrives second is dropped by dedup state that
+    provably still exists — its key was delivered while the watermark
+    sat at or below the slow source's progress.
+
     sf_dir is unused — the input is the engine's own wire format
     (committed fixture), not a warehouse table."""
     from ..session import fixture_scale_shuffle
@@ -423,7 +435,8 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             read_json_file_stream(spark, in_dir), watermark=EXACT_WATERMARK
         )
         second = parse_clicks(
-            read_json_file_stream(spark, in_dir), watermark=EXACT_WATERMARK
+            read_json_file_stream(spark, in_dir, max_files_per_trigger=None),
+            watermark=EXACT_WATERMARK,
         )
         deduped = first.union(second).dropDuplicatesWithinWatermark(
             ["event_id"]

@@ -17,6 +17,7 @@ import pyspark.sql.functions as F
 from realtime_event_streaming_spark.io import load_table
 from realtime_event_streaming_spark.operators.similarity import (
     N_QUERIES,
+    TOPK,
     ann_ivf_kmeans_topk,
     probe_ann_index,
     write_ann_index,
@@ -152,7 +153,7 @@ def test_nsw_merge_wires_copies_to_sources(spark):
         post_by_q[r.query_id].add(r.neighbor_id)
     for r in pre:
         src = r.neighbor_id
-        if src % _NSW_MNT_MOD == _NSW_MNT_RES and r.rank <= 4:
+        if src % _NSW_MNT_MOD == _NSW_MNT_RES and r.rank <= TOPK - 1:
             copy_id = src + mx + 1
             assert copy_id in post_by_q[r.query_id], (
                 f"copy {copy_id} of rank-{r.rank} source {src} missing "

@@ -465,8 +465,12 @@ def test_stream_dedup_removes_exactly_the_redelivered_copies(spark):
         first = parse_clicks(
             read_json_file_stream(spark, in_dir), watermark=EXACT_WATERMARK
         )
+        # same source pacing as the query under test: the second
+        # source drains in its first trigger, so no copy can be
+        # late-dropped and the no-dedup census is exactly 2x
         second = parse_clicks(
-            read_json_file_stream(spark, in_dir), watermark=EXACT_WATERMARK
+            read_json_file_stream(spark, in_dir, max_files_per_trigger=None),
+            watermark=EXACT_WATERMARK,
         )
         q = (
             first.union(second)
