@@ -1061,6 +1061,7 @@ from ..operators.similarity import (  # noqa: E402
     _nsw_visited_duck_for,
     _NSW_M,
     _vectors,
+    LSH_BITS,
     merge_nsw_index,
     probe_nsw_index,
     write_nsw_index,
@@ -1088,7 +1089,10 @@ def _nsw_mnt_batch(vecs) -> DataFrame:
 
 def _build_nsw_maint(spark: SparkSession, sf_dir: str, path: str) -> None:
     base, merged = f"{path}/base", f"{path}/merged"
-    write_nsw_index(spark, sf_dir, base)
+    # bits pinned at the contract-scale value: the oracle restates the
+    # build with the _vectors bucket, so the registered queries must
+    # not pick up the self-scaling default at larger fixtures
+    write_nsw_index(spark, sf_dir, base, bucket_bits=LSH_BITS)
     shutil.copytree(base, merged)
     vecs = _vectors(spark, sf_dir)
     merge_nsw_index(spark, merged, vecs, _nsw_mnt_batch(vecs))
@@ -1276,6 +1280,7 @@ ORDER BY query_id, rank
 @register(
     "graph_ann_serve",
     _GRAPH_SERVE_DUCK,
+    headline=True,
     tags=("similarity", "retrieval"),
 )
 def graph_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1300,4 +1305,12 @@ graph_ann_serve.__doc__ = """The graph-ANN SERVING read — `pq_rerank_serve`'s 
     10x/100x vectors"). Same result as
     `graph_ann_beam` (whose plan retrains the graph inline — the
     self-contained correctness form); the oracle restates build +
-    search in one statement."""
+    search in one statement.
+
+    Beam-width policy (the serving recall lever): B is pinned at the
+    contract scale here; on corpus growth at FIXED B recall decays
+    (0.84 -> 0.26 at 10x on the worst-case near-uniform fixture), and
+    the measured recovery rule is B ~ n^0.6 (64 -> 256 for 10x at
+    ~equal recall) OR densify the stored graph once at build time
+    (M=24/B=128 matches M=8/B=192 — pay in the index, not per query).
+    Full sweep: PERF.md "NSW recall vs corpus growth"."""

@@ -176,3 +176,59 @@ def test_graph_serve_equals_inline_beam(spark):
         map(tuple, reg["graph_ann_beam"].spark_fn(spark, sf).collect())
     )
     assert serve == beam
+
+
+def test_nsw_bucket_bits_rule():
+    """write_nsw_index's self-scaling default: bits = floor(log2(n/32))
+    (~32 vectors/bucket, the measured PERF.md rule), floored at the
+    contract-scale LSH_BITS so small corpora keep the pinned shape."""
+    from realtime_event_streaming_spark.operators.similarity import (
+        LSH_BITS,
+        nsw_bucket_bits_for,
+    )
+
+    assert nsw_bucket_bits_for(1) == LSH_BITS
+    assert nsw_bucket_bits_for(2_000) == LSH_BITS  # contract scale
+    assert nsw_bucket_bits_for(32 * 2**LSH_BITS) == LSH_BITS  # boundary
+    assert nsw_bucket_bits_for(200_000) == 12  # the measured sf10 point
+    assert nsw_bucket_bits_for(1_000_000) == 14
+    # monotone non-decreasing across decades
+    pts = [nsw_bucket_bits_for(10**k) for k in range(2, 10)]
+    assert pts == sorted(pts)
+
+
+def test_nsw_merge_prunes_degree_to_top_m(spark, tmp_path):
+    """Repeated merges must keep every node's out-degree <= _NSW_M:
+    each receiver's adjacency is re-selected to top-M by cosine
+    (Malkov's neighbor re-selection). Without the prune the degree of
+    popular receivers grows unboundedly merge over merge, inflating
+    per-hop probe cost (round-12 ADVICE)."""
+    from realtime_event_streaming_spark.operators.similarity import (
+        _NSW_M,
+        _vectors,
+        merge_nsw_index,
+        write_nsw_index,
+    )
+
+    path = str(tmp_path / "nsw")
+    write_nsw_index(spark, SF, path)  # exercises the self-scaling default
+    vecs = _vectors(spark, SF).select("vec_id", "v", "norm")
+    mx = vecs.agg(F.max("vec_id")).first()[0]
+
+    corpus = vecs
+    for round_no in (1, 2):
+        batch = vecs.where(F.col("vec_id") % 9 == 4).select(
+            (F.col("vec_id") + mx * round_no + round_no).alias("vec_id"),
+            "v",
+            "norm",
+        )
+        merge_nsw_index(spark, path, corpus, batch)
+        corpus = corpus.union(batch)
+        deg = (
+            spark.read.parquet(f"{path}/near")
+            .groupBy("src")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        assert deg <= _NSW_M, f"degree {deg} > M after merge {round_no}"
