@@ -2617,8 +2617,31 @@ def nsw_near_links(vecs: DataFrame) -> DataFrame:
     )
 
 
+def _nsw_store_lookup(cand: DataFrame, store: DataFrame) -> DataFrame:
+    """One beam hop's candidate->vector lookup against the
+    pt-partitioned store: the candidate side carries its partition key
+    and is broadcast, so Spark attaches a dynamicpruning subquery to
+    the store scan's PartitionFilters and reads ONLY the partitions
+    the hop's candidates land in (plan-pinned by
+    tests/test_ann_index.py::test_nsw_store_probe_partition_pruned).
+    ``node >= 0`` is semantically free — negative stride targets are
+    dangling and drop at the join — but it is the likely-selective
+    predicate the PartitionPruning rule requires on the filtering
+    side before it will insert the subquery."""
+    candp = cand.where(F.col("node") >= 0).withColumn(
+        "pt", F.pmod(F.col("node"), F.lit(_NSW_PARTS))
+    )
+    return store.join(
+        F.broadcast(candp),
+        (store["pt"] == candp["pt"]) & (store["node_id"] == candp["node"]),
+    )
+
+
 def nsw_beam(
-    qs: DataFrame, vecs: DataFrame, near: DataFrame
+    qs: DataFrame,
+    vecs: DataFrame,
+    near: DataFrame,
+    store: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy beam search over the NSW near-link table: H hops, width
     B, from entry node 0; returns every (query_id, node, score) the
@@ -2631,16 +2654,29 @@ def nsw_beam(
     per hop: the sf10 measurement caught the corpus-sized derive+
     distinct costing 66 s/probe at 200k vectors). Each hop is
     localCheckpointed — hop h's plan references hop h-1, and Catalyst
-    inlines, so an unchained plan is exponential in H."""
-    # checkpoint the scoring side ONCE: every hop joins candidates
-    # against it, and without the checkpoint each hop re-scans the
-    # full vector table (measured 24.8 s -> 9.7 s per probe at 200k
-    # vectors; production uses a vec_id-bucketed table instead)
-    nodes = vecs.select(
-        F.col("vec_id").alias("node_id"),
-        F.col("v").alias("nv"),
-        F.col("norm").alias("nn"),
-    ).localCheckpoint(eager=False)
+    inlines, so an unchained plan is exponential in H.
+
+    ``store``: the MATERIALIZED vector store written by
+    ``write_nsw_index`` ((node_id, nv, nn) partitioned by
+    ``pt = pmod(node_id, _NSW_PARTS)``). When given, ``vecs`` is
+    ignored and each hop's candidate-scoring lookup joins the store on
+    (pt, node_id) with the candidate side broadcast — Spark inserts a
+    dynamic-partition-pruning subquery on the ``pt`` scan, so a hop
+    reads ONLY the partitions its <= B x (degree + strides) candidates
+    land in, never the corpus. This is the serving-path answer to the
+    residual 100x-scale cost (the in-memory checkpoint below is the
+    self-contained-plan answer and caps at executor memory)."""
+    if store is None:
+        # checkpoint the scoring side ONCE: every hop joins candidates
+        # against it, and without the checkpoint each hop re-scans the
+        # full vector table (measured 24.8 s -> 9.7 s per probe at
+        # 200k vectors; the store path above replaces the scan with
+        # partition-pruned lookups)
+        nodes = vecs.select(
+            F.col("vec_id").alias("node_id"),
+            F.col("v").alias("nv"),
+            F.col("norm").alias("nn"),
+        ).localCheckpoint(eager=False)
     score = F.round(
         F.expr(_DOT.format(a="qv", b="nv")) / (F.col("qnorm") * F.col("nn")),
         4,
@@ -2666,9 +2702,12 @@ def nsw_beam(
             "query_id", (F.col("node") + F.col("s")).alias("node")
         )
         cand = hops.union(longc).union(frontier).distinct()
+        if store is None:
+            looked = cand.join(nodes, cand.node == nodes.node_id)
+        else:
+            looked = _nsw_store_lookup(cand, store)
         sc = (
-            cand.join(nodes, cand.node == nodes.node_id)
-            .join(F.broadcast(qs), "query_id")
+            looked.join(F.broadcast(qs), "query_id")
             .select("query_id", "node", score.alias("score"))
             .localCheckpoint(eager=False)
         )
@@ -2911,6 +2950,16 @@ def write_nsw_index(
     nsw_near_links(vecs).withColumn("pt", _nsw_pt()).write.mode(
         "overwrite"
     ).partitionBy("pt").parquet(f"{path}/near")
+    # The vector STORE the serving probe looks candidates up in,
+    # partitioned on the same pmod(id) scheme as the edges: a beam
+    # hop's scoring join then carries the partition key, and Spark's
+    # dynamic partition pruning reads only the partitions the
+    # frontier's candidates land in — O(candidates), not O(corpus),
+    # per hop (the production answer to the 24.8 s/probe scan PERF.md
+    # measured at 200k vectors).
+    vecs.select("vec_id", "v", "norm").withColumn(
+        "pt", F.pmod(F.col("vec_id"), F.lit(_NSW_PARTS))
+    ).write.mode("overwrite").partitionBy("pt").parquet(f"{path}/vecs")
 
 
 write_nsw_index.__doc__ = write_nsw_index.__doc__.format(b=LSH_BITS)
@@ -3012,28 +3061,49 @@ def merge_nsw_index(
     out.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("pt").parquet(f"{path}/near")
+    # keep the serving vector store in step with the graph: batch ids
+    # are NEW (append never duplicates a live id), and appends land
+    # only in the pmod(id) partitions the batch touches
+    batch_vecs.select("vec_id", "v", "norm").withColumn(
+        "pt", F.pmod(F.col("vec_id"), F.lit(_NSW_PARTS))
+    ).write.mode("append").partitionBy("pt").parquet(f"{path}/vecs")
 
 
 def probe_nsw_index(
-    spark: SparkSession, path: str, vecs: DataFrame, queries: DataFrame
+    spark: SparkSession,
+    path: str,
+    vecs: DataFrame | None,
+    queries: DataFrame,
 ) -> DataFrame:
     """Beam-search the materialized graph: stored near links + long
     links derived arithmetically from the beam frontier (O(frontier)
     per hop — the sf10 measurement caught the corpus-sized long-link
     derive costing 66 s/probe at 200k vectors before this). ``vecs``
-    carries (vec_id, v, norm) for every live vector; ``queries``
-    (query_id, qv, qnorm). Returns (query_id, rank, neighbor_id,
-    cosine) top-k."""
+    carries (vec_id, v, norm) for every live vector — or ``None`` to
+    look candidates up in the index's OWN pt-partitioned vector store
+    (``{path}/vecs``, maintained by write/merge), where each hop's
+    scoring join is dynamic-partition-pruned to the partitions the
+    frontier's candidates land in instead of scanning (or caching)
+    the corpus — the serving mode. ``queries`` carries (query_id, qv,
+    qnorm). Returns (query_id, rank, neighbor_id, cosine) top-k."""
     near = (
         spark.read.parquet(f"{path}/near")
         .select("src", "dst")
         .localCheckpoint(eager=False)
     )
+    store = None
+    if vecs is None:
+        store = spark.read.parquet(f"{path}/vecs").select(
+            F.col("vec_id").alias("node_id"),
+            F.col("v").alias("nv"),
+            F.col("norm").alias("nn"),
+            "pt",
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("node")
     )
     return (
-        nsw_beam(queries, vecs, near)
+        nsw_beam(queries, vecs, near, store=store)
         .where(F.col("node") != F.col("query_id"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOPK)

@@ -1199,13 +1199,15 @@ def update_nsw_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
     )
-    base_vecs = vecs.select("vec_id", "v", "norm")
+    # vecs=None: both probes look candidates up in each index's OWN
+    # pt-partitioned vector store (write_nsw_index seeds it, the merge
+    # appends the batch), so every hop is a dynamic-partition-pruned
+    # lookup — the serving path, not a corpus cache
     pre = probe_nsw_index(
-        spark, f"{path}/base", base_vecs, qs
+        spark, f"{path}/base", None, qs
     ).withColumn("phase", F.lit("pre_merge"))
-    vecs_post = base_vecs.union(_nsw_mnt_batch(vecs))
     post = probe_nsw_index(
-        spark, f"{path}/merged", vecs_post, qs
+        spark, f"{path}/merged", None, qs
     ).withColumn("phase", F.lit("post_merge"))
     return (
         pre.unionByName(post)
@@ -1292,7 +1294,7 @@ def graph_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("qnorm"),
     )
     return probe_nsw_index(
-        spark, f"{path}/base", vecs.select("vec_id", "v", "norm"), qs
+        spark, f"{path}/base", None, qs
     ).orderBy("query_id", "rank")
 graph_ann_serve.__doc__ = """The graph-ANN SERVING read — `pq_rerank_serve`'s discipline for
     the NSW stack: beam-search the query panel against the

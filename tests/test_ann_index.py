@@ -232,3 +232,70 @@ def test_nsw_merge_prunes_degree_to_top_m(spark, tmp_path):
             .first()[0]
         )
         assert deg <= _NSW_M, f"degree {deg} > M after merge {round_no}"
+
+
+def test_nsw_store_probe_matches_inmemory(spark, tmp_path):
+    """probe_nsw_index(vecs=None) serves from the index's OWN
+    pt-partitioned vector store and must return exactly the in-memory
+    path's answer — materialization changes WHERE the lookup happens,
+    never the result."""
+    from realtime_event_streaming_spark.operators.similarity import (
+        LSH_BITS,
+        _vectors,
+        probe_nsw_index,
+        write_nsw_index,
+    )
+
+    path = str(tmp_path / "nsw_store")
+    write_nsw_index(spark, SF, path, bucket_bits=LSH_BITS)
+    vecs = _vectors(spark, SF)
+    qs = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    mem = probe_nsw_index(
+        spark, path, vecs.select("vec_id", "v", "norm"), qs
+    )
+    srv = probe_nsw_index(spark, path, None, qs)
+    assert sorted(map(tuple, mem.collect())) == sorted(
+        map(tuple, srv.collect())
+    )
+
+
+def test_nsw_store_probe_partition_pruned(spark, tmp_path):
+    """The serving lookup's scale contract: a beam hop's join against
+    the vector store must carry a dynamicpruning subquery on the
+    store scan's PartitionFilters (reads O(candidates) partitions, not
+    the corpus). Pinned on the hop-lookup helper directly because the
+    full probe hides each hop's plan behind its localCheckpoint."""
+    from realtime_event_streaming_spark.operators.similarity import (
+        LSH_BITS,
+        _nsw_store_lookup,
+        _vectors,
+        write_nsw_index,
+    )
+
+    path = str(tmp_path / "nsw_dpp")
+    write_nsw_index(spark, SF, path, bucket_bits=LSH_BITS)
+    store = spark.read.parquet(f"{path}/vecs").select(
+        F.col("vec_id").alias("node_id"),
+        F.col("v").alias("nv"),
+        F.col("norm").alias("nn"),
+        "pt",
+    )
+    cand = (
+        _vectors(spark, SF)
+        .where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            (F.col("vec_id") * 3).alias("node"),
+        )
+    )
+    plan = (
+        _nsw_store_lookup(cand, store)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
