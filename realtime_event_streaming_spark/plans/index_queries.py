@@ -1301,10 +1301,13 @@ graph_ann_serve.__doc__ = """The graph-ANN SERVING read — `pq_rerank_serve`'s 
     MATERIALIZED near-link table (built once per process per SF, the
     `update_nsw_index` base) plus probe-time arithmetic long links.
     Zero graph construction in the query plan: the only work is
-    H x B x degree edge lookups and score evaluations per query —
-    measured flat 6.2 -> 5.8 s from 2k to 20k vectors and 4x at 100x
-    (24.8 s at 200k, the per-hop vector-lookup scan; PERF.md "NSW at
-    10x/100x vectors"). Same result as
+    H x B x degree edge lookups and score evaluations per query, and
+    each hop's vector lookup is a dynamic-partition-pruned read of
+    the index's own pt-partitioned vector store — O(candidates)
+    partitions per hop, no corpus cache. Measured at 200k vectors:
+    9.6/7.8 s per probe vs 13.2/11.3 s for the in-memory-checkpoint
+    path it replaced (PERF.md round 12; the r11 unpruned scan was
+    24.8 s). Same result as
     `graph_ann_beam` (whose plan retrains the graph inline — the
     self-contained correctness form); the oracle restates build +
     search in one statement.
