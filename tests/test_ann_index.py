@@ -299,3 +299,20 @@ def test_nsw_store_probe_partition_pruned(spark, tmp_path):
         .toString()
     )
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_ivf_probe_partition_pruned(spark, tmp_path):
+    """write_ann_index's docstring promise — "cid partition dirs mean
+    a probe's scan prunes to its cells' files only" — as a plan
+    assertion: the postings scan must carry a dynamicpruning subquery
+    in its PartitionFilters (the qprobe side's rn <= nprobe filter is
+    the likely-selective predicate that unlocks it)."""
+    path = str(tmp_path / "ivf_dpp")
+    write_ann_index(spark, SF, path)
+    plan = (
+        probe_ann_index(spark, path, _queries(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
