@@ -2629,12 +2629,29 @@ def _nsw_store_lookup(cand: DataFrame, store: DataFrame) -> DataFrame:
     predicate the PartitionPruning rule requires on the filtering
     side before it will insert the subquery."""
     candp = cand.where(F.col("node") >= 0).withColumn(
-        "pt", F.pmod(F.col("node"), F.lit(_NSW_PARTS))
+        "pt", _nsw_pt("node")
     )
     return store.join(
         F.broadcast(candp),
         (store["pt"] == candp["pt"]) & (store["node_id"] == candp["node"]),
     )
+
+
+def _nsw_edge_lookup(frontier: DataFrame, near: DataFrame) -> DataFrame:
+    """One beam hop's frontier->out-edges lookup against the
+    pt-partitioned near-link table — the edge-side twin of
+    ``_nsw_store_lookup`` (same broadcast + selective-predicate shape,
+    same dynamicpruning subquery on the scan), so the EDGE table is
+    never cached whole either: a hop reads only the pmod(src)
+    partitions its <= B frontier nodes live in. ``near`` must carry
+    (src, dst, pt)."""
+    fp = frontier.where(F.col("node") >= 0).withColumn(
+        "pt", _nsw_pt("node")
+    )
+    return near.join(
+        F.broadcast(fp),
+        (near["pt"] == fp["pt"]) & (near["src"] == fp["node"]),
+    ).select("query_id", F.col("dst").alias("node"))
 
 
 def nsw_beam(
@@ -2659,13 +2676,15 @@ def nsw_beam(
     ``store``: the MATERIALIZED vector store written by
     ``write_nsw_index`` ((node_id, nv, nn) partitioned by
     ``pt = pmod(node_id, _NSW_PARTS)``). When given, ``vecs`` is
-    ignored and each hop's candidate-scoring lookup joins the store on
-    (pt, node_id) with the candidate side broadcast — Spark inserts a
-    dynamic-partition-pruning subquery on the ``pt`` scan, so a hop
-    reads ONLY the partitions its <= B x (degree + strides) candidates
-    land in, never the corpus. This is the serving-path answer to the
-    residual 100x-scale cost (the in-memory checkpoint below is the
-    self-contained-plan answer and caps at executor memory)."""
+    ignored, ``near`` must carry its ``pt`` column, and each hop's
+    lookups — frontier->edges AND candidates->vectors — join their
+    pt-partitioned table with the probe side broadcast, so Spark
+    inserts a dynamic-partition-pruning subquery on each scan and a
+    hop reads ONLY the partitions its <= B frontier nodes /
+    <= B x (degree + strides) candidates land in, never the corpus
+    and never the full edge set. This is the serving-path answer to
+    the residual 100x-scale cost (the in-memory checkpoints below are
+    the self-contained-plan answer and cap at executor memory)."""
     if store is None:
         # checkpoint the scoring side ONCE: every hop joins candidates
         # against it, and without the checkpoint each hop re-scans the
@@ -2695,9 +2714,12 @@ def nsw_beam(
     )
     visited = None
     for _ in range(_NSW_H):
-        hops = frontier.join(
-            near, frontier.node == near.src
-        ).select("query_id", F.col("dst").alias("node"))
+        if store is None:
+            hops = frontier.join(
+                near, frontier.node == near.src
+            ).select("query_id", F.col("dst").alias("node"))
+        else:
+            hops = _nsw_edge_lookup(frontier, near)
         longc = frontier.select("query_id", "node", strides).select(
             "query_id", (F.col("node") + F.col("s")).alias("node")
         )
@@ -2897,10 +2919,13 @@ graph_ann_recall.__doc__ = """Recall@{k} contract for `graph_ann_beam` vs the ex
 _NSW_PARTS = 64
 
 
-def _nsw_pt():
-    """``pt`` partition expression (built lazily — a module-level
-    Column would demand an active SparkContext at import time)."""
-    return F.pmod(F.col("src"), F.lit(_NSW_PARTS))
+def _nsw_pt(col: str = "src"):
+    """``pt`` partition expression over ``col`` (built lazily — a
+    module-level Column would demand an active SparkContext at import
+    time). The ONE definition of the index's partitioning scheme:
+    edges partition on pmod(src), the vector store on pmod(vec_id),
+    and every lookup/rewrite derives its key from here."""
+    return F.pmod(F.col(col), F.lit(_NSW_PARTS))
 
 
 def nsw_bucket_bits_for(n: int) -> int:
@@ -2958,17 +2983,26 @@ def write_nsw_index(
     # per hop (the production answer to the 24.8 s/probe scan PERF.md
     # measured at 200k vectors).
     vecs.select("vec_id", "v", "norm").withColumn(
-        "pt", F.pmod(F.col("vec_id"), F.lit(_NSW_PARTS))
+        "pt", _nsw_pt("vec_id")
     ).write.mode("overwrite").partitionBy("pt").parquet(f"{path}/vecs")
 
 
 write_nsw_index.__doc__ = write_nsw_index.__doc__.format(b=LSH_BITS)
 
 
+def _read_nsw_store(spark: SparkSession, path: str) -> DataFrame:
+    """The index's pt-partitioned vector store in lookup shape."""
+    return spark.read.parquet(f"{path}/vecs").select(
+        F.col("vec_id").alias("node_id"),
+        F.col("v").alias("nv"),
+        F.col("norm").alias("nn"),
+        "pt",
+    )
+
+
 def merge_nsw_index(
     spark: SparkSession,
     path: str,
-    corpus_vecs: DataFrame,
     batch_vecs: DataFrame,
 ) -> None:
     """Bulk NSW insertion (the standard order-free batch variant of
@@ -2981,11 +3015,37 @@ def merge_nsw_index(
     the prune, repeated merges grow degree unboundedly and per-hop
     probe cost with it). New nodes do not see each other during the
     search, so the result is independent of insertion order (and
-    relational). Work is O(batch x H x B x degree) for the search plus
-    O(touched srcs x degree) for the prune; the store rewrite touches
-    only the pmod(src) partitions holding touched srcs (dynamic
-    partition overwrite), never the whole table."""
-    near = spark.read.parquet(f"{path}/near").select("src", "dst")
+    relational).
+
+    The index's OWN ``{path}/vecs`` store is the live-vector
+    authority for both the insertion beam and the prune — a caller
+    cannot hand the merge a stale corpus view, so an affected src's
+    surviving edge to a PREVIOUSLY merged node always finds its
+    vector and can never be silently dropped by the re-rank join.
+    Every vector access is a dynamic-partition-pruned lookup
+    (_nsw_store_lookup shape): the beam reads O(candidates)
+    partitions per hop and the prune reads the vectors of the bounded
+    touched-edge set, never a corpus scan or cache — so the measured
+    work really is O(batch x H x B x degree) for the search plus
+    O(touched srcs x degree) for the prune.
+
+    Crash/retry discipline: the vector-store admission is an
+    idempotent dynamic-partition overwrite (existing-minus-batch plus
+    batch), written BEFORE the edge overwrite, so a failure between
+    the two writes leaves extra (unreferenced) vectors and an
+    unchanged graph — probes stay correct, and re-running the merge
+    converges. The self-match guard on the insertion top-M keeps a
+    retried beam (which now sees the batch's own vectors in the
+    store) from wiring a node to itself.
+
+    Prune ordering note: the re-rank orders by the UNROUNDED cosine
+    with a dst tiebreak — the same convention as the build's top-M
+    edge selection (`nsw_near_links` / the oracles' base_near), whose
+    cross-engine parity holds because both engines fold the SAME
+    doubles in the SAME sequential order (unlike shuffled aggregates,
+    where this repo quantizes to 4dp)."""
+    near_pt = spark.read.parquet(f"{path}/near").select("src", "dst", "pt")
+    store = _read_nsw_store(spark, path)
     bqs = batch_vecs.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -2995,13 +3055,16 @@ def merge_nsw_index(
         F.desc("score"), F.col("node")
     )
     top = (
-        nsw_beam(bqs, corpus_vecs, near)
+        nsw_beam(bqs, None, near_pt, store=store)
+        .where(F.col("node") != F.col("query_id"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _NSW_M)
         .select(
             F.col("query_id").alias("new_id"), F.col("node").alias("nb")
         )
-        .localCheckpoint(eager=False)
+        # eager: pinned BEFORE either store rewrite below, so the
+        # beam provably searched the pre-merge state
+        .localCheckpoint(eager=True)
     )
     new_fwd = top.select(
         F.col("new_id").alias("src"), F.col("nb").alias("dst")
@@ -3028,27 +3091,58 @@ def merge_nsw_index(
         .select("src", "dst")
     )
     untouched = old_pt.join(affected, "src", "left_anti")
-    to_rank = old_pt.join(affected, "src", "left_semi").union(new_rev)
-    allv = corpus_vecs.select("vec_id", "v", "norm").union(
-        batch_vecs.select("vec_id", "v", "norm")
+    to_rank = (
+        old_pt.join(affected, "src", "left_semi")
+        .union(new_rev)
+        .localCheckpoint(eager=True)
     )
-    sv = allv.select(
-        F.col("vec_id").alias("src"),
-        F.col("v").alias("s_v"),
-        F.col("norm").alias("s_n"),
+    # Admit the batch vectors FIRST (the prune below needs them), as
+    # an idempotent rewrite of only the partitions the batch lands in.
+    vpts = sorted(
+        r[0]
+        for r in batch_vecs.select(_nsw_pt("vec_id").alias("pt"))
+        .distinct()
+        .collect()
     )
-    dv = allv.select(
-        F.col("vec_id").alias("dst"),
-        F.col("v").alias("d_v"),
-        F.col("norm").alias("d_n"),
+    keep = (
+        spark.read.parquet(f"{path}/vecs")
+        .where(F.col("pt").isin(vpts))
+        .join(batch_vecs.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", "v", "norm", "pt")
+    )
+    admitted = keep.union(
+        batch_vecs.select("vec_id", "v", "norm").withColumn(
+            "pt", _nsw_pt("vec_id")
+        )
+    ).localCheckpoint(eager=True)
+    admitted.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("pt").parquet(f"{path}/vecs")
+    # Re-rank every touched src's out-edges by cosine: vectors come
+    # from the post-admission store via bounded DPP lookups (to_rank
+    # is O(touched srcs x degree) rows), never a corpus join.
+    store2 = _read_nsw_store(spark, path)
+    srcv = _nsw_store_lookup(
+        to_rank.select(F.col("src").alias("node")).distinct(), store2
+    ).select(
+        F.col("node").alias("src"),
+        F.col("nv").alias("s_v"),
+        F.col("nn").alias("s_n"),
+    )
+    dstv = _nsw_store_lookup(
+        to_rank.select(F.col("dst").alias("node")).distinct(), store2
+    ).select(
+        F.col("node").alias("dst"),
+        F.col("nv").alias("d_v"),
+        F.col("nn").alias("d_n"),
     )
     pcos = F.expr(_DOT.format(a="s_v", b="d_v")) / (
         F.col("s_n") * F.col("d_n")
     )
     wsrc = Window.partitionBy("src").orderBy(F.desc("pcos"), F.col("dst"))
     pruned = (
-        to_rank.join(sv, "src")
-        .join(dv, "dst")
+        to_rank.join(srcv, "src")
+        .join(dstv, "dst")
         .select("src", "dst", pcos.alias("pcos"))
         .withColumn("rn", F.row_number().over(wsrc))
         .where(F.col("rn") <= _NSW_M)
@@ -3061,12 +3155,6 @@ def merge_nsw_index(
     out.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("pt").parquet(f"{path}/near")
-    # keep the serving vector store in step with the graph: batch ids
-    # are NEW (append never duplicates a live id), and appends land
-    # only in the pmod(id) partitions the batch touches
-    batch_vecs.select("vec_id", "v", "norm").withColumn(
-        "pt", F.pmod(F.col("vec_id"), F.lit(_NSW_PARTS))
-    ).write.mode("append").partitionBy("pt").parquet(f"{path}/vecs")
 
 
 def probe_nsw_index(
@@ -3086,18 +3174,20 @@ def probe_nsw_index(
     frontier's candidates land in instead of scanning (or caching)
     the corpus — the serving mode. ``queries`` carries (query_id, qv,
     qnorm). Returns (query_id, rank, neighbor_id, cosine) top-k."""
-    near = (
-        spark.read.parquet(f"{path}/near")
-        .select("src", "dst")
-        .localCheckpoint(eager=False)
-    )
     store = None
     if vecs is None:
-        store = spark.read.parquet(f"{path}/vecs").select(
-            F.col("vec_id").alias("node_id"),
-            F.col("v").alias("nv"),
-            F.col("norm").alias("nn"),
-            "pt",
+        # serving mode: BOTH index tables stay on disk and every hop
+        # reads only the partitions its frontier/candidates land in —
+        # no corpus-sized cache on the vector OR the edge side
+        near = spark.read.parquet(f"{path}/near").select(
+            "src", "dst", "pt"
+        )
+        store = _read_nsw_store(spark, path)
+    else:
+        near = (
+            spark.read.parquet(f"{path}/near")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
         )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("node")

@@ -1095,7 +1095,7 @@ def _build_nsw_maint(spark: SparkSession, sf_dir: str, path: str) -> None:
     write_nsw_index(spark, sf_dir, base, bucket_bits=LSH_BITS)
     shutil.copytree(base, merged)
     vecs = _vectors(spark, sf_dir)
-    merge_nsw_index(spark, merged, vecs, _nsw_mnt_batch(vecs))
+    merge_nsw_index(spark, merged, _nsw_mnt_batch(vecs))
 
 
 _UPDATE_NSW_DUCK = f"""
@@ -1125,11 +1125,15 @@ insfrontier0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM ins_qs),
 {_nsw_hops_duck_for("ins", edges="base_near", vecs="vecs", qs="ins_qs").lstrip(",")},
 {_nsw_visited_duck_for("ins")},
 ins_top AS MATERIALIZED (
+  -- node <> query_id restates the merge's self-match guard (a no-op
+  -- on a fresh merge, where batch ids are absent from the searched
+  -- store; it matters only on a crash-retry, which the oracle's
+  -- single-statement form cannot reach)
   SELECT query_id AS new_id, node AS nb FROM (
     SELECT query_id, node,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY score DESC, node) AS rn
-    FROM insvisited)
+    FROM insvisited WHERE node <> query_id)
   WHERE rn <= {_NSW_M}
 ),
 raw_near AS (

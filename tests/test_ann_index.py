@@ -215,15 +215,13 @@ def test_nsw_merge_prunes_degree_to_top_m(spark, tmp_path):
     vecs = _vectors(spark, SF).select("vec_id", "v", "norm")
     mx = vecs.agg(F.max("vec_id")).first()[0]
 
-    corpus = vecs
     for round_no in (1, 2):
         batch = vecs.where(F.col("vec_id") % 9 == 4).select(
             (F.col("vec_id") + mx * round_no + round_no).alias("vec_id"),
             "v",
             "norm",
         )
-        merge_nsw_index(spark, path, corpus, batch)
-        corpus = corpus.union(batch)
+        merge_nsw_index(spark, path, batch)
         deg = (
             spark.read.parquet(f"{path}/near")
             .groupBy("src")
@@ -232,6 +230,60 @@ def test_nsw_merge_prunes_degree_to_top_m(spark, tmp_path):
             .first()[0]
         )
         assert deg <= _NSW_M, f"degree {deg} > M after merge {round_no}"
+
+
+def test_nsw_merge_keeps_prior_merge_edges_and_is_store_consistent(
+    spark, tmp_path
+):
+    """The store-authority contract: a second merge's degree prune
+    must still see merge-1's vectors (they live in {path}/vecs), so
+    an affected src's surviving edge to a merge-1 node is re-ranked,
+    never silently dropped by a missing-vector join; and re-admitting
+    a batch (the crash-retry path) must not duplicate store rows."""
+    from realtime_event_streaming_spark.operators.similarity import (
+        _vectors,
+        merge_nsw_index,
+        write_nsw_index,
+    )
+
+    path = str(tmp_path / "nsw_auth")
+    write_nsw_index(spark, SF, path)
+    vecs = _vectors(spark, SF).select("vec_id", "v", "norm")
+    mx = vecs.agg(F.max("vec_id")).first()[0]
+
+    b1 = vecs.where(F.col("vec_id") % 9 == 4).select(
+        (F.col("vec_id") + mx + 1).alias("vec_id"), "v", "norm"
+    )
+    merge_nsw_index(spark, path, b1)
+    # the SAME batch again = the crash-retry replay: store row count
+    # must be unchanged (idempotent admission), every vec_id unique
+    merge_nsw_index(spark, path, b1)
+    store = spark.read.parquet(f"{path}/vecs")
+    n_rows = store.count()
+    n_ids = store.select("vec_id").distinct().count()
+    assert n_rows == n_ids == vecs.count() + b1.count()
+
+    # a disjoint second batch: every edge endpoint after the merge
+    # must have a vector in the store (no dangling edges — the
+    # missing-vector prune drop would violate exactly this)
+    b2 = vecs.where(F.col("vec_id") % 9 == 7).select(
+        (F.col("vec_id") + 2 * (mx + 1)).alias("vec_id"), "v", "norm"
+    )
+    merge_nsw_index(spark, path, b2)
+    near = spark.read.parquet(f"{path}/near")
+    ids = spark.read.parquet(f"{path}/vecs").select("vec_id")
+    dangling = (
+        near.select(F.col("src").alias("vec_id"))
+        .union(near.select(F.col("dst").alias("vec_id")))
+        .distinct()
+        .join(ids, "vec_id", "left_anti")
+        .count()
+    )
+    assert dangling == 0
+    # and merge-1 nodes keep edges after merge-2 touched the graph
+    b1_ids = {r[0] for r in b1.select("vec_id").collect()}
+    b1_edges = near.where(F.col("src").isin(list(b1_ids))).count()
+    assert b1_edges > 0
 
 
 def test_nsw_store_probe_matches_inmemory(spark, tmp_path):
@@ -311,6 +363,38 @@ def test_ivf_probe_partition_pruned(spark, tmp_path):
     write_ann_index(spark, SF, path)
     plan = (
         probe_ann_index(spark, path, _queries(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_nsw_edge_lookup_partition_pruned(spark, tmp_path):
+    """The edge-side twin of the vector-store DPP contract: a hop's
+    frontier->out-edges join against the pt-partitioned near-link
+    table must carry a dynamicpruning subquery, so the edge table is
+    never scanned (or cached) whole in serving mode."""
+    from realtime_event_streaming_spark.operators.similarity import (
+        LSH_BITS,
+        _nsw_edge_lookup,
+        _vectors,
+        write_nsw_index,
+    )
+
+    path = str(tmp_path / "nsw_edpp")
+    write_nsw_index(spark, SF, path, bucket_bits=LSH_BITS)
+    near = spark.read.parquet(f"{path}/near").select("src", "dst", "pt")
+    frontier = (
+        _vectors(spark, SF)
+        .where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            (F.col("vec_id") * 3).alias("node"),
+        )
+    )
+    plan = (
+        _nsw_edge_lookup(frontier, near)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
