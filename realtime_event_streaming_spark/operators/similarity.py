@@ -2659,6 +2659,7 @@ def nsw_beam(
     vecs: DataFrame,
     near: DataFrame,
     store: DataFrame | None = None,
+    beam_width: int | None = None,
 ) -> DataFrame:
     """Greedy beam search over the NSW near-link table: H hops, width
     B, from entry node 0; returns every (query_id, node, score) the
@@ -2736,7 +2737,7 @@ def nsw_beam(
         visited = sc if visited is None else visited.union(sc)
         frontier = (
             sc.withColumn("rn", F.row_number().over(wbeam))
-            .where(F.col("rn") <= _NSW_B)
+            .where(F.col("rn") <= (beam_width or _NSW_B))
             .select("query_id", "node")
         )
     return visited.distinct()
@@ -2942,6 +2943,29 @@ def nsw_bucket_bits_for(n: int) -> int:
     if n < 32 * 2**LSH_BITS:
         return LSH_BITS
     return int(math.log2(n / 32))
+
+
+def nsw_beam_width_for(n: int, contract_n: int = 2_000) -> int:
+    """Measured serving rule for the beam width (efSearch) needed to
+    HOLD recall as the corpus grows past the contract scale: the sf1
+    sweep (PERF.md "NSW at 10x vectors") measured recall@5 0.84 at
+    B={b}/2k vectors decaying to 0.26 at 20k, recovered to 0.80 at
+    B=256 — beam width scaling ~ (n / contract_n)^0.6 on the
+    worst-case near-uniform fixture ({b} x 10^0.6 ~ 255). Floored at
+    the contract B so small corpora keep the pinned shape. Real
+    clustered embeddings sit far from this worst case, so treat the
+    rule as an upper bound — or densify the stored graph instead
+    (M=24/B=128 matched M=8/B=192 in the same sweep: pay once in the
+    index, not per query). The registered contract queries pin B={b}
+    (the oracle restates the hops at that width), so this rule is the
+    PRODUCTION caller's lever via ``probe_nsw_index(beam_width=)``,
+    never an implicit default."""
+    if n <= contract_n:
+        return _NSW_B
+    return int(_NSW_B * (n / contract_n) ** 0.6)
+
+
+nsw_beam_width_for.__doc__ = nsw_beam_width_for.__doc__.format(b=_NSW_B)
 
 
 def write_nsw_index(
@@ -3162,6 +3186,7 @@ def probe_nsw_index(
     path: str,
     vecs: DataFrame | None,
     queries: DataFrame,
+    beam_width: int | None = None,
 ) -> DataFrame:
     """Beam-search the materialized graph: stored near links + long
     links derived arithmetically from the beam frontier (O(frontier)
@@ -3173,7 +3198,13 @@ def probe_nsw_index(
     scoring join is dynamic-partition-pruned to the partitions the
     frontier's candidates land in instead of scanning (or caching)
     the corpus — the serving mode. ``queries`` carries (query_id, qv,
-    qnorm). Returns (query_id, rank, neighbor_id, cosine) top-k."""
+    qnorm). Returns (query_id, rank, neighbor_id, cosine) top-k.
+
+    ``beam_width``: the recall-vs-cost serving lever (HNSW efSearch).
+    Default is the contract-scale ``_NSW_B``; a production caller on
+    a grown corpus sizes it with ``nsw_beam_width_for(n)`` (the
+    measured ~n^0.6 recovery rule) or densifies the graph at build
+    time instead — see PERF.md "NSW at 10x vectors"."""
     store = None
     if vecs is None:
         # serving mode: BOTH index tables stay on disk and every hop
@@ -3193,7 +3224,7 @@ def probe_nsw_index(
         F.desc("score"), F.col("node")
     )
     return (
-        nsw_beam(queries, vecs, near, store=store)
+        nsw_beam(queries, vecs, near, store=store, beam_width=beam_width)
         .where(F.col("node") != F.col("query_id"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOPK)

@@ -400,3 +400,47 @@ def test_nsw_edge_lookup_partition_pruned(spark, tmp_path):
         .toString()
     )
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_nsw_beam_width_rule_and_passthrough(spark, tmp_path):
+    """The measured B ~ n^0.6 recovery rule as code: floored at the
+    contract width, ~256 at the sf1 sweep's 20k point, monotone; and
+    probe_nsw_index(beam_width=) actually widens the beam — a wider
+    probe's evaluated pool must contain the default probe's top-k
+    answers (greedy beam monotonicity on the same graph)."""
+    from realtime_event_streaming_spark.operators.similarity import (
+        _NSW_B,
+        LSH_BITS,
+        _vectors,
+        nsw_beam_width_for,
+        probe_nsw_index,
+        write_nsw_index,
+    )
+
+    assert nsw_beam_width_for(1) == _NSW_B
+    assert nsw_beam_width_for(2_000) == _NSW_B  # contract scale
+    assert 240 <= nsw_beam_width_for(20_000) <= 260  # sf1 point ~256
+    pts = [nsw_beam_width_for(10**k) for k in range(3, 9)]
+    assert pts == sorted(pts)
+
+    path = str(tmp_path / "nsw_bw")
+    write_nsw_index(spark, SF, path, bucket_bits=LSH_BITS)
+    qs = (
+        _vectors(spark, SF)
+        .where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    base = probe_nsw_index(spark, path, None, qs).collect()
+    wide = probe_nsw_index(
+        spark, path, None, qs, beam_width=2 * _NSW_B
+    ).collect()
+    assert {r.query_id for r in wide} == {r.query_id for r in base}
+    # every default-probe hit scores <= its wide-probe counterpart at
+    # the same rank: widening never worsens the evaluated pool
+    base_by = {(r.query_id, r.rank): r.cosine for r in base}
+    for r in wide:
+        assert r.cosine >= base_by[(r.query_id, r.rank)] - 1e-9
