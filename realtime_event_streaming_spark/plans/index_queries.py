@@ -1087,15 +1087,22 @@ def _nsw_mnt_batch(vecs) -> DataFrame:
     )
 
 
-def _build_nsw_maint(spark: SparkSession, sf_dir: str, path: str) -> None:
-    base, merged = f"{path}/base", f"{path}/merged"
+def _build_nsw_base(spark: SparkSession, sf_dir: str, path: str) -> None:
     # bits pinned at the contract-scale value: the oracle restates the
     # build with the _vectors bucket, so the registered queries must
     # not pick up the self-scaling default at larger fixtures
-    write_nsw_index(spark, sf_dir, base, bucket_bits=LSH_BITS)
-    shutil.copytree(base, merged)
+    write_nsw_index(spark, sf_dir, f"{path}/base", bucket_bits=LSH_BITS)
+
+
+def _build_nsw_maint(spark: SparkSession, sf_dir: str, path: str) -> None:
+    # layered on the serve fixture so `graph_ann_serve` (which reads
+    # only base) never pays for the merge, and a process running both
+    # queries builds the graph exactly once
+    base_fix = _index_path(spark, sf_dir, "nsw_base", _build_nsw_base)
+    shutil.copytree(f"{base_fix}/base", f"{path}/base")
+    shutil.copytree(f"{base_fix}/base", f"{path}/merged")
     vecs = _vectors(spark, sf_dir)
-    merge_nsw_index(spark, merged, _nsw_mnt_batch(vecs))
+    merge_nsw_index(spark, f"{path}/merged", _nsw_mnt_batch(vecs))
 
 
 _UPDATE_NSW_DUCK = f"""
@@ -1290,7 +1297,7 @@ ORDER BY query_id, rank
     tags=("similarity", "retrieval"),
 )
 def graph_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _index_path(spark, sf_dir, "nsw_maint", _build_nsw_maint)
+    path = _index_path(spark, sf_dir, "nsw_base", _build_nsw_base)
     vecs = _vectors(spark, sf_dir)
     qs = vecs.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
