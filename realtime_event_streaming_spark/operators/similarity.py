@@ -3053,14 +3053,19 @@ def merge_nsw_index(
     work really is O(batch x H x B x degree) for the search plus
     O(touched srcs x degree) for the prune.
 
-    Crash/retry discipline: the vector-store admission is an
-    idempotent dynamic-partition overwrite (existing-minus-batch plus
-    batch), written BEFORE the edge overwrite, so a failure between
-    the two writes leaves extra (unreferenced) vectors and an
-    unchanged graph — probes stay correct, and re-running the merge
-    converges. The self-match guard on the insertion top-M keeps a
-    retried beam (which now sees the batch's own vectors in the
-    store) from wiring a node to itself.
+    Crash/retry discipline: the vector-store admission probes the
+    store for already-present batch ids (bounded DPP lookup) and
+    APPENDS only the missing rows — O(batch) I/O, never a store
+    rewrite — and is ordered BEFORE the edge overwrite, so a failure
+    between the two writes leaves extra (unreferenced) vectors and an
+    unchanged graph; probes stay correct. A REPLAYED merge stays
+    valid: the admission appends nothing, the self-match guard keeps
+    the retried beam (which now sees the batch's own vectors) from
+    wiring a node to itself, and the uniform touched-src re-rank
+    replaces prior rows and dedupes re-sent edges, so the graph keeps
+    (src, dst) uniqueness and the degree <= M bound (pinned by
+    test_nsw_merge_keeps_prior_merge_edges_and_is_store_consistent's
+    double-replay asserts).
 
     Prune ordering note: the re-rank orders by the UNROUNDED cosine
     with a dst tiebreak — the same convention as the build's top-M
@@ -3096,16 +3101,22 @@ def merge_nsw_index(
     new_rev = top.select(
         F.col("nb").alias("src"), F.col("new_id").alias("dst")
     )
-    # Only srcs that received a reverse edge can exceed the degree cap
-    # (new srcs carry exactly top-M from the search). The partitions to
-    # rewrite are those holding an affected OR new src — a bounded
-    # driver-side list (<= _NSW_PARTS values) that partition-prunes the
-    # re-read of the store.
-    affected = new_rev.select("src").distinct()
+    # EVERY touched src — reverse-edge receivers AND the new nodes —
+    # gets its adjacency re-selected uniformly (old rows ∪ new rows,
+    # deduped, top-M): the oracle's merged_near restated for exactly
+    # the touched set. Uniformity is what makes a REPLAYED merge safe:
+    # a new src's prior-replay rows are replaced (not kept beside
+    # fresh ones), and a re-sent reverse edge dedupes instead of
+    # occupying two top-M slots (the round-12 review's verified
+    # duplicate-edges/degree-16 failure). The partitions to rewrite
+    # are those holding a touched src — a bounded driver-side list
+    # (<= _NSW_PARTS values) that partition-prunes the re-read.
+    touched = (
+        new_rev.select("src").union(new_fwd.select("src")).distinct()
+    )
     pts = sorted(
         r[0]
-        for r in affected.union(new_fwd.select("src"))
-        .select(_nsw_pt().alias("pt"))
+        for r in touched.select(_nsw_pt().alias("pt"))
         .distinct()
         .collect()
     )
@@ -3114,34 +3125,33 @@ def merge_nsw_index(
         .where(F.col("pt").isin(pts))
         .select("src", "dst")
     )
-    untouched = old_pt.join(affected, "src", "left_anti")
+    untouched = old_pt.join(touched, "src", "left_anti")
     to_rank = (
-        old_pt.join(affected, "src", "left_semi")
+        old_pt.join(touched, "src", "left_semi")
         .union(new_rev)
+        .union(new_fwd)
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    # Admit the batch vectors FIRST (the prune below needs them), as
-    # an idempotent rewrite of only the partitions the batch lands in.
-    vpts = sorted(
-        r[0]
-        for r in batch_vecs.select(_nsw_pt("vec_id").alias("pt"))
-        .distinct()
-        .collect()
+    # Admit the batch vectors FIRST (the prune below needs them):
+    # probe the store for ids already present (bounded DPP lookup)
+    # and APPEND only the missing rows — O(batch) I/O, retry-safe
+    # (a replayed admission finds everything present and appends
+    # nothing), and never a corpus-sized scan, cache, or rewrite.
+    present = _nsw_store_lookup(
+        batch_vecs.select(F.col("vec_id").alias("node")), store
+    ).select(F.col("node").alias("vec_id"))
+    missing = (
+        batch_vecs.select("vec_id", "v", "norm")
+        .join(present, "vec_id", "left_anti")
+        .withColumn("pt", _nsw_pt("vec_id"))
+        # materialize BEFORE the append: the lookup reads the same
+        # parquet dir the append adds files to
+        .localCheckpoint(eager=True)
     )
-    keep = (
-        spark.read.parquet(f"{path}/vecs")
-        .where(F.col("pt").isin(vpts))
-        .join(batch_vecs.select("vec_id"), "vec_id", "left_anti")
-        .select("vec_id", "v", "norm", "pt")
+    missing.write.mode("append").partitionBy("pt").parquet(
+        f"{path}/vecs"
     )
-    admitted = keep.union(
-        batch_vecs.select("vec_id", "v", "norm").withColumn(
-            "pt", _nsw_pt("vec_id")
-        )
-    ).localCheckpoint(eager=True)
-    admitted.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("pt").parquet(f"{path}/vecs")
     # Re-rank every touched src's out-edges by cosine: vectors come
     # from the post-admission store via bounded DPP lookups (to_rank
     # is O(touched srcs x degree) rows), never a corpus join.
@@ -3172,7 +3182,7 @@ def merge_nsw_index(
         .where(F.col("rn") <= _NSW_M)
         .select("src", "dst")
     )
-    out = untouched.union(pruned).union(new_fwd).withColumn("pt", _nsw_pt())
+    out = untouched.union(pruned).withColumn("pt", _nsw_pt())
     # materialize BEFORE writing: the plan reads the same parquet dir
     # the dynamic-partition overwrite rewrites
     out = out.localCheckpoint(eager=True)

@@ -1313,12 +1313,15 @@ graph_ann_serve.__doc__ = """The graph-ANN SERVING read — `pq_rerank_serve`'s 
     `update_nsw_index` base) plus probe-time arithmetic long links.
     Zero graph construction in the query plan: the only work is
     H x B x degree edge lookups and score evaluations per query, and
-    each hop's vector lookup is a dynamic-partition-pruned read of
-    the index's own pt-partitioned vector store — O(candidates)
-    partitions per hop, no corpus cache. Measured at 200k vectors:
-    9.6/7.8 s per probe vs 13.2/11.3 s for the in-memory-checkpoint
-    path it replaced (PERF.md round 12; the r11 unpruned scan was
-    24.8 s). Same result as
+    each hop's edge AND vector lookups are dynamic-partition-pruned
+    reads of the index's own pt-partitioned tables — O(frontier) /
+    O(candidates) partitions per hop, zero corpus-sized cache on
+    either side. Measured at 200k vectors: 12.1/10.1 s per probe vs
+    13.2/11.3 s for the in-memory-checkpoint path it replaced
+    (PERF.md round 12; the r11 unpruned scan was 24.8 s, and the
+    intermediate vector-only-DPP design measured 9.6/7.8 s by still
+    caching the whole edge table — the shape that cannot hold at
+    10^9 vectors). Same result as
     `graph_ann_beam` (whose plan retrains the graph inline — the
     self-contained correctness form); the oracle restates build +
     search in one statement.

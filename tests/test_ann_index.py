@@ -262,6 +262,20 @@ def test_nsw_merge_keeps_prior_merge_edges_and_is_store_consistent(
     n_rows = store.count()
     n_ids = store.select("vec_id").distinct().count()
     assert n_rows == n_ids == vecs.count() + b1.count()
+    # and the EDGE side survives the replay too (the round-12 review
+    # caught the non-uniform prune leaving 855 duplicate edges and
+    # degree 16 > M here): (src, dst) stays unique and every node's
+    # out-degree stays <= M
+    from realtime_event_streaming_spark.operators.similarity import (
+        _NSW_M,
+    )
+
+    near1 = spark.read.parquet(f"{path}/near")
+    assert near1.count() == near1.select("src", "dst").distinct().count()
+    max_deg = (
+        near1.groupBy("src").count().agg(F.max("count")).first()[0]
+    )
+    assert max_deg <= _NSW_M, f"replayed merge degree {max_deg} > M"
 
     # a disjoint second batch: every edge endpoint after the merge
     # must have a vector in the store (no dangling edges — the
@@ -405,9 +419,12 @@ def test_nsw_edge_lookup_partition_pruned(spark, tmp_path):
 def test_nsw_beam_width_rule_and_passthrough(spark, tmp_path):
     """The measured B ~ n^0.6 recovery rule as code: floored at the
     contract width, ~256 at the sf1 sweep's 20k point, monotone; and
-    probe_nsw_index(beam_width=) actually widens the beam — a wider
-    probe's evaluated pool must contain the default probe's top-k
-    answers (greedy beam monotonicity on the same graph)."""
+    the beam_width passthrough is real — an explicit contract-width
+    probe is row-identical to the default, and a widened probe keeps
+    the result contract (TOPK ranked rows per query, no self
+    matches). No cosine-dominance assert: beyond hop 2 a wider
+    greedy beam's frontier is NOT a superset of the narrow one's, so
+    per-rank dominance is not an algorithm invariant."""
     from realtime_event_streaming_spark.operators.similarity import (
         _NSW_B,
         LSH_BITS,
@@ -435,12 +452,19 @@ def test_nsw_beam_width_rule_and_passthrough(spark, tmp_path):
         )
     )
     base = probe_nsw_index(spark, path, None, qs).collect()
+    explicit = probe_nsw_index(
+        spark, path, None, qs, beam_width=_NSW_B
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, explicit))
     wide = probe_nsw_index(
         spark, path, None, qs, beam_width=2 * _NSW_B
     ).collect()
     assert {r.query_id for r in wide} == {r.query_id for r in base}
-    # every default-probe hit scores <= its wide-probe counterpart at
-    # the same rank: widening never worsens the evaluated pool
-    base_by = {(r.query_id, r.rank): r.cosine for r in base}
+    by_q = {}
     for r in wide:
-        assert r.cosine >= base_by[(r.query_id, r.rank)] - 1e-9
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+    assert all(
+        sorted(x.rank for x in rows) == list(range(1, TOPK + 1))
+        for rows in by_q.values()
+    )
