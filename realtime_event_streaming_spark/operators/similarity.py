@@ -2513,13 +2513,21 @@ frontier0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM qs)"""
 
 
 def _nsw_hops_duck_for(
-    prefix: str, edges: str = "edges", vecs: str = "vecs", qs: str = "qs"
+    prefix: str,
+    edges: str = "edges",
+    vecs: str = "vecs",
+    qs: str = "qs",
+    beam: int | None = None,
 ) -> str:
     """The H unrolled greedy-beam hops as materialized CTEs,
-    parametric over the edge table / vector table / query panel so
-    the maintenance query can run several searches (insertion,
-    pre-probe, post-probe) in one statement. ``prefix`` namespaces
-    the CTEs; a ``{prefix}frontier0`` CTE must precede this block."""
+    parametric over the edge table / vector table / query panel (so
+    the maintenance query can run several searches — insertion,
+    pre-probe, post-probe — in one statement) and over the beam
+    width ``beam`` (so the recall-curve query can restate several
+    widths; default the contract _NSW_B). ``prefix`` namespaces the
+    CTEs; a ``{prefix}frontier0`` CTE must precede this block."""
+    if beam is None:
+        beam = _NSW_B
     parts = []
     for h in range(1, _NSW_H + 1):
         prev = f"{prefix}frontier{h - 1}"
@@ -2546,7 +2554,7 @@ def _nsw_hops_duck_for(
            row_number() OVER (PARTITION BY query_id
                               ORDER BY score DESC, node) AS rn
     FROM {prefix}sc{h})
-  WHERE rn <= {_NSW_B}
+  WHERE rn <= {beam}
 )""")
     return "".join(parts)
 
@@ -2904,6 +2912,144 @@ graph_ann_recall.__doc__ = """Recall@{k} contract for `graph_ann_beam` vs the ex
     baseline); the graph arm re-runs the beam search. Fixture
     measurement drives the pinned floor in
     tests/test_retrieval_contract.py.""".format(k=TOPK)
+
+
+#: Beam widths for the recall curve: a quarter-width point and the
+#: contract width — the two ends a deployment interpolates between
+#: when applying the nsw_beam_width_for n^0.6 recovery rule.
+_BCURVE_WIDTHS = (16, _NSW_B)
+
+
+def _bcurve_duck() -> str:
+    arms = []
+    for b in _BCURVE_WIDTHS:
+        arms.append(f""",
+b{b}frontier0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM qs)
+{_nsw_hops_duck_for(f"b{b}", beam=b)},
+{_nsw_visited_duck_for(f"b{b}")},
+got{b} AS (
+  SELECT query_id, node AS neighbor_id FROM (
+    SELECT query_id, node,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, node) AS rank
+    FROM b{b}visited WHERE node <> query_id)
+  WHERE rank <= {TOPK}),
+rec{b} AS (
+  SELECT CAST({b} AS BIGINT) AS beam_width,
+         (SELECT CAST(count(DISTINCT query_id) AS BIGINT) FROM exact)
+           AS n_queries,
+         round(CAST((SELECT count(*) FROM exact e JOIN got{b} g
+                     ON g.query_id = e.query_id
+                    AND g.neighbor_id = e.neighbor_id) AS DOUBLE)
+               / (SELECT count(*) FROM exact), 4) AS mean_recall
+)""")
+    tail = " UNION ALL ".join(f"SELECT * FROM rec{b}" for b in _BCURVE_WIDTHS)
+    return f"""
+WITH {_nsw_graph_duck()},
+exact_sc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, c.v) / (q.qnorm * c.norm), 4) AS score
+  FROM qs q JOIN vecs c ON c.vec_id <> q.query_id),
+exact AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rn
+    FROM exact_sc)
+  WHERE rn <= {TOPK}){"".join(arms)}
+{tail}
+ORDER BY beam_width
+"""
+
+
+@register(
+    "graph_beam_recall_curve",
+    _bcurve_duck(),
+    tags=("similarity", "retrieval"),
+)
+def graph_beam_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors(spark, sf_dir)
+    near = nsw_near_links(vecs).localCheckpoint(eager=False)
+    qs = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="qv", b="cv"))
+        / (F.col("qnorm") * F.col("cnorm")),
+        4,
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    exact = (
+        F.broadcast(qs)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("score"))
+        .withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") <= TOPK)
+        .select("query_id", "neighbor_id")
+        # one exact arm feeds every width's recall join
+        .localCheckpoint(eager=False)
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("node")
+    )
+    arms = []
+    for b in _BCURVE_WIDTHS:
+        got = (
+            nsw_beam(qs, vecs, near, beam_width=b)
+            .where(F.col("node") != F.col("query_id"))
+            .withColumn("rank", F.row_number().over(wb))
+            .where(F.col("rank") <= TOPK)
+            .select("query_id", F.col("node").alias("neighbor_id"))
+        )
+        arms.append(
+            exact.alias("e")
+            .join(
+                got.alias("g"),
+                (F.col("g.query_id") == F.col("e.query_id"))
+                & (F.col("g.neighbor_id") == F.col("e.neighbor_id")),
+                "left",
+            )
+            .agg(
+                F.count(F.col("g.neighbor_id")).alias("nh"),
+                F.count(F.col("e.neighbor_id")).alias("ne"),
+                F.countDistinct(F.col("e.query_id"))
+                .cast("bigint")
+                .alias("n_queries"),
+            )
+            .select(
+                F.lit(b).cast("bigint").alias("beam_width"),
+                "n_queries",
+                F.round(
+                    F.col("nh").cast("double") / F.col("ne"), 4
+                ).alias("mean_recall"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("beam_width")
+graph_beam_recall_curve.__doc__ = """The beam-width (efSearch) half of the graph-ANN deployment
+    curve, DRIVER-GATED — `ivf_nprobe_recall_curve`'s discipline for
+    the NSW stack: aggregate recall@{k} vs the exact brute-force
+    top-{k} at beam widths {ws}, all arms sharing ONE inline-built
+    graph and ONE exact arm (bounded query panel, labeled baseline).
+    The measured lever behind `nsw_beam_width_for`'s n^0.6 recovery
+    rule (PERF.md "NSW at 10x vectors": recall 0.84 -> 0.26 at fixed
+    B under 10x corpus growth, recovered at B=256) restated as an
+    oracle-checked artifact: the curve must be non-decreasing in B on
+    any fixture, and the contract-width point is the one
+    tests/test_retrieval_contract.py floors at 0.8.""".format(
+    k=TOPK, ws=_BCURVE_WIDTHS
+)
 
 
 # ---------------------------------------------------------------------------

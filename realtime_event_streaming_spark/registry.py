@@ -87,11 +87,13 @@ def register(
 #: round-11 note verbatim): (a) LEAD with the four round-11 late
 #: debuts `update_nsw_index`, `blocklist_scrub_roundtrip`,
 #: `graph_ann_serve` and `generation_diversity` — never driver-rowed,
-#: locally green at sf0.001/0.01/0.1 AND sf1; then (b) the FULL
-#: round-6 remainder — the 40 queries whose last green row is round 6
-#: (the stalest cohort after round 11 cleared the round-5 set); then
-#: (c) the first 6 of the round-7 cohort in name order. The round-7
-#: remainder queues for round 13.
+#: locally green at sf0.001/0.01/0.1 AND sf1 — plus the round-12
+#: debut `graph_beam_recall_curve` (never-rowed queries lead); then
+#: (b) the FULL round-6 remainder — the 40 queries whose last green
+#: row is round 6 (the stalest cohort after round 11 cleared the
+#: round-5 set); then (c) the first 5 of the round-7 cohort in name
+#: order. The round-7 remainder (from `audience_set_ops`) queues for
+#: round 13.
 #: Every yielded query remains locally oracle-gated by
 #: tests/test_oracle_parity.py on the FULL registry at every run.
 DRIVER_QUERIES: tuple[str, ...] = (
@@ -100,6 +102,7 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "blocklist_scrub_roundtrip",
     "graph_ann_serve",
     "generation_diversity",
+    "graph_beam_recall_curve",
     # -- (b) the full round-6 remainder (stalest cohort)
     "dedup_exact_summary",
     "dedup_survivors",
@@ -141,13 +144,12 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "update_ann_index",
     "update_dedup_index",
     "user_erasure_audit",
-    # -- (c) round-7 cohort, first 6 in name order
+    # -- (c) round-7 cohort, first 5 in name order
     "activity_streak_histogram",
     "ann_lsh_topk",
     "approx_distinct_accuracy",
     "approx_quantile_accuracy",
     "attribution_model_compare",
-    "audience_set_ops",
 )
 
 

@@ -468,3 +468,27 @@ def test_nsw_beam_width_rule_and_passthrough(spark, tmp_path):
         sorted(x.rank for x in rows) == list(range(1, TOPK + 1))
         for rows in by_q.values()
     )
+
+
+def test_graph_beam_recall_curve_monotone(spark):
+    """The beam-width recall curve's structural contract: one row per
+    registered width, shared query panel size, and recall
+    non-decreasing in B — a wider truncation of the same hop's scored
+    set can only keep more of it (the per-width arms share the graph
+    and the exact baseline, so any inversion is a plumbing bug, not
+    fixture noise)."""
+    from realtime_event_streaming_spark.operators.similarity import (
+        _BCURVE_WIDTHS,
+    )
+    from realtime_event_streaming_spark.registry import load_all
+
+    rows = (
+        load_all()["graph_beam_recall_curve"]
+        .spark_fn(spark, SF)
+        .collect()
+    )
+    assert [r.beam_width for r in rows] == sorted(_BCURVE_WIDTHS)
+    assert len({r.n_queries for r in rows}) == 1
+    recalls = [r.mean_recall for r in rows]
+    assert recalls == sorted(recalls), recalls
+    assert all(0.0 <= x <= 1.0 for x in recalls)
