@@ -63,27 +63,41 @@ EPOCH_S_DUCK = "(epoch_us({col}) // 1000000)"
 MD5_64_SQL = "substr(md5({x}), 1, 16)"
 
 
+def sub_checked(sql: str, *subs: tuple[str, str]) -> str:
+    """Targeted SQL substitution with a presence check.
+
+    Used both for dialect rewrites (see :func:`to_spark_sql`) and for
+    template instantiation of shared SQL fragments (parameter renames
+    like ``vv`` -> ``q.v``, scope renames like ``FROM documents`` ->
+    ``FROM docs_u``). A blind ``str.replace`` is fragile: edit the
+    body so a pattern no longer matches and the rewrite silently
+    no-ops, shipping the un-rewritten text downstream (round-12
+    ADVICE, found on `generation_diversity`). This helper makes every
+    substitution self-checking: a missing pattern raises at import
+    time instead of failing (or silently mis-computing) at run time.
+
+    Substitutions apply IN ORDER against the partially-rewritten
+    string, so later patterns may legitimately reference earlier
+    replacements."""
+    for old, new in subs:
+        if old not in sql:
+            raise ValueError(
+                f"SQL substitution pattern {old!r} not found — the "
+                "shared SQL body drifted from its rewrite"
+            )
+        sql = sql.replace(old, new)
+    return sql
+
+
 def to_spark_sql(sql: str, *subs: tuple[str, str]) -> str:
-    """Targeted DuckDB->Spark substitution with a presence check.
+    """DuckDB->Spark dialect rewrite via :func:`sub_checked`.
 
     A handful of dual-dialect queries differ in one or two tokens
     (``//`` vs ``div``, ``quantile_cont`` vs ``percentile``); they
     derive the Spark statement from the shared body with targeted
     substitutions rather than maintaining two near-identical
-    statements. A blind ``str.replace`` is fragile: edit the body so a
-    pattern no longer matches and the rewrite silently no-ops,
-    shipping DuckDB syntax to Spark (round-12 ADVICE, found on
-    `generation_diversity` — now a fully dual statement). This helper
-    makes every remaining substitution self-checking: a missing
-    pattern raises at import time instead of failing at run time."""
-    for old, new in subs:
-        if old not in sql:
-            raise ValueError(
-                f"dialect substitution pattern {old!r} not found — the "
-                "shared SQL body drifted from its Spark rewrite"
-            )
-        sql = sql.replace(old, new)
-    return sql
+    statements. Every substitution is presence-checked."""
+    return sub_checked(sql, *subs)
 
 
 def fmt_ts_spark(col: str) -> str:

@@ -20,6 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions import dialect as D
 from ..io import load_table, register_views
 from ..registry import register
 
@@ -124,6 +125,7 @@ def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram text for cross-engine determinism."""
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_VOCAB_SPARK)
+vocab_top_bigrams.__doc__ = vocab_top_bigrams.__doc__.format(k=VOCAB_TOPK)
 
 
 # ---------------------------------------------------------------------------
@@ -161,6 +163,7 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan — `df.repartition(N, hash).write` — with the same key."""
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_shard_sql("STRING"))
+shard_manifest.__doc__ = shard_manifest.__doc__.format(n=N_SHARDS)
 
 
 # ---------------------------------------------------------------------------
@@ -195,6 +198,7 @@ def per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition before the final per-group selection."""
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_per_source_sql("STRING"))
+per_source_sample.__doc__ = per_source_sample.__doc__.format(k=SAMPLE_K)
 
 
 # ---------------------------------------------------------------------------
@@ -1314,19 +1318,14 @@ GROUP BY span_len, tot.n_spans_total
 ORDER BY span_len
 """
 
-_SPANPLAN_SPARK = (
-    _SPANPLAN_DUCK.replace(
-        "len(string_split(text, ' '))", "size(split(text, ' '))"
-    )
-    .replace(
-        "FROM toks, UNNEST(generate_series(1, n)) AS g(i)",
-        "FROM toks LATERAL VIEW explode(sequence(1, n)) g AS i",
-    )
-    .replace(
-        "('0x' || substr(md5('mask:' || doc_id || ':' || i), 1, 14))::BIGINT",
-        "cast(conv(substr(md5(concat('mask:', cast(doc_id AS STRING), ':', "
-        "cast(i AS STRING))), 1, 14), 16, 10) AS BIGINT)",
-    )
+_SPANPLAN_SPARK = D.to_spark_sql(
+    _SPANPLAN_DUCK,
+    ("len(string_split(text, ' '))", "size(split(text, ' '))"),
+    ("FROM toks, UNNEST(generate_series(1, n)) AS g(i)",
+     "FROM toks LATERAL VIEW explode(sequence(1, n)) g AS i"),
+    ("('0x' || substr(md5('mask:' || doc_id || ':' || i), 1, 14))::BIGINT",
+     "cast(conv(substr(md5(concat('mask:', cast(doc_id AS STRING), ':', "
+     "cast(i AS STRING))), 1, 14), 16, 10) AS BIGINT)"),
 )
 
 

@@ -852,40 +852,34 @@ ORDER BY t.gen_id
 def generation_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import register_views
 
+    from ..functions import dialect as D
+
     register_views(spark, sf_dir, tables=("documents",))
-    spark_sql = (
-        _PROV_DUCK
-        .replace("string_split(text, ' ')", "split(text, ' ')")
-        .replace("len(", "size(")
-        .replace(
-            f"tk[{_PROV_START + 1}:{_PROV_START + _PROV_LEN}]",
-            f"slice(tk, {_PROV_START + 1}, {_PROV_LEN})",
-        )
-        .replace(
-            "gtk[i] || ' ' || gtk[i+1] || ' ' || gtk[i+2] || ' '\n"
-            "                || gtk[i+3] || ' ' || gtk[i+4]",
-            "concat_ws(' ', element_at(gtk, i), element_at(gtk, i+1), "
-            "element_at(gtk, i+2), element_at(gtk, i+3), "
-            "element_at(gtk, i+4))",
-        )
-        .replace(
-            "tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]\n"
-            "               || ' ' || tk[i+4]",
-            "concat_ws(' ', element_at(tk, i), element_at(tk, i+1), "
-            "element_at(tk, i+2), element_at(tk, i+3), "
-            "element_at(tk, i+4))",
-        )
-        .replace(
-            "FROM gens, UNNEST(generate_series(1, size(gtk) - 4)) AS g(i)",
-            "FROM gens LATERAL VIEW explode(sequence(1, size(gtk) - 4)) "
-            "g AS i",
-        )
-        .replace(
-            "FROM toks, UNNEST(generate_series(1, size(tk) - 4)) AS g(i)",
-            "FROM toks LATERAL VIEW explode(sequence(1, size(tk) - 4)) "
-            "g AS i",
-        )
-        .replace("//", "div")
+    # Presence-checked substitutions (functions/dialect.py:to_spark_sql)
+    # so a drift of the shared body raises instead of silently no-oping.
+    spark_sql = D.to_spark_sql(
+        _PROV_DUCK,
+        ("string_split(text, ' ')", "split(text, ' ')"),
+        ("len(", "size("),
+        (f"tk[{_PROV_START + 1}:{_PROV_START + _PROV_LEN}]",
+         f"slice(tk, {_PROV_START + 1}, {_PROV_LEN})"),
+        ("gtk[i] || ' ' || gtk[i+1] || ' ' || gtk[i+2] || ' '\n"
+         "                || gtk[i+3] || ' ' || gtk[i+4]",
+         "concat_ws(' ', element_at(gtk, i), element_at(gtk, i+1), "
+         "element_at(gtk, i+2), element_at(gtk, i+3), "
+         "element_at(gtk, i+4))"),
+        ("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]\n"
+         "               || ' ' || tk[i+4]",
+         "concat_ws(' ', element_at(tk, i), element_at(tk, i+1), "
+         "element_at(tk, i+2), element_at(tk, i+3), "
+         "element_at(tk, i+4))"),
+        ("FROM gens, UNNEST(generate_series(1, size(gtk) - 4)) AS g(i)",
+         "FROM gens LATERAL VIEW explode(sequence(1, size(gtk) - 4)) "
+         "g AS i"),
+        ("FROM toks, UNNEST(generate_series(1, size(tk) - 4)) AS g(i)",
+         "FROM toks LATERAL VIEW explode(sequence(1, size(tk) - 4)) "
+         "g AS i"),
+        ("//", "div"),
     )
     return spark.sql(spark_sql)
 generation_provenance.__doc__ = """N-gram PROVENANCE of generated text — the memorization-audit

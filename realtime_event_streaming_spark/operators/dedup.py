@@ -38,6 +38,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions import dialect as D
 from ..io import load_table
 from ..registry import register
 
@@ -504,6 +505,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+dedup_survivors.__doc__ = dedup_survivors.__doc__.format(t=JACCARD_THRESHOLD)
 
 
 _NGRAM_JACCARD_DUCK = f"""
@@ -720,6 +722,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_INCREMENTAL_SQL)
+dedup_incremental.__doc__ = dedup_incremental.__doc__.format(mod=_INC_PLANT_MOD)
 
 
 # ---------------------------------------------------------------------------
@@ -747,7 +750,7 @@ docs_u AS (
   FROM documents d, mx
   WHERE d.doc_id < mx.c AND d.doc_id % {_INC_MH_PLANT_MOD} = 0
 ),
-{_DUCK_SHINGLES.replace("FROM documents", "FROM docs_u")},
+{D.sub_checked(_DUCK_SHINGLES, ("FROM documents", "FROM docs_u"))},
 {_DUCK_SIG},
 bands AS (
   SELECT doc_id, seed // 2 AS band_idx,
@@ -841,6 +844,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return F.broadcast(total).crossJoin(stats).select(
         "batch_docs", "flagged_docs", "flagged_planted", "candidate_pairs"
     )
+dedup_incremental_minhash.__doc__ = dedup_incremental_minhash.__doc__.format(
+    mod=_INC_MH_PLANT_MOD
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1343,6 +1349,7 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_removed"), "doc_id")
         .limit(_STRIP_TOP)
     )
+boilerplate_strip.__doc__ = boilerplate_strip.__doc__.format(top=_STRIP_TOP)
 
 
 # ---------------------------------------------------------------------------
@@ -1430,6 +1437,9 @@ def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "doc_a", "doc_b")
         .limit(_FUZZY_TOP)
     )
+fuzzy_title_pairs.__doc__ = fuzzy_title_pairs.__doc__.format(
+    t=_FUZZY_TITLE, b=_FUZZY_BLOCK, d=_FUZZY_MAX_DIST, n=_FUZZY_TOP
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1941,6 +1951,9 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+ngram_novelty_rate.__doc__ = ngram_novelty_rate.__doc__.format(
+    n=_NOV_N, m=_NOV_MOD, s=_NOV_SLOT
+)
 
 
 # ---------------------------------------------------------------------------
@@ -2361,46 +2374,47 @@ SELECT k, n_pairs, mean_jaccard, candidate_rate,
 FROM e4 ORDER BY k
 """
 
-_SCURVE_SPARK = (
-    _SCURVE_DUCK
-    .replace("string_split(text, ' ')[1:" + str(_SCURVE_BASE_TOKENS) + "]",
-             f"slice(split(text, ' '), 1, {_SCURVE_BASE_TOKENS})")
-    .replace("len(string_split(text, ' '))", "size(split(text, ' '))")
-    .replace(
-        f"list_concat(bt[1:{_SCURVE_BASE_TOKENS}] "
-        f"[1:({_SCURVE_BASE_TOKENS} - 3 * k.k)],",
-        f"concat(slice(bt, 1, {_SCURVE_BASE_TOKENS} - 3 * k.k),")
-    .replace("list_transform", "transform")
-    .replace("list_distinct", "array_distinct")
-    .replace("list_intersect", "array_intersect")
-    .replace("list_min", "array_min")
-    .replace("list_filter", "filter")
-    .replace("generate_series(", "sequence(")
-    .replace("(SELECT unnest(sequence(0, " + str(_SCURVE_KS - 1) + ")) AS k) k",
-             f"(SELECT explode(sequence(0, {_SCURVE_KS - 1})) AS k) k")
-    .replace("len(", "size(")
-    .replace("('0x' || substr(md5(s), 1, 7))::BIGINT",
-             "cast(conv(substr(md5(s), 1, 7), 16, 10) AS BIGINT)")
-    .replace("('0x' || substr(md5(s), 8, 7))::BIGINT",
-             "cast(conv(substr(md5(s), 8, 7), 16, 10) AS BIGINT)")
-    .replace("bt[i] || ' ' || bt[i+1] || ' ' || bt[i+2]",
-             "concat_ws(' ', element_at(bt, i), element_at(bt, i+1), "
-             "element_at(bt, i+2))")
-    .replace("vt[i] || ' ' || vt[i+1] || ' ' || vt[i+2]",
-             "concat_ws(' ', element_at(vt, i), element_at(vt, i+1), "
-             "element_at(vt, i+2))")
-    .replace("siga[2*b+1]", "element_at(siga, 2*b+1)")
-    .replace("sigb[2*b+1]", "element_at(sigb, 2*b+1)")
-    .replace("siga[2*b+2]", "element_at(siga, 2*b+2)")
-    .replace("sigb[2*b+2]", "element_at(sigb, 2*b+2)")
+# Each substitution is presence-checked (raises at import if the shared
+# body drifts — functions/dialect.py:to_spark_sql, round-12 advisory).
+# Order matters: patterns match the partially-rewritten string.
+_SCURVE_SPARK = D.to_spark_sql(
+    _SCURVE_DUCK,
+    ("string_split(text, ' ')[1:" + str(_SCURVE_BASE_TOKENS) + "]",
+     f"slice(split(text, ' '), 1, {_SCURVE_BASE_TOKENS})"),
+    ("len(string_split(text, ' '))", "size(split(text, ' '))"),
+    (f"list_concat(bt[1:{_SCURVE_BASE_TOKENS}] "
+     f"[1:({_SCURVE_BASE_TOKENS} - 3 * k.k)],",
+     f"concat(slice(bt, 1, {_SCURVE_BASE_TOKENS} - 3 * k.k),"),
+    ("list_transform", "transform"),
+    ("list_distinct", "array_distinct"),
+    ("list_intersect", "array_intersect"),
+    ("list_min", "array_min"),
+    ("list_filter", "filter"),
+    ("generate_series(", "sequence("),
+    ("(SELECT unnest(sequence(0, " + str(_SCURVE_KS - 1) + ")) AS k) k",
+     f"(SELECT explode(sequence(0, {_SCURVE_KS - 1})) AS k) k"),
+    ("len(", "size("),
+    ("('0x' || substr(md5(s), 1, 7))::BIGINT",
+     "cast(conv(substr(md5(s), 1, 7), 16, 10) AS BIGINT)"),
+    ("('0x' || substr(md5(s), 8, 7))::BIGINT",
+     "cast(conv(substr(md5(s), 8, 7), 16, 10) AS BIGINT)"),
+    ("bt[i] || ' ' || bt[i+1] || ' ' || bt[i+2]",
+     "concat_ws(' ', element_at(bt, i), element_at(bt, i+1), "
+     "element_at(bt, i+2))"),
+    ("vt[i] || ' ' || vt[i+1] || ' ' || vt[i+2]",
+     "concat_ws(' ', element_at(vt, i), element_at(vt, i+1), "
+     "element_at(vt, i+2))"),
+    ("siga[2*b+1]", "element_at(siga, 2*b+1)"),
+    ("sigb[2*b+1]", "element_at(sigb, 2*b+1)"),
+    ("siga[2*b+2]", "element_at(siga, 2*b+2)"),
+    ("sigb[2*b+2]", "element_at(sigb, 2*b+2)"),
     # Spark sequence(1, 0) is [1, 0] (descending), not empty like
     # DuckDB's generate_series(1, 0) — slice the longest index list
     # down to 3k so k = 0 yields the empty salt.
-    .replace("sequence(1, 3 * k.k)",
-             "slice(sequence(1, 27), 1, 3 * k.k)")
-    .replace("'z' || doc_id || 'k' || k.k || 'n' || j",
-             "concat('z', doc_id, 'k', k.k, 'n', j)")
-    .replace("//", "div")
+    ("sequence(1, 3 * k.k)", "slice(sequence(1, 27), 1, 3 * k.k)"),
+    ("'z' || doc_id || 'k' || k.k || 'n' || j",
+     "concat('z', doc_id, 'k', k.k, 'n', j)"),
+    ("//", "div"),
 )
 
 

@@ -144,6 +144,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(_frame_batches, FRAMES_SCHEMA).orderBy(
         "doc_id", "frame_idx"
     )
+multimodal_frame_sample.__doc__ = multimodal_frame_sample.__doc__.format(n=N_FRAMES)
 
 
 # ---------------------------------------------------------------------------

@@ -35,6 +35,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions import dialect as D
 from ..io import register_views
 from ..registry import register
 
@@ -99,8 +100,9 @@ WHERE rnk <= {BM25_TOPK}
 ORDER BY term, rnk
 """
 
-_BM25_SPARK = _BM25_BODY.replace(
-    "unnest(string_split(text, ' '))", "explode(split(text, ' '))"
+_BM25_SPARK = D.to_spark_sql(
+    _BM25_BODY,
+    ("unnest(string_split(text, ' '))", "explode(split(text, ' '))"),
 )
 
 
@@ -206,19 +208,17 @@ FROM final WHERE rnk <= {RRF_TOPK}
 ORDER BY query_id, rnk
 """
 
-_RRF_SPARK = _RRF_BODY.replace(
-    "unnest(string_split(text, ' '))", "explode(split(text, ' '))"
-).replace(
-    "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))",
-    "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 AS DOUBLE),"
-    " (acc, x) -> acc + x))",
-).replace(
-    "embedding::DOUBLE[] AS v",
-    "transform(embedding, x -> cast(x AS DOUBLE)) AS v",
-).replace(
-    "list_dot_product(q.v, c.v)",
-    "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0 AS DOUBLE),"
-    " (acc, x) -> acc + x)",
+_RRF_SPARK = D.to_spark_sql(
+    _RRF_BODY,
+    ("unnest(string_split(text, ' '))", "explode(split(text, ' '))"),
+    ("sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))",
+     "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 AS DOUBLE),"
+     " (acc, x) -> acc + x))"),
+    ("embedding::DOUBLE[] AS v",
+     "transform(embedding, x -> cast(x AS DOUBLE)) AS v"),
+    ("list_dot_product(q.v, c.v)",
+     "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0 AS DOUBLE),"
+     " (acc, x) -> acc + x)"),
 )
 
 
@@ -718,7 +718,7 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _recall_duck() -> str:
     from .similarity import _D2_DUCK
 
-    d2 = _D2_DUCK.replace("vv", "q.v").replace("cv", "c.v")
+    d2 = D.sub_checked(_D2_DUCK, ("vv", "q.v"), ("cv", "c.v"))
     return f"""
 WITH {_ivfpq_ctes()},
 exact AS (
@@ -844,6 +844,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+ann_recall_eval.__doc__ = ann_recall_eval.__doc__.format(k=PQ_TOPK)
 
 
 # ---------------------------------------------------------------------------
@@ -1075,7 +1076,7 @@ def _rerank_duck(
 ) -> str:
     from .similarity import _D2_DUCK
 
-    d2 = _D2_DUCK.replace("vv", "q.v").replace("cv", "c.v")
+    d2 = D.sub_checked(_D2_DUCK, ("vv", "q.v"), ("cv", "c.v"))
     return f"""
 WITH {_ivfpq_ctes(nprobe)},
 short AS (
@@ -1182,7 +1183,7 @@ def _rerank_recall_duck(
 ) -> str:
     from .similarity import _D2_DUCK
 
-    d2s = _D2_DUCK.replace("vv", "q.v").replace("cv", "c.v")
+    d2s = D.sub_checked(_D2_DUCK, ("vv", "q.v"), ("cv", "c.v"))
     return f"""
 WITH {_ivfpq_ctes(nprobe)},
 short AS (
@@ -1618,7 +1619,7 @@ _NDCG_DISC = tuple(
 def _ndcg_duck() -> str:
     from .similarity import _D2_DUCK
 
-    d2 = _D2_DUCK.replace("vv", "q.v").replace("cv", "c.v")
+    d2 = D.sub_checked(_D2_DUCK, ("vv", "q.v"), ("cv", "c.v"))
     disc_rows = ", ".join(
         f"({p + 1}, {d})" for p, d in enumerate(_NDCG_DISC)
     )
@@ -1764,7 +1765,7 @@ _CURVE_NPROBES = (1, 2, 4)
 def _nprobe_curve_arm(np: int) -> str:
     from .similarity import _D2_DUCK
 
-    d2s = _D2_DUCK.replace("vv", "q.v").replace("cv", "c.v")
+    d2s = D.sub_checked(_D2_DUCK, ("vv", "q.v"), ("cv", "c.v"))
     denom = PQ_NQ * PQ_TOPK
     return f"""
 (WITH {_ivfpq_ctes(np)},
@@ -2207,8 +2208,9 @@ WHERE rnk <= {BM25_TOPK}
 ORDER BY term, rnk
 """
 
-_RM3_SPARK = _RM3_BODY.replace(
-    "unnest(string_split(text, ' '))", "explode(split(text, ' '))"
+_RM3_SPARK = D.to_spark_sql(
+    _RM3_BODY,
+    ("unnest(string_split(text, ' '))", "explode(split(text, ' '))"),
 )
 
 

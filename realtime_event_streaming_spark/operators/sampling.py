@@ -11,6 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions import dialect as D
 from ..io import load_table, register_views
 from ..registry import register
 
@@ -158,7 +159,7 @@ def _weighted_sql(t: str) -> str:
     # the k smallest keys are a weight-proportional sample without
     # replacement. Deterministic salt-hash instead of rand() — same
     # sample on every engine, run and shard layout.
-    h = _H16.format(t=t).replace("md5(cast(doc_id AS", "md5(cast('ws|' || doc_id AS")
+    h = D.sub_checked(_H16.format(t=t), ("md5(cast(doc_id AS", "md5(cast('ws|' || doc_id AS"))
     return f"""
 WITH keyed AS (
   SELECT doc_id, source, n_chars,
@@ -286,7 +287,7 @@ bands AS (
 ),
 assigned AS (
   SELECT doc_id, md5(text) AS content_hash,
-         {_SPLIT_SQL.replace("h <", "hh <")} AS split
+         {D.sub_checked(_SPLIT_SQL, ("h <", "hh <"))} AS split
   FROM (SELECT doc_id, text, {_H16.format(t='VARCHAR')} AS hh FROM documents)
 ),
 clusters AS (
@@ -336,7 +337,10 @@ def _leak_duck() -> str:
     from .dedup import _DUCK_SHINGLES, _DUCK_SIG, MH_SHIFT
 
     return _LEAK_DUCK.format(
-        shingle_ctes=f"{_DUCK_SHINGLES}, {_DUCK_SIG}".replace("WITH ", ""),
+        # (a historical `.replace("WITH ", "")` here was a silent no-op —
+        # the shingle CTEs stopped carrying a WITH prefix long ago; the
+        # checked-substitution migration, round 13, surfaced and removed it)
+        shingle_ctes=f"{_DUCK_SHINGLES}, {_DUCK_SIG}",
         mh_shift=MH_SHIFT,
     )
 

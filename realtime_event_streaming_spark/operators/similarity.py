@@ -25,9 +25,12 @@ centroid assignment join — same plan shape.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions import dialect as D
 from ..io import load_table
 from ..registry import register
 
@@ -133,6 +136,7 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     )
+ann_bruteforce.__doc__ = ann_bruteforce.__doc__.format(k=TOPK)
 
 
 # ---------------------------------------------------------------------------
@@ -197,6 +201,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     )
+ann_lsh_topk.__doc__ = ann_lsh_topk.__doc__.format(k=TOPK, bits=LSH_BITS)
 
 
 # ---------------------------------------------------------------------------
@@ -244,6 +249,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+embedding_near_dup.__doc__ = embedding_near_dup.__doc__.format(t=NEAR_DUP_COS)
 
 
 # ---------------------------------------------------------------------------
@@ -376,6 +382,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     )
+ann_ivf_topk.__doc__ = ann_ivf_topk.__doc__.format(nprobe=NPROBE)
 
 
 # ---------------------------------------------------------------------------
@@ -507,7 +514,7 @@ def _duck_kmeans_round(n: int, prev_c: str) -> str:
     """One Lloyd round (assign + rounded means) as DuckDB CTEs."""
     return f"""
 dist{n} AS (
-  SELECT vec_id, cid, round({_D2_DUCK.replace("vv", "q.v")}, 4) AS dd
+  SELECT vec_id, cid, round({D.sub_checked(_D2_DUCK, ("vv", "q.v"))}, 4) AS dd
   FROM vecs q, {prev_c}
 ),
 a{n} AS (
@@ -762,6 +769,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     )
+ann_lsh_multiprobe.__doc__ = ann_lsh_multiprobe.__doc__.format(bits=LSH_BITS, k=TOPK)
 
 
 # ---------------------------------------------------------------------------
@@ -873,6 +881,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     )
+ann_ivf_kmeans_topk.__doc__ = ann_ivf_kmeans_topk.__doc__.format(nprobe=IVF_NPROBE)
 
 
 # ---------------------------------------------------------------------------
@@ -2475,6 +2484,12 @@ _NSW_M = 8
 _NSW_B = 64
 #: unrolled greedy hops
 _NSW_H = 6
+#: partitions per checkpointed scored hop — the hop frame is
+#: O(queries x B x (degree + strides)) rows regardless of corpus
+#: size, so a small constant is scale-safe; without it each hop
+#: inherits the store scan's ~30 pruned partitions and H hops leak
+#: ~180 near-empty partitions into every downstream stage
+_NSW_SC_PARTS = 4
 #: long-link strides: +/- powers of two over the id space (Kleinberg
 #: small-world routing — any id is reachable in O(log n) hops)
 _NSW_STEPS = tuple(2**j for j in range(20))
@@ -2636,8 +2651,15 @@ def _nsw_store_lookup(cand: DataFrame, store: DataFrame) -> DataFrame:
     dangling and drop at the join — but it is the likely-selective
     predicate the PartitionPruning rule requires on the filtering
     side before it will insert the subquery."""
-    candp = cand.where(F.col("node") >= 0).withColumn(
-        "pt", _nsw_pt("node")
+    # coalesce(1): the probe side is about to be broadcast (it fits in
+    # memory by construction), so collapsing its tiny partitions first
+    # costs nothing at any scale and cuts the broadcast job to one task
+    # (round-12 verdict item 4: the per-hop tiny-job tax at contract
+    # scale was 23% of the headline total)
+    candp = (
+        cand.where(F.col("node") >= 0)
+        .withColumn("pt", _nsw_pt("node"))
+        .coalesce(1)
     )
     return store.join(
         F.broadcast(candp),
@@ -2653,8 +2675,10 @@ def _nsw_edge_lookup(frontier: DataFrame, near: DataFrame) -> DataFrame:
     never cached whole either: a hop reads only the pmod(src)
     partitions its <= B frontier nodes live in. ``near`` must carry
     (src, dst, pt)."""
-    fp = frontier.where(F.col("node") >= 0).withColumn(
-        "pt", _nsw_pt("node")
+    fp = (
+        frontier.where(F.col("node") >= 0)
+        .withColumn("pt", _nsw_pt("node"))
+        .coalesce(1)
     )
     return near.join(
         F.broadcast(fp),
@@ -2662,9 +2686,39 @@ def _nsw_edge_lookup(frontier: DataFrame, near: DataFrame) -> DataFrame:
     ).select("query_id", F.col("dst").alias("node"))
 
 
+_CONSTRAINT_KEY = "spark.sql.constraintPropagation.enabled"
+
+
+@contextmanager
+def _fast_hop_planning(spark: SparkSession):
+    """Pin constraint propagation OFF while the beam hops are planned.
+
+    Each hop's ``localCheckpoint(eager=False)`` computes its executed
+    plan EAGERLY, and Catalyst's constraint inference is superlinear on
+    the hop shape (a 3-way union of alias-derived ``node`` expressions
+    feeding two join conditions): measured ~3 s of the contract-scale
+    probe's ~9 s wall was optimizer time attributable to this rule
+    alone, with byte-identical results without it. Constraint
+    propagation only ADDS inferred predicates (an optimizer-strength
+    knob, never a semantics one), and the hop joins already carry
+    their selective predicates explicitly (``node >= 0`` +
+    partition-key equality), so there is nothing for it to find here.
+    Scoped: the flag is restored immediately after the hop loop, so
+    every other query in the session plans with the default."""
+    old = spark.conf.get(_CONSTRAINT_KEY, None)
+    spark.conf.set(_CONSTRAINT_KEY, "false")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(_CONSTRAINT_KEY)
+        else:
+            spark.conf.set(_CONSTRAINT_KEY, old)
+
+
 def nsw_beam(
     qs: DataFrame,
-    vecs: DataFrame,
+    vecs: DataFrame | None,
     near: DataFrame,
     store: DataFrame | None = None,
     beam_width: int | None = None,
@@ -2694,6 +2748,22 @@ def nsw_beam(
     and never the full edge set. This is the serving-path answer to
     the residual 100x-scale cost (the in-memory checkpoints below are
     the self-contained-plan answer and cap at executor memory)."""
+    if store is None and vecs is None:
+        raise ValueError(
+            "nsw_beam needs a scoring side: pass vecs (in-memory path) "
+            "or store (materialized serving path)"
+        )
+    if beam_width is not None and beam_width < 1:
+        raise ValueError(f"beam_width must be >= 1, got {beam_width}")
+    # beam_width=0 must be rejected above, not silently mapped to the
+    # contract width by a falsy `or` (round-12 ADVICE)
+    beam = beam_width if beam_width is not None else _NSW_B
+    # checkpoint the query panel once: every hop broadcasts qs into its
+    # scoring join, and without this each of the H broadcasts re-runs
+    # qs's upstream plan (a parquet scan per hop in the serving path —
+    # measured ~1.5 s of the contract-scale probe; the panel is the
+    # serving batch, bounded by construction)
+    qs = qs.coalesce(1).localCheckpoint(eager=False)
     if store is None:
         # checkpoint the scoring side ONCE: every hop joins candidates
         # against it, and without the checkpoint each hop re-scans the
@@ -2722,32 +2792,44 @@ def nsw_beam(
         "query_id", F.lit(0).cast("long").alias("node")
     )
     visited = None
-    for _ in range(_NSW_H):
-        if store is None:
-            hops = frontier.join(
-                near, frontier.node == near.src
-            ).select("query_id", F.col("dst").alias("node"))
-        else:
-            hops = _nsw_edge_lookup(frontier, near)
-        longc = frontier.select("query_id", "node", strides).select(
-            "query_id", (F.col("node") + F.col("s")).alias("node")
-        )
-        cand = hops.union(longc).union(frontier).distinct()
-        if store is None:
-            looked = cand.join(nodes, cand.node == nodes.node_id)
-        else:
-            looked = _nsw_store_lookup(cand, store)
-        sc = (
-            looked.join(F.broadcast(qs), "query_id")
-            .select("query_id", "node", score.alias("score"))
-            .localCheckpoint(eager=False)
-        )
-        visited = sc if visited is None else visited.union(sc)
-        frontier = (
-            sc.withColumn("rn", F.row_number().over(wbeam))
-            .where(F.col("rn") <= (beam_width or _NSW_B))
-            .select("query_id", "node")
-        )
+    with _fast_hop_planning(qs.sparkSession):
+        for _ in range(_NSW_H):
+            if store is None:
+                hops = frontier.join(
+                    near, frontier.node == near.src
+                ).select("query_id", F.col("dst").alias("node"))
+            else:
+                hops = _nsw_edge_lookup(frontier, near)
+            longc = frontier.select("query_id", "node", strides).select(
+                "query_id", (F.col("node") + F.col("s")).alias("node")
+            )
+            cand = hops.union(longc).union(frontier).distinct()
+            if store is None:
+                looked = cand.join(nodes, cand.node == nodes.node_id)
+            else:
+                looked = _nsw_store_lookup(cand, store)
+            sc = (
+                looked.join(F.broadcast(qs), "query_id")
+                .select("query_id", "node", score.alias("score"))
+                # coalesce before checkpointing: the scored hop is
+                # O(queries x B x (degree + strides)) rows but inherits
+                # the store scan's partitioning (~30 pruned partitions/
+                # hop), so H hops checkpoint ~180 near-empty partitions
+                # and every downstream stage pays a task per partition
+                # (measured 29 s of executor time on the final stage at
+                # contract scale). The narrow coalesce folds the hop's
+                # scan+join+score into _NSW_SC_PARTS tasks — safe at
+                # any scale because the work is bounded by the
+                # candidate set, never the corpus.
+                .coalesce(_NSW_SC_PARTS)
+                .localCheckpoint(eager=False)
+            )
+            visited = sc if visited is None else visited.union(sc)
+            frontier = (
+                sc.withColumn("rn", F.row_number().over(wbeam))
+                .where(F.col("rn") <= beam)
+                .select("query_id", "node")
+            )
     return visited.distinct()
 
 
@@ -3098,9 +3180,12 @@ def nsw_beam_width_for(n: int, contract_n: int = 2_000) -> int:
     B={b}/2k vectors decaying to 0.26 at 20k, recovered to 0.80 at
     B=256 — beam width scaling ~ (n / contract_n)^0.6 on the
     worst-case near-uniform fixture ({b} x 10^0.6 ~ 255). Floored at
-    the contract B so small corpora keep the pinned shape. Real
-    clustered embeddings sit far from this worst case, so treat the
-    rule as an upper bound — or densify the stored graph instead
+    the contract B so small corpora keep the pinned shape. MEASURED
+    conservative on a clustered (realistic) 20k fixture
+    (scripts/nsw_clustered_recall.py, PERF.md round 13: fixed B={b}
+    holds 0.454 vs the uniform 0.26, and the rule width recovers
+    0.838 vs ~0.80) — treat the rule as an upper bound — or densify
+    the stored graph instead
     (M=24/B=128 matched M=8/B=192 in the same sweep: pay once in the
     index, not per query). The registered contract queries pin B={b}
     (the oracle restates the hops at that width), so this rule is the

@@ -35,6 +35,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions import dialect as D
 from ..io import load_table
 from ..registry import register
 
@@ -659,9 +660,15 @@ LIMIT {_AOV_TOPK}
 _AOV_DUCK = _aov_sql(
     "('0x' || substr(md5(cast(user_id AS VARCHAR)), {off}, 7))::BIGINT", "//"
 )
-_AOV_SPARK = _aov_sql(
-    "cast(conv(substr(md5(cast(user_id AS STRING)), {off}, 7), 16, 10) AS BIGINT)", "div"
-).replace("unnest([", "explode(array(").replace("]) AS i", ")) AS i")
+_AOV_SPARK = D.to_spark_sql(
+    _aov_sql(
+        "cast(conv(substr(md5(cast(user_id AS STRING)), {off}, 7), 16, 10)"
+        " AS BIGINT)",
+        "div",
+    ),
+    ("unnest([", "explode(array("),
+    ("]) AS i", ")) AS i"),
+)
 
 
 @register("audience_overlap_minhash", _AOV_DUCK, tags=("sketch", "behavior"))

@@ -23,6 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions import dialect as _D
 from ..io import load_table, register_views
 from ..registry import register
 
@@ -1055,8 +1056,9 @@ SELECT source, round(kl_bits, 4) + 0 AS kl_nats
 FROM kl ORDER BY source
 """
 
-_KL_SPARK = _KL_DUCK.replace(
-    "unnest(string_split(text, ' '))", "explode(split(text, ' '))"
+_KL_SPARK = _D.to_spark_sql(
+    _KL_DUCK,
+    ("unnest(string_split(text, ' '))", "explode(split(text, ' '))"),
 )
 
 
@@ -1121,12 +1123,14 @@ def _calib_duck() -> str:
 
 
 def _calib_spark() -> str:
-    return (
-        _CALIB_BODY.format(sw=_SW_LIST)
-        .replace("string_split(text, ' ')", "split(text, ' ')")
-        .replace("list_distinct", "array_distinct")
-        .replace("list_filter", "filter")
-        .replace("len(", "size(")
+    # Presence-checked (functions/dialect.py:to_spark_sql): body drift
+    # raises instead of silently shipping DuckDB syntax to Spark.
+    return _D.to_spark_sql(
+        _CALIB_BODY.format(sw=_SW_LIST),
+        ("string_split(text, ' ')", "split(text, ' ')"),
+        ("list_distinct", "array_distinct"),
+        ("list_filter", "filter"),
+        ("len(", "size("),
     )
 
 

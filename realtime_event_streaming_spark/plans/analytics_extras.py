@@ -40,9 +40,10 @@ SELECT lang, rnk, tok, tfidf FROM ranked WHERE rnk <= 5
 ORDER BY lang, rnk
 """
 
-_TFIDF_SPARK = _TFIDF_DUCK.replace(
-    "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents",
-    "SELECT doc_id, lang, explode(split(text, ' ')) AS tok FROM documents",
+_TFIDF_SPARK = D.to_spark_sql(
+    _TFIDF_DUCK,
+    ("SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents",
+     "SELECT doc_id, lang, explode(split(text, ' ')) AS tok FROM documents"),
 )
 
 
@@ -98,9 +99,11 @@ SELECT day, cnt,
 FROM daily ORDER BY day
 """
 
-_MAVG_DUCK = _MAVG_SPARK.replace(
-    "date_format(date_trunc('day', ts), 'yyyy-MM-dd')",
-    "strftime(date_trunc('day', ts), '%Y-%m-%d')",
+# Spark -> DuckDB direction; presence-checked like every rewrite.
+_MAVG_DUCK = D.sub_checked(
+    _MAVG_SPARK,
+    ("date_format(date_trunc('day', ts), 'yyyy-MM-dd')",
+     "strftime(date_trunc('day', ts), '%Y-%m-%d')"),
 )
 
 
@@ -442,7 +445,7 @@ _BENFORD_B4 = "CASE digit " + " ".join(
 def _benford_seg_sql(idiv: str) -> str:
     # the CASE constant references bare `digit`; in dev both grid and
     # counts carry a digit column, so qualify the grid's
-    b4_g = _BENFORD_B4.replace("CASE digit", "CASE g.digit")
+    b4_g = D.sub_checked(_BENFORD_B4, ("CASE digit", "CASE g.digit"))
     domain = " UNION ALL ".join(f"SELECT {d} AS digit" for d in range(1, 10))
     return f"""
 WITH digits AS (

@@ -559,8 +559,9 @@ SELECT cast(count(*) AS BIGINT) AS n_hours,
 FROM idx
 """
 
-_P95_TREND_SPARK = _P95_TREND_BODY.replace(
-    "quantile_cont(value, 0.95)", "percentile(value, 0.95)"
+_P95_TREND_SPARK = D.to_spark_sql(
+    _P95_TREND_BODY,
+    ("quantile_cont(value, 0.95)", "percentile(value, 0.95)"),
 )
 
 
@@ -652,9 +653,10 @@ ORDER BY streak_days
 """
 
 
-_STREAK_SPARK = _STREAK_BODY.replace(
-    "datediff('day', DATE '1970-01-01', day)",
-    "datediff(day, DATE '1970-01-01')",
+_STREAK_SPARK = D.to_spark_sql(
+    _STREAK_BODY,
+    ("datediff('day', DATE '1970-01-01', day)",
+     "datediff(day, DATE '1970-01-01')"),
 )
 
 

@@ -110,10 +110,10 @@ GROUP BY touch_type
 ORDER BY touch_type
 """
 
-_ATTR_SPARK = _ATTR_BODY.replace(
-    "epoch_ms(ts)", "unix_millis(cast(ts AS TIMESTAMP))"
-).replace(
-    "(p.ms - t.ms) // 60000", "(p.ms - t.ms) div 60000"
+_ATTR_SPARK = D.to_spark_sql(
+    _ATTR_BODY,
+    ("epoch_ms(ts)", "unix_millis(cast(ts AS TIMESTAMP))"),
+    ("(p.ms - t.ms) // 60000", "(p.ms - t.ms) div 60000"),
 )
 
 

@@ -913,7 +913,7 @@ def _update_ivfpq_oracle() -> str:
     )
     from ..operators.similarity import _D2_DUCK
 
-    d2 = _D2_DUCK.replace("vv", "q.v").replace("cv", "c.v")
+    d2 = D.sub_checked(_D2_DUCK, ("vv", "q.v"), ("cv", "c.v"))
     return f"""
 WITH {_ivfpq_ctes(TUNED_NPROBE)},
 mx AS (SELECT max(vec_id) AS m FROM embeddings),

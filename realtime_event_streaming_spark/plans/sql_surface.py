@@ -158,8 +158,9 @@ ORDER BY peak_15m DESC, user_id
 LIMIT 20
 """
 
-_RANGEF_SPARK = _RANGEF_BODY.replace(
-    "epoch_ms(ts)", "unix_millis(cast(ts AS TIMESTAMP))"
+_RANGEF_SPARK = D.to_spark_sql(
+    _RANGEF_BODY,
+    ("epoch_ms(ts)", "unix_millis(cast(ts AS TIMESTAMP))"),
 )
 
 

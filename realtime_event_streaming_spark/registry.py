@@ -83,73 +83,68 @@ def register(
 #: (their proof is cumulative across rounds, and every one of them
 #: remains oracle-gated locally by tests/test_oracle_parity.py, which
 #: checks the FULL registry at every run).
-#: Round-12 rotation (standing stalest-first rule, executing the
-#: round-11 note verbatim): (a) LEAD with the four round-11 late
-#: debuts `update_nsw_index`, `blocklist_scrub_roundtrip`,
-#: `graph_ann_serve` and `generation_diversity` — never driver-rowed,
-#: locally green at sf0.001/0.01/0.1 AND sf1 — plus the round-12
-#: debut `graph_beam_recall_curve` (never-rowed queries lead); then
-#: (b) the FULL round-6 remainder — the 40 queries whose last green
-#: row is round 6 (the stalest cohort after round 11 cleared the
-#: round-5 set); then (c) the first 5 of the round-7 cohort in name
-#: order. The round-7 remainder (from `audience_set_ops`) queues for
-#: round 13.
+#: Round-13 rotation (standing stalest-first rule; all 244 queries
+#: are ever-green as of round 12, so the window is pure freshness
+#: maintenance): (a) the FULL round-7 remainder — the 44 queries
+#: whose last green row is round 7, in name order from
+#: `audience_set_ops` (the first 5 of that cohort rowed in round 12);
+#: then (b) the first 6 of the round-8 cohort in name order. The
+#: round-8 remainder (from `dedup_exact_groups`) queues for round 14.
 #: Every yielded query remains locally oracle-gated by
 #: tests/test_oracle_parity.py on the FULL registry at every run.
 DRIVER_QUERIES: tuple[str, ...] = (
-    # -- (a) the 4 never-rowed round-11 late debuts
-    "update_nsw_index",
-    "blocklist_scrub_roundtrip",
-    "graph_ann_serve",
-    "generation_diversity",
-    "graph_beam_recall_curve",
-    # -- (b) the full round-6 remainder (stalest cohort)
-    "dedup_exact_summary",
-    "dedup_survivors",
-    "discount_uplift",
-    "dominant_part_suppliers",
-    "dsir_importance_weights",
-    "dup_cluster_powerlaw",
-    "event_transition_matrix",
-    "funnel_three_step",
-    "fuzzy_title_pairs",
-    "golden_record_entities",
-    "gopher_quality_flags",
-    "histogram_quantile_rollup",
-    "hybrid_rrf_retrieval",
-    "idle_customer_balance",
-    "ivf_pq_topk",
-    "label_centroid_norms",
-    "langid_confusion_matrix",
-    "minhash_estimate_accuracy",
-    "ngram_novelty_rate",
-    "pca_topk_components",
-    "pq_adc_topk",
-    "priority_by_latency",
-    "profit_by_nation_year",
-    "reagg_from_minute",
-    "repeated_substring_census",
-    "residual_ivf_pq_topk",
-    "robust_mad_outliers",
-    "scd2_dim_merge",
-    "schema_evolution_scan",
-    "semantic_dedup_prune",
-    "slo_burn_rate",
-    "small_quantity_revenue",
-    "split_leakage_audit",
-    "stream_stream_attribution",
-    "streaming_rollup_replay",
-    "time_decay_attribution",
-    "trailing_rate_range_frame",
-    "update_ann_index",
-    "update_dedup_index",
-    "user_erasure_audit",
-    # -- (c) round-7 cohort, first 5 in name order
-    "activity_streak_histogram",
-    "ann_lsh_topk",
-    "approx_distinct_accuracy",
-    "approx_quantile_accuracy",
-    "attribution_model_compare",
+    # -- (a) the full round-7 remainder (stalest cohort), name order
+    "audience_set_ops",
+    "clickgen_arrow_histogram",
+    "corpus_datacard",
+    "corpus_split_counts",
+    "daily_moving_avg",
+    "data_freshness",
+    "data_quality_checks",
+    "dedup_incremental",
+    "dedup_threshold_sweep",
+    "device_breakdown",
+    "doc_fingerprint",
+    "doc_quality",
+    "doc_repetition_stats",
+    "embedding_near_dup",
+    "embedding_quantize_int8",
+    "event_growth_daily",
+    "events_by_country_pivot",
+    "fuzzy_title_pairs_snm",
+    "grouping_sets_rollup",
+    "inactive_customers",
+    "margin_mutual_nn",
+    "minhash_signature_sample",
+    "order_priority_count",
+    "p95_trend",
+    "page_activity_5min",
+    "paragraph_containment_pairs",
+    "parts_above_type_avg",
+    "pq_rerank_recall",
+    "pq_rerank_topk",
+    "promo_revenue_share",
+    "quality_classifier_train",
+    "quality_rank_calibration",
+    "recent_activity",
+    "rollup_5min",
+    "rollup_cascade_5min",
+    "rollup_hourly",
+    "rows_per_minute",
+    "span_corruption_plan",
+    "throughput_summary",
+    "top_customers",
+    "topk_turnover_daily",
+    "unigram_kl_drift",
+    "value_histogram",
+    "wau_stickiness_trend",
+    # -- (b) round-8 cohort, first 6 in name order
+    "ann_bruteforce",
+    "ann_ivf_topk",
+    "asof_tier_rollup",
+    "benchmark_contamination",
+    "benford_digit_census",
+    "classifier_reliability_bins",
 )
 
 

@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""NSW beam-width rule on a CLUSTERED (realistic) fixture.
+
+Round-12 verdict item 5: the ``nsw_beam_width_for`` n^0.6 recovery
+rule was measured on the worst-case NEAR-UNIFORM synthetic embeddings
+(PERF.md "NSW at 10x vectors": recall@5 at fixed B=64 decays
+0.84 -> 0.26 from 2k to 20k vectors; B=256 recovers 0.80) and is
+documented as an UPPER BOUND — real embedding corpora are clustered,
+and uniform random high-dim is the provably-hard regime for every ANN
+family. This script makes that claim a measurement instead of a
+sentence: it synthesizes a deterministic clustered corpus at the same
+10x scale (20k vectors, 64-dim, 200 isotropic Gaussian clusters,
+sigma chosen so intra-cluster cosine ~0.9 — the SemDeDup-style shape),
+builds the SAME materialized NSW index (self-scaled bucket bits, M=8),
+and measures recall@5 at B = 64 (the contract width), 128, and
+nsw_beam_width_for(20k) (= 255), against exact brute-force cosine
+top-5 computed in DuckDB over the same parquet.
+
+Expected reading (recorded in PERF.md): if the clustered corpus holds
+materially more recall at fixed B=64 than the uniform fixture's 0.26,
+the n^0.6 rule is confirmed conservative on realistic data — a caller
+applying it buys MORE recall margin than the uniform sweep promises,
+never less.
+
+Prints one JSON line for PERF.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+import pyspark.sql.functions as F  # noqa: E402
+
+from realtime_event_streaming_spark.operators.similarity import (  # noqa: E402
+    _NSW_M,
+    nsw_beam_width_for,
+    probe_nsw_index,
+    write_nsw_index,
+)
+from realtime_event_streaming_spark.session import get_spark  # noqa: E402
+
+N_VECS = 20_000
+DIM = 64
+N_CLUSTERS = 200
+NOISE_SIGMA = 0.15
+N_Q = 100
+TOPK = 5
+SEED = 20260816
+
+CLUSTERED_DIR = os.environ.get("NSW_CLUSTERED_DIR", "/tmp/rtes_nsw_clustered")
+
+
+def synth_clustered(out_dir: str) -> str:
+    """Deterministic clustered embeddings in the testdata schema
+    (vec_id BIGINT, embedding FLOAT[], label INT). Cluster ids are
+    assigned round-robin over vec_id so id arithmetic carries NO
+    similarity signal — routing must come from the near-link graph,
+    exactly the regime a real (hash-sharded) corpus presents."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(path):
+        return out_dir
+    rng = np.random.default_rng(SEED)
+    centroids = rng.standard_normal((N_CLUSTERS, DIM))
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    labels = np.arange(N_VECS) % N_CLUSTERS
+    vecs = centroids[labels] + NOISE_SIGMA * rng.standard_normal(
+        (N_VECS, DIM)
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(N_VECS), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, path)
+    return out_dir
+
+
+def exact_topk(sf_dir: str) -> dict[int, set[int]]:
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""
+        WITH vecs AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS norm
+          FROM read_parquet('{sf_dir}/embeddings.parquet')
+        ),
+        q AS (SELECT * FROM vecs WHERE vec_id < {N_Q}),
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos
+          FROM q JOIN vecs c ON c.vec_id <> q.vec_id
+        )
+        SELECT qid, nid FROM (
+          SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, nid) AS rn
+          FROM scored) WHERE rn <= {TOPK}
+        """
+    ).fetchall()
+    truth: dict[int, set[int]] = {}
+    for qid, nid in rows:
+        truth.setdefault(qid, set()).add(nid)
+    return truth
+
+
+def main() -> None:
+    sf_dir = synth_clustered(CLUSTERED_DIR)
+    spark = get_spark("nsw-clustered-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    truth = exact_topk(sf_dir)
+    from realtime_event_streaming_spark.operators.similarity import _vectors
+
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = os.path.join(tmp, "nsw")
+        write_nsw_index(spark, sf_dir, idx)  # self-scaled bucket bits
+        vecs = _vectors(spark, sf_dir)
+        qs = vecs.where(F.col("vec_id") < N_Q).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+        )
+        rule_b = nsw_beam_width_for(N_VECS)
+        recalls = {}
+        for b in (64, 128, rule_b):
+            got: dict[int, set[int]] = {}
+            for r in probe_nsw_index(
+                spark, idx, None, qs, beam_width=b
+            ).collect():
+                got.setdefault(r.query_id, set()).add(r.neighbor_id)
+            recalls[str(b)] = round(
+                sum(
+                    len(got.get(q, set()) & truth[q]) / TOPK
+                    for q in truth
+                )
+                / len(truth),
+                3,
+            )
+    print(
+        json.dumps(
+            {
+                "fixture": "clustered",
+                "n_vecs": N_VECS,
+                "n_clusters": N_CLUSTERS,
+                "noise_sigma": NOISE_SIGMA,
+                "M": _NSW_M,
+                "rule_B": rule_b,
+                "recall_at_5": recalls,
+                "uniform_20k_B64_reference": 0.26,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -367,6 +367,107 @@ def test_nsw_store_probe_partition_pruned(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
 
 
+def _executed_file_scans(df):
+    """Walk an EXECUTED physical plan (AQE stages included) and return
+    its FileSourceScan nodes with their runtime SQL metrics — the
+    partitions/files a scan actually read, not what the static plan
+    shape promises."""
+    scans = []
+
+    def walk(node):
+        cname = node.getClass().getSimpleName()
+        if "FileSourceScan" in cname or "BatchScan" in cname:
+            scans.append(node)
+            return
+        if cname == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cname.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        if cname == "ReusedExchangeExec":
+            walk(node.child())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    out = []
+    for s in scans:
+        m = s.metrics()
+        it = m.keys().iterator()
+        vals = {}
+        while it.hasNext():
+            k = it.next()
+            vals[k] = m.apply(k).value()
+        out.append(vals)
+    return out
+
+
+def test_nsw_store_probe_partitions_read_runtime(spark, tmp_path):
+    """The serving hop's scale contract MEASURED, not just plan-pinned
+    (round-12 ADVICE): in the real probe each hop's candidates are
+    checkpointed-RDD-derived — a shape the PartitionPruning rule
+    treats differently from the parquet-backed helper inputs the
+    static plan pins use — so this test feeds the hop lookups a
+    localCheckpoint-derived frontier, EXECUTES them, and asserts the
+    partitions-read SQL metric on the store/edge scans: a hop must
+    read only the pt partitions its candidates land in, never the
+    corpus. A silent DPP loss in the executed shape (metric ==
+    _NSW_PARTS) fails here even if the helper plans still carry the
+    dynamicpruning subquery."""
+    from realtime_event_streaming_spark.operators.similarity import (
+        LSH_BITS,
+        _NSW_PARTS,
+        _nsw_edge_lookup,
+        _nsw_store_lookup,
+        _vectors,
+        write_nsw_index,
+    )
+
+    path = str(tmp_path / "nsw_runtime_dpp")
+    write_nsw_index(spark, SF, path, bucket_bits=LSH_BITS)
+    store = spark.read.parquet(f"{path}/vecs").select(
+        F.col("vec_id").alias("node_id"),
+        F.col("v").alias("nv"),
+        F.col("norm").alias("nn"),
+        "pt",
+    )
+    near = spark.read.parquet(f"{path}/near")
+    # the real probe's hop-input shape: frontier derived from a
+    # localCheckpointed DataFrame (RDDScanExec under the join), not a
+    # parquet-backed one
+    frontier = (
+        _vectors(spark, SF)
+        .where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            (F.col("vec_id") * 3).alias("node"),
+        )
+        .localCheckpoint(eager=False)
+        .select("query_id", "node")
+    )
+    n_pts = frontier.where(F.col("node") >= 0).select(
+        F.pmod(F.col("node"), F.lit(_NSW_PARTS)).alias("pt")
+    ).distinct().count()
+    assert 0 < n_pts < _NSW_PARTS  # else the assertion below is vacuous
+
+    looked = _nsw_store_lookup(frontier, store)
+    assert looked.count() > 0
+    for df, label in ((looked, "store"), (
+        _nsw_edge_lookup(frontier, near), "edges"
+    )):
+        df.collect()
+        scans = [
+            m for m in _executed_file_scans(df) if "numPartitions" in m
+        ]
+        assert scans, f"{label}: no partitioned file scan executed"
+        for m in scans:
+            assert 0 < m["numPartitions"] <= n_pts, (label, m)
+            assert m["numPartitions"] < _NSW_PARTS, (label, m)
+
+
 def test_ivf_probe_partition_pruned(spark, tmp_path):
     """write_ann_index's docstring promise — "cid partition dirs mean
     a probe's scan prunes to its cells' files only" — as a plan
@@ -473,10 +574,14 @@ def test_nsw_beam_width_rule_and_passthrough(spark, tmp_path):
 def test_graph_beam_recall_curve_monotone(spark):
     """The beam-width recall curve's structural contract: one row per
     registered width, shared query panel size, and recall
-    non-decreasing in B — a wider truncation of the same hop's scored
-    set can only keep more of it (the per-width arms share the graph
-    and the exact baseline, so any inversion is a plumbing bug, not
-    fixture noise)."""
+    approximately non-decreasing in B. NOT an algorithm invariant:
+    beyond hop 2 a wider beam's frontier is not a superset of the
+    narrow one's (see test_nsw_beam_width_rule_and_passthrough), so
+    visited(2B) need not contain visited(B) and small inversions are
+    legitimate greedy-search behavior on an unlucky fixture. The
+    tolerance catches real plumbing regressions (a width arm reading
+    the wrong graph or baseline craters recall) without pinning a
+    fixture-level accident as a contract (round-12 ADVICE)."""
     from realtime_event_streaming_spark.operators.similarity import (
         _BCURVE_WIDTHS,
     )
@@ -490,5 +595,6 @@ def test_graph_beam_recall_curve_monotone(spark):
     assert [r.beam_width for r in rows] == sorted(_BCURVE_WIDTHS)
     assert len({r.n_queries for r in rows}) == 1
     recalls = [r.mean_recall for r in rows]
-    assert recalls == sorted(recalls), recalls
+    for lo, hi in zip(recalls, recalls[1:]):
+        assert hi >= lo - 0.02, recalls
     assert all(0.0 <= x <= 1.0 for x in recalls)
