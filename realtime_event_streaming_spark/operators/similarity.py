@@ -25,6 +25,7 @@ centroid assignment join — same plan shape.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 import pyspark.sql.functions as F
@@ -2687,6 +2688,15 @@ def _nsw_edge_lookup(frontier: DataFrame, near: DataFrame) -> DataFrame:
 
 
 _CONSTRAINT_KEY = "spark.sql.constraintPropagation.enabled"
+#: reentrancy/concurrency guard for _fast_hop_planning: SparkSession
+#: conf is session-global, so overlapping hop loops (two probes on
+#: different threads) must save/restore as a unit — a naive per-entry
+#: save would let interleaved exits leak the flag permanently
+#: (round-13 review). The lock guards only the enter/exit bookkeeping,
+#: never the loop body, so concurrent probes still plan in parallel.
+_FAST_HOP_LOCK = threading.Lock()
+_FAST_HOP_DEPTH = 0
+_FAST_HOP_OLD: str | None = None
 
 
 @contextmanager
@@ -2703,17 +2713,28 @@ def _fast_hop_planning(spark: SparkSession):
     knob, never a semantics one), and the hop joins already carry
     their selective predicates explicitly (``node >= 0`` +
     partition-key equality), so there is nothing for it to find here.
-    Scoped: the flag is restored immediately after the hop loop, so
-    every other query in the session plans with the default."""
-    old = spark.conf.get(_CONSTRAINT_KEY, None)
-    spark.conf.set(_CONSTRAINT_KEY, "false")
+    Scoped: the flag is restored after the LAST active hop loop exits
+    (depth-counted, so overlapping probes on session threads cannot
+    interleave-leak the flag). While a hop loop is active, an
+    unrelated query planned concurrently on the same session also
+    skips constraint inference — a plan-strength (never correctness)
+    trade documented here because Spark conf has no narrower scope."""
+    global _FAST_HOP_DEPTH, _FAST_HOP_OLD
+    with _FAST_HOP_LOCK:
+        if _FAST_HOP_DEPTH == 0:
+            _FAST_HOP_OLD = spark.conf.get(_CONSTRAINT_KEY, None)
+            spark.conf.set(_CONSTRAINT_KEY, "false")
+        _FAST_HOP_DEPTH += 1
     try:
         yield
     finally:
-        if old is None:
-            spark.conf.unset(_CONSTRAINT_KEY)
-        else:
-            spark.conf.set(_CONSTRAINT_KEY, old)
+        with _FAST_HOP_LOCK:
+            _FAST_HOP_DEPTH -= 1
+            if _FAST_HOP_DEPTH == 0:
+                if _FAST_HOP_OLD is None:
+                    spark.conf.unset(_CONSTRAINT_KEY)
+                else:
+                    spark.conf.set(_CONSTRAINT_KEY, _FAST_HOP_OLD)
 
 
 def nsw_beam(

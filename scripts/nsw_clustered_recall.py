@@ -13,7 +13,7 @@ sentence: it synthesizes a deterministic clustered corpus at the same
 sigma chosen so intra-cluster cosine ~0.9 — the SemDeDup-style shape),
 builds the SAME materialized NSW index (self-scaled bucket bits, M=8),
 and measures recall@5 at B = 64 (the contract width), 128, and
-nsw_beam_width_for(20k) (= 255), against exact brute-force cosine
+nsw_beam_width_for(20k) (= 254), against exact brute-force cosine
 top-5 computed in DuckDB over the same parquet.
 
 Expected reading (recorded in PERF.md): if the clustered corpus holds
@@ -67,8 +67,24 @@ def synth_clustered(out_dir: str) -> str:
     exactly the regime a real (hash-sharded) corpus presents."""
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "embeddings.parquet")
-    if os.path.exists(path):
-        return out_dir
+    # param-stamped cache: a fixture generated with different knobs
+    # (seed, sigma, cluster count) must NOT be silently reused — that
+    # would record wrong recall numbers with no warning
+    params = {
+        "n_vecs": N_VECS,
+        "dim": DIM,
+        "n_clusters": N_CLUSTERS,
+        "noise_sigma": NOISE_SIGMA,
+        "seed": SEED,
+    }
+    stamp = os.path.join(out_dir, "params.json")
+    if os.path.exists(path) and os.path.exists(stamp):
+        with open(stamp) as fh:
+            if json.load(fh) == params:
+                return out_dir
+        os.remove(path)
+    elif os.path.exists(path):
+        os.remove(path)
     rng = np.random.default_rng(SEED)
     centroids = rng.standard_normal((N_CLUSTERS, DIM))
     centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
@@ -87,6 +103,8 @@ def synth_clustered(out_dir: str) -> str:
         }
     )
     pq.write_table(tbl, path)
+    with open(stamp, "w") as fh:
+        json.dump(params, fh)
     return out_dir
 
 

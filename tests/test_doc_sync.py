@@ -42,9 +42,9 @@ def test_no_unrendered_docstring_placeholders():
     This sweep keeps the whole class dead."""
     reg = load_all()
     bad = {
-        name: sorted(set(re.findall(r"\{[a-z_]+\}", q.doc)))
+        name: sorted(set(re.findall(r"\{[A-Za-z0-9_]+\}", q.doc)))
         for name, q in reg.items()
-        if re.search(r"\{[a-z_]+\}", q.doc)
+        if re.search(r"\{[A-Za-z0-9_]+\}", q.doc)
     }
     assert bad == {}, f"unrendered docstring placeholders: {bad}"
 
