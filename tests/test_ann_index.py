@@ -598,3 +598,39 @@ def test_graph_beam_recall_curve_monotone(spark):
     for lo, hi in zip(recalls, recalls[1:]):
         assert hi >= lo - 0.02, recalls
     assert all(0.0 <= x <= 1.0 for x in recalls)
+
+
+def test_fast_hop_planning_nested_and_interleaved_restore(spark):
+    """The constraint-propagation scope guard's concurrency contract
+    (round-13 review): overlapping enter/exit lifetimes must restore
+    the session flag exactly once, after the LAST exit — a naive
+    per-entry save would let interleaved exits leak 'false' into the
+    session permanently. Exercised with generator-driven interleaving
+    (A enters, B enters, A exits, B exits), the exact schedule the
+    review named."""
+    from realtime_event_streaming_spark.operators.similarity import (
+        _CONSTRAINT_KEY,
+        _fast_hop_planning,
+    )
+
+    before = spark.conf.get(_CONSTRAINT_KEY)
+
+    # nested (same thread) — inner exit must NOT restore early
+    with _fast_hop_planning(spark):
+        assert spark.conf.get(_CONSTRAINT_KEY) == "false"
+        with _fast_hop_planning(spark):
+            assert spark.conf.get(_CONSTRAINT_KEY) == "false"
+        assert spark.conf.get(_CONSTRAINT_KEY) == "false"
+    assert spark.conf.get(_CONSTRAINT_KEY) == before
+
+    # interleaved lifetimes: A enter, B enter, A exit, B exit
+    a = _fast_hop_planning(spark)
+    b = _fast_hop_planning(spark)
+    a.__enter__()
+    b.__enter__()
+    a.__exit__(None, None, None)
+    assert spark.conf.get(_CONSTRAINT_KEY) == "false", (
+        "A's exit restored while B was still active"
+    )
+    b.__exit__(None, None, None)
+    assert spark.conf.get(_CONSTRAINT_KEY) == before
