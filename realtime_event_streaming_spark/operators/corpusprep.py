@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import dialect as D
 from ..io import load_table, register_views
-from ..registry import register
+from ..registry import format_doc, register
 
 # ---------------------------------------------------------------------------
 # text normalization (corrupt -> normalize -> verify round trip)
@@ -125,7 +125,7 @@ def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram text for cross-engine determinism."""
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_VOCAB_SPARK)
-vocab_top_bigrams.__doc__ = vocab_top_bigrams.__doc__.format(k=VOCAB_TOPK)
+format_doc(vocab_top_bigrams, k=VOCAB_TOPK)
 
 
 # ---------------------------------------------------------------------------
@@ -163,7 +163,7 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan — `df.repartition(N, hash).write` — with the same key."""
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_shard_sql("STRING"))
-shard_manifest.__doc__ = shard_manifest.__doc__.format(n=N_SHARDS)
+format_doc(shard_manifest, n=N_SHARDS)
 
 
 # ---------------------------------------------------------------------------
@@ -198,7 +198,7 @@ def per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition before the final per-group selection."""
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_per_source_sql("STRING"))
-per_source_sample.__doc__ = per_source_sample.__doc__.format(k=SAMPLE_K)
+format_doc(per_source_sample, k=SAMPLE_K)
 
 
 # ---------------------------------------------------------------------------

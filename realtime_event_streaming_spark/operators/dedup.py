@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import dialect as D
 from ..io import load_table
-from ..registry import register
+from ..registry import format_doc, register
 
 N_HASHES = 16
 N_BANDS = 8  # r = 2 rows/band
@@ -505,7 +505,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
-dedup_survivors.__doc__ = dedup_survivors.__doc__.format(t=JACCARD_THRESHOLD)
+format_doc(dedup_survivors, t=JACCARD_THRESHOLD)
 
 
 _NGRAM_JACCARD_DUCK = f"""
@@ -722,7 +722,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, tables=("documents",))
     return spark.sql(_INCREMENTAL_SQL)
-dedup_incremental.__doc__ = dedup_incremental.__doc__.format(mod=_INC_PLANT_MOD)
+format_doc(dedup_incremental, mod=_INC_PLANT_MOD)
 
 
 # ---------------------------------------------------------------------------
@@ -844,9 +844,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return F.broadcast(total).crossJoin(stats).select(
         "batch_docs", "flagged_docs", "flagged_planted", "candidate_pairs"
     )
-dedup_incremental_minhash.__doc__ = dedup_incremental_minhash.__doc__.format(
-    mod=_INC_MH_PLANT_MOD
-)
+format_doc(dedup_incremental_minhash, mod=_INC_MH_PLANT_MOD)
 
 
 # ---------------------------------------------------------------------------
@@ -1349,7 +1347,7 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_removed"), "doc_id")
         .limit(_STRIP_TOP)
     )
-boilerplate_strip.__doc__ = boilerplate_strip.__doc__.format(top=_STRIP_TOP)
+format_doc(boilerplate_strip, top=_STRIP_TOP)
 
 
 # ---------------------------------------------------------------------------
@@ -1437,9 +1435,7 @@ def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "doc_a", "doc_b")
         .limit(_FUZZY_TOP)
     )
-fuzzy_title_pairs.__doc__ = fuzzy_title_pairs.__doc__.format(
-    t=_FUZZY_TITLE, b=_FUZZY_BLOCK, d=_FUZZY_MAX_DIST, n=_FUZZY_TOP
-)
+format_doc(fuzzy_title_pairs, t=_FUZZY_TITLE, b=_FUZZY_BLOCK, d=_FUZZY_MAX_DIST, n=_FUZZY_TOP)
 
 
 # ---------------------------------------------------------------------------
@@ -1951,9 +1947,7 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
-ngram_novelty_rate.__doc__ = ngram_novelty_rate.__doc__.format(
-    n=_NOV_N, m=_NOV_MOD, s=_NOV_SLOT
-)
+format_doc(ngram_novelty_rate, n=_NOV_N, m=_NOV_MOD, s=_NOV_SLOT)
 
 
 # ---------------------------------------------------------------------------

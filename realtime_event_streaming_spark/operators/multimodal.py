@@ -26,7 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..io import load_table
-from ..registry import register
+from ..registry import format_doc, register
 
 N_FRAMES = 4
 
@@ -144,7 +144,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(_frame_batches, FRAMES_SCHEMA).orderBy(
         "doc_id", "frame_idx"
     )
-multimodal_frame_sample.__doc__ = multimodal_frame_sample.__doc__.format(n=N_FRAMES)
+format_doc(multimodal_frame_sample, n=N_FRAMES)
 
 
 # ---------------------------------------------------------------------------

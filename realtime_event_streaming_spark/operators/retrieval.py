@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import dialect as D
 from ..io import register_views
-from ..registry import register
+from ..registry import format_doc, register
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -844,7 +844,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
-ann_recall_eval.__doc__ = ann_recall_eval.__doc__.format(k=PQ_TOPK)
+format_doc(ann_recall_eval, k=PQ_TOPK)
 
 
 # ---------------------------------------------------------------------------

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import dialect as D
 from ..io import load_table
-from ..registry import register
+from ..registry import format_doc, register
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOPK = 5
@@ -137,7 +137,7 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     )
-ann_bruteforce.__doc__ = ann_bruteforce.__doc__.format(k=TOPK)
+format_doc(ann_bruteforce, k=TOPK)
 
 
 # ---------------------------------------------------------------------------
@@ -202,7 +202,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     )
-ann_lsh_topk.__doc__ = ann_lsh_topk.__doc__.format(k=TOPK, bits=LSH_BITS)
+format_doc(ann_lsh_topk, k=TOPK, bits=LSH_BITS)
 
 
 # ---------------------------------------------------------------------------
@@ -250,7 +250,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
-embedding_near_dup.__doc__ = embedding_near_dup.__doc__.format(t=NEAR_DUP_COS)
+format_doc(embedding_near_dup, t=NEAR_DUP_COS)
 
 
 # ---------------------------------------------------------------------------
@@ -383,7 +383,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     )
-ann_ivf_topk.__doc__ = ann_ivf_topk.__doc__.format(nprobe=NPROBE)
+format_doc(ann_ivf_topk, nprobe=NPROBE)
 
 
 # ---------------------------------------------------------------------------
@@ -770,7 +770,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     )
-ann_lsh_multiprobe.__doc__ = ann_lsh_multiprobe.__doc__.format(bits=LSH_BITS, k=TOPK)
+format_doc(ann_lsh_multiprobe, bits=LSH_BITS, k=TOPK)
 
 
 # ---------------------------------------------------------------------------
@@ -882,7 +882,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     )
-ann_ivf_kmeans_topk.__doc__ = ann_ivf_kmeans_topk.__doc__.format(nprobe=IVF_NPROBE)
+format_doc(ann_ivf_kmeans_topk, nprobe=IVF_NPROBE)
 
 
 # ---------------------------------------------------------------------------
@@ -2652,11 +2652,15 @@ def _nsw_store_lookup(cand: DataFrame, store: DataFrame) -> DataFrame:
     dangling and drop at the join — but it is the likely-selective
     predicate the PartitionPruning rule requires on the filtering
     side before it will insert the subquery."""
-    # coalesce(1): the probe side is about to be broadcast (it fits in
-    # memory by construction), so collapsing its tiny partitions first
-    # costs nothing at any scale and cuts the broadcast job to one task
-    # (round-12 verdict item 4: the per-hop tiny-job tax at contract
-    # scale was 23% of the headline total)
+    # coalesce(1): the probe side is about to be broadcast, so it must
+    # fit in one executor regardless — computing it in one task adds no
+    # new constraint in the CORPUS dimension and cuts the broadcast job
+    # to one task (round-12 verdict item 4: the per-hop tiny-job tax at
+    # contract scale was 23% of the headline total). The claim is
+    # scoped to the corpus: the probe side grows with the QUERY BATCH
+    # (queries x B x degree), and a batch too big to compute in one
+    # task is also too big to broadcast — shard the query panel across
+    # probe calls before that point.
     candp = (
         cand.where(F.col("node") >= 0)
         .withColumn("pt", _nsw_pt("node"))
@@ -2695,8 +2699,14 @@ _CONSTRAINT_KEY = "spark.sql.constraintPropagation.enabled"
 #: (round-13 review). The lock guards only the enter/exit bookkeeping,
 #: never the loop body, so concurrent probes still plan in parallel.
 _FAST_HOP_LOCK = threading.Lock()
-_FAST_HOP_DEPTH = 0
-_FAST_HOP_OLD: str | None = None
+#: per-SESSION (depth, saved-flag) state: conf is per-session, so a
+#: module-global counter would make probe A on session 1 and probe B
+#: on session 2 (the standard newSession()-per-thread serving pattern)
+#: share one depth — B would never get the optimization and the last
+#: exit would restore A's saved value onto B's session while leaking
+#: 'false' into A's forever (round-13 review, reproduced live).
+#: Entries are deleted at depth 0, so the dict never outlives a scope.
+_FAST_HOP_STATE: dict[object, list] = {}
 
 
 @contextmanager
@@ -2713,28 +2723,34 @@ def _fast_hop_planning(spark: SparkSession):
     knob, never a semantics one), and the hop joins already carry
     their selective predicates explicitly (``node >= 0`` +
     partition-key equality), so there is nothing for it to find here.
-    Scoped: the flag is restored after the LAST active hop loop exits
-    (depth-counted, so overlapping probes on session threads cannot
-    interleave-leak the flag). While a hop loop is active, an
+    Scoped: the flag is restored after the LAST active hop loop ON
+    THAT SESSION exits (depth-counted PER SESSION — conf is
+    per-session state, so probes on sibling `newSession()` handles
+    each get their own save/set/restore and cannot interleave-leak
+    each other's flag). While a hop loop is active, an
     unrelated query planned concurrently on the same session also
     skips constraint inference — a plan-strength (never correctness)
     trade documented here because Spark conf has no narrower scope."""
-    global _FAST_HOP_DEPTH, _FAST_HOP_OLD
     with _FAST_HOP_LOCK:
-        if _FAST_HOP_DEPTH == 0:
-            _FAST_HOP_OLD = spark.conf.get(_CONSTRAINT_KEY, None)
+        state = _FAST_HOP_STATE.get(spark)
+        if state is None:
+            state = _FAST_HOP_STATE[spark] = [
+                0,
+                spark.conf.get(_CONSTRAINT_KEY, None),
+            ]
             spark.conf.set(_CONSTRAINT_KEY, "false")
-        _FAST_HOP_DEPTH += 1
+        state[0] += 1
     try:
         yield
     finally:
         with _FAST_HOP_LOCK:
-            _FAST_HOP_DEPTH -= 1
-            if _FAST_HOP_DEPTH == 0:
-                if _FAST_HOP_OLD is None:
+            state[0] -= 1
+            if state[0] == 0:
+                del _FAST_HOP_STATE[spark]
+                if state[1] is None:
                     spark.conf.unset(_CONSTRAINT_KEY)
                 else:
-                    spark.conf.set(_CONSTRAINT_KEY, _FAST_HOP_OLD)
+                    spark.conf.set(_CONSTRAINT_KEY, state[1])
 
 
 def nsw_beam(
@@ -2839,9 +2855,12 @@ def nsw_beam(
                 # and every downstream stage pays a task per partition
                 # (measured 29 s of executor time on the final stage at
                 # contract scale). The narrow coalesce folds the hop's
-                # scan+join+score into _NSW_SC_PARTS tasks — safe at
-                # any scale because the work is bounded by the
-                # candidate set, never the corpus.
+                # scan+join+score into _NSW_SC_PARTS tasks — bounded by
+                # the candidate set (queries x B x (degree + strides)),
+                # i.e. by the SERVING BATCH, never the corpus; a much
+                # larger query panel should raise _NSW_SC_PARTS or
+                # shard the panel across probe calls (the same bound
+                # that governs the broadcast probe sides above).
                 .coalesce(_NSW_SC_PARTS)
                 .localCheckpoint(eager=False)
             )
@@ -3217,7 +3236,7 @@ def nsw_beam_width_for(n: int, contract_n: int = 2_000) -> int:
     return int(_NSW_B * (n / contract_n) ** 0.6)
 
 
-nsw_beam_width_for.__doc__ = nsw_beam_width_for.__doc__.format(b=_NSW_B)
+format_doc(nsw_beam_width_for, b=_NSW_B)
 
 
 def write_nsw_index(
@@ -3263,7 +3282,7 @@ def write_nsw_index(
     ).write.mode("overwrite").partitionBy("pt").parquet(f"{path}/vecs")
 
 
-write_nsw_index.__doc__ = write_nsw_index.__doc__.format(b=LSH_BITS)
+format_doc(write_nsw_index, b=LSH_BITS)
 
 
 def _read_nsw_store(spark: SparkSession, path: str) -> DataFrame:

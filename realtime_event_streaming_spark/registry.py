@@ -46,6 +46,18 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
+def format_doc(fn: Callable, **kw) -> None:
+    """Render ``{placeholder}``s in ``fn``'s docstring with module
+    constants, in place. The ``fn.__doc__ = fn.__doc__.format(...)``
+    statement this replaces crashes the whole package import under
+    ``python -OO`` (docstrings stripped -> ``None.format``); this
+    helper no-ops there instead — the docs are gone either way, and
+    the registry's placeholder-sweep test runs unoptimized where the
+    guarantee matters (round-13 review)."""
+    if fn.__doc__:
+        fn.__doc__ = fn.__doc__.format(**kw)
+
+
 def register(
     name: str,
     oracle: str | None,

@@ -62,9 +62,23 @@ CLUSTERED_DIR = os.environ.get("NSW_CLUSTERED_DIR", "/tmp/rtes_nsw_clustered")
 def synth_clustered(out_dir: str) -> str:
     """Deterministic clustered embeddings in the testdata schema
     (vec_id BIGINT, embedding FLOAT[], label INT). Cluster ids are
-    assigned round-robin over vec_id so id arithmetic carries NO
-    similarity signal — routing must come from the near-link graph,
-    exactly the regime a real (hash-sharded) corpus presents."""
+    assigned round-robin over vec_id — which IS a periodic similarity
+    signal in id space (ids congruent mod N_CLUSTERS are same-cluster)
+    — but the index's long links stride by +/- powers of two, and no
+    2^j is a multiple of N_CLUSTERS=200 (factor 25), so a long link
+    can never shortcut WITHIN a cluster: within-cluster routing must
+    come from the near-link graph, the property the sweep needs. The
+    assert below freezes that premise so a future knob change (e.g.
+    N_CLUSTERS=256, where stride 256 IS within-cluster) fails loudly
+    instead of silently inverting the measurement's meaning."""
+    from realtime_event_streaming_spark.operators.similarity import (
+        _NSW_STEPS,
+    )
+
+    assert all(s % N_CLUSTERS != 0 for s in _NSW_STEPS), (
+        "a long-link stride is a multiple of N_CLUSTERS — long links "
+        "would shortcut within-cluster and the fixture premise breaks"
+    )
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "embeddings.parquet")
     # param-stamped cache: a fixture generated with different knobs

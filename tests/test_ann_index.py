@@ -634,3 +634,36 @@ def test_fast_hop_planning_nested_and_interleaved_restore(spark):
     )
     b.__exit__(None, None, None)
     assert spark.conf.get(_CONSTRAINT_KEY) == before
+
+
+def test_fast_hop_planning_is_per_session(spark):
+    """Cross-session contract (round-13 second review, reproduced
+    live before the fix): sibling `newSession()` handles share the
+    SparkContext but have independent conf, so the guard must track
+    (depth, saved-flag) PER SESSION — with a module-global counter,
+    probe B on session 2 never got the optimization, B's exit
+    restored A's saved value onto the wrong session, and session 1
+    leaked 'false' permanently."""
+    from realtime_event_streaming_spark.operators.similarity import (
+        _CONSTRAINT_KEY,
+        _fast_hop_planning,
+    )
+
+    s2 = spark.newSession()
+    before1 = spark.conf.get(_CONSTRAINT_KEY)
+    before2 = s2.conf.get(_CONSTRAINT_KEY)
+
+    a = _fast_hop_planning(spark)
+    b = _fast_hop_planning(s2)
+    a.__enter__()
+    b.__enter__()
+    # BOTH sessions must be under the optimization while active
+    assert spark.conf.get(_CONSTRAINT_KEY) == "false"
+    assert s2.conf.get(_CONSTRAINT_KEY) == "false"
+    a.__exit__(None, None, None)
+    # A's exit restores ONLY its own session; B's stays pinned
+    assert spark.conf.get(_CONSTRAINT_KEY) == before1
+    assert s2.conf.get(_CONSTRAINT_KEY) == "false"
+    b.__exit__(None, None, None)
+    assert spark.conf.get(_CONSTRAINT_KEY) == before1
+    assert s2.conf.get(_CONSTRAINT_KEY) == before2
