@@ -17,6 +17,7 @@ flip the value hash.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -51,11 +52,14 @@ def format_doc(fn: Callable, **kw) -> None:
     constants, in place. The ``fn.__doc__ = fn.__doc__.format(...)``
     statement this replaces crashes the whole package import under
     ``python -OO`` (docstrings stripped -> ``None.format``); this
-    helper no-ops there instead — the docs are gone either way, and
-    the registry's placeholder-sweep test runs unoptimized where the
-    guarantee matters (round-13 review)."""
-    if fn.__doc__:
-        fn.__doc__ = fn.__doc__.format(**kw)
+    helper no-ops in THAT mode only — the docs are gone there either
+    way. In normal mode a missing docstring still fails loudly at
+    import (the old pattern's one virtue: a refactor that drops an
+    operator's doc but keeps its format call is an error, not a
+    silent empty-doc ship — round-13 review)."""
+    if sys.flags.optimize >= 2:
+        return
+    fn.__doc__ = fn.__doc__.format(**kw)
 
 
 def register(

@@ -68,17 +68,21 @@ def synth_clustered(out_dir: str) -> str:
     2^j is a multiple of N_CLUSTERS=200 (factor 25), so a long link
     can never shortcut WITHIN a cluster: within-cluster routing must
     come from the near-link graph, the property the sweep needs. The
-    assert below freezes that premise so a future knob change (e.g.
+    check below freezes that premise so a future knob change (e.g.
     N_CLUSTERS=256, where stride 256 IS within-cluster) fails loudly
     instead of silently inverting the measurement's meaning."""
     from realtime_event_streaming_spark.operators.similarity import (
         _NSW_STEPS,
     )
 
-    assert all(s % N_CLUSTERS != 0 for s in _NSW_STEPS), (
-        "a long-link stride is a multiple of N_CLUSTERS — long links "
-        "would shortcut within-cluster and the fixture premise breaks"
-    )
+    # explicit raise, not `assert`: the premise check must survive
+    # python -O/-OO, where asserts compile out
+    if any(s % N_CLUSTERS == 0 for s in _NSW_STEPS):
+        raise ValueError(
+            "a long-link stride is a multiple of N_CLUSTERS — long "
+            "links would shortcut within-cluster and the fixture "
+            "premise breaks"
+        )
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "embeddings.parquet")
     # param-stamped cache: a fixture generated with different knobs

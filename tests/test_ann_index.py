@@ -623,17 +623,28 @@ def test_fast_hop_planning_nested_and_interleaved_restore(spark):
         assert spark.conf.get(_CONSTRAINT_KEY) == "false"
     assert spark.conf.get(_CONSTRAINT_KEY) == before
 
-    # interleaved lifetimes: A enter, B enter, A exit, B exit
+    # interleaved lifetimes: A enter, B enter, A exit, B exit.
+    # try/finally: a mid-schedule assert failure must not leak the
+    # flag (or stale guard state) into the session-scoped fixture and
+    # cascade into unrelated tests (round-13 third review).
+    from realtime_event_streaming_spark.operators.similarity import (
+        _FAST_HOP_STATE,
+    )
+
     a = _fast_hop_planning(spark)
     b = _fast_hop_planning(spark)
-    a.__enter__()
-    b.__enter__()
-    a.__exit__(None, None, None)
-    assert spark.conf.get(_CONSTRAINT_KEY) == "false", (
-        "A's exit restored while B was still active"
-    )
-    b.__exit__(None, None, None)
-    assert spark.conf.get(_CONSTRAINT_KEY) == before
+    try:
+        a.__enter__()
+        b.__enter__()
+        a.__exit__(None, None, None)
+        assert spark.conf.get(_CONSTRAINT_KEY) == "false", (
+            "A's exit restored while B was still active"
+        )
+        b.__exit__(None, None, None)
+        assert spark.conf.get(_CONSTRAINT_KEY) == before
+    finally:
+        _FAST_HOP_STATE.clear()
+        spark.conf.set(_CONSTRAINT_KEY, before)
 
 
 def test_fast_hop_planning_is_per_session(spark):
@@ -653,17 +664,28 @@ def test_fast_hop_planning_is_per_session(spark):
     before1 = spark.conf.get(_CONSTRAINT_KEY)
     before2 = s2.conf.get(_CONSTRAINT_KEY)
 
+    from realtime_event_streaming_spark.operators.similarity import (
+        _FAST_HOP_STATE,
+    )
+
     a = _fast_hop_planning(spark)
     b = _fast_hop_planning(s2)
-    a.__enter__()
-    b.__enter__()
-    # BOTH sessions must be under the optimization while active
-    assert spark.conf.get(_CONSTRAINT_KEY) == "false"
-    assert s2.conf.get(_CONSTRAINT_KEY) == "false"
-    a.__exit__(None, None, None)
-    # A's exit restores ONLY its own session; B's stays pinned
-    assert spark.conf.get(_CONSTRAINT_KEY) == before1
-    assert s2.conf.get(_CONSTRAINT_KEY) == "false"
-    b.__exit__(None, None, None)
-    assert spark.conf.get(_CONSTRAINT_KEY) == before1
-    assert s2.conf.get(_CONSTRAINT_KEY) == before2
+    # try/finally: a mid-schedule failure must not leak the flag into
+    # the session-scoped fixture (round-13 third review)
+    try:
+        a.__enter__()
+        b.__enter__()
+        # BOTH sessions must be under the optimization while active
+        assert spark.conf.get(_CONSTRAINT_KEY) == "false"
+        assert s2.conf.get(_CONSTRAINT_KEY) == "false"
+        a.__exit__(None, None, None)
+        # A's exit restores ONLY its own session; B's stays pinned
+        assert spark.conf.get(_CONSTRAINT_KEY) == before1
+        assert s2.conf.get(_CONSTRAINT_KEY) == "false"
+        b.__exit__(None, None, None)
+        assert spark.conf.get(_CONSTRAINT_KEY) == before1
+        assert s2.conf.get(_CONSTRAINT_KEY) == before2
+    finally:
+        _FAST_HOP_STATE.clear()
+        spark.conf.set(_CONSTRAINT_KEY, before1)
+        s2.conf.set(_CONSTRAINT_KEY, before2)
