@@ -99,68 +99,68 @@ def register(
 #: (their proof is cumulative across rounds, and every one of them
 #: remains oracle-gated locally by tests/test_oracle_parity.py, which
 #: checks the FULL registry at every run).
-#: Round-13 rotation (standing stalest-first rule; all 244 queries
+#: Round-14 rotation (standing stalest-first rule; all 244 queries
 #: are ever-green as of round 12, so the window is pure freshness
-#: maintenance): (a) the FULL round-7 remainder — the 44 queries
-#: whose last green row is round 7, in name order from
-#: `audience_set_ops` (the first 5 of that cohort rowed in round 12);
-#: then (b) the first 6 of the round-8 cohort in name order. The
-#: round-8 remainder (from `dedup_exact_groups`) queues for round 14.
-#: Every yielded query remains locally oracle-gated by
+#: maintenance): (a) the FULL round-8 remainder — the 44 queries
+#: whose last green row is round 8, in name order from
+#: `dedup_exact_groups` (the first 6 of that cohort rowed in round
+#: 13); then (b) the first 6 of the round-9 cohort in name order.
+#: The round-9 remainder (from `bpe_decode_roundtrip`) queues for
+#: round 15. Every yielded query remains locally oracle-gated by
 #: tests/test_oracle_parity.py on the FULL registry at every run.
 DRIVER_QUERIES: tuple[str, ...] = (
-    # -- (a) the full round-7 remainder (stalest cohort), name order
-    "audience_set_ops",
-    "clickgen_arrow_histogram",
-    "corpus_datacard",
-    "corpus_split_counts",
-    "daily_moving_avg",
-    "data_freshness",
-    "data_quality_checks",
-    "dedup_incremental",
-    "dedup_threshold_sweep",
-    "device_breakdown",
-    "doc_fingerprint",
-    "doc_quality",
-    "doc_repetition_stats",
-    "embedding_near_dup",
-    "embedding_quantize_int8",
-    "event_growth_daily",
-    "events_by_country_pivot",
-    "fuzzy_title_pairs_snm",
-    "grouping_sets_rollup",
-    "inactive_customers",
-    "margin_mutual_nn",
-    "minhash_signature_sample",
-    "order_priority_count",
-    "p95_trend",
-    "page_activity_5min",
-    "paragraph_containment_pairs",
-    "parts_above_type_avg",
-    "pq_rerank_recall",
-    "pq_rerank_topk",
-    "promo_revenue_share",
-    "quality_classifier_train",
-    "quality_rank_calibration",
-    "recent_activity",
-    "rollup_5min",
-    "rollup_cascade_5min",
-    "rollup_hourly",
-    "rows_per_minute",
-    "span_corruption_plan",
-    "throughput_summary",
-    "top_customers",
-    "topk_turnover_daily",
-    "unigram_kl_drift",
-    "value_histogram",
-    "wau_stickiness_trend",
-    # -- (b) round-8 cohort, first 6 in name order
-    "ann_bruteforce",
-    "ann_ivf_topk",
-    "asof_tier_rollup",
-    "benchmark_contamination",
-    "benford_digit_census",
-    "classifier_reliability_bins",
+    # -- (a) the full round-8 remainder (stalest cohort), name order
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_survivors_cc",
+    "doc_chunks",
+    "embedding_space_audit",
+    "geo_breakdown",
+    "jl_projection_distortion",
+    "join_size_estimate",
+    "k_anonymity_census",
+    "kmeans_centroids",
+    "lang_id_markers",
+    "latency_stats",
+    "matryoshka_recall_eval",
+    "mmr_diverse_topk",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "ndcg_rank_eval",
+    "page_pair_lift",
+    "pagerank_pages",
+    "pipeline_health",
+    "pretraining_mix_manifest",
+    "pricing_summary",
+    "quality_classifier_apply",
+    "quality_score_auc",
+    "range_join_windows",
+    "reagg_sketch_hourly",
+    "regional_supplier_volume",
+    "rollup_parts_replay",
+    "segment_top_orders",
+    "sequence_pack",
+    "simhash_docs",
+    "simhash_near_pairs",
+    "source_mix_weights",
+    "stratified_sample_counts",
+    "tfidf_top_terms",
+    "throughput_per_minute",
+    "token_pmi_topk",
+    "token_stats",
+    "top_types_per_country",
+    "training_corpus_pipeline",
+    "update_rollup_incremental",
+    "user_sessions",
+    "view_purchase_conversions",
+    "weekly_retention_cohorts",
+    # -- (b) round-9 cohort, first 6 in name order
+    "ann_ivf_kmeans_topk",
+    "ann_lsh_multiprobe",
+    "anomaly_zscore_batch",
+    "audience_overlap_minhash",
+    "benford_by_source",
+    "bloom_prefilter_join",
 )
 
 
