@@ -2489,8 +2489,17 @@ _NSW_H = 6
 #: O(queries x B x (degree + strides)) rows regardless of corpus
 #: size, so a small constant is scale-safe; without it each hop
 #: inherits the store scan's ~30 pruned partitions and H hops leak
-#: ~180 near-empty partitions into every downstream stage
-_NSW_SC_PARTS = 4
+#: ~180 near-empty partitions into every downstream stage.
+#: Pinned at 1 (round 14): a single-partition checkpoint reports
+#: SinglePartition, which satisfies the next hop's window
+#: ClusteredDistribution outright — the per-hop row_number exchange
+#: (and the AQE stage-job that scheduled it) disappears from every
+#: hop plan. The round-13 profile attributed the probe's residual
+#: ~1 s/hop to exactly these tiny sequential stage-jobs (7/hop,
+#: ~0.1 s scheduler round-trip each), not to optimizer time. A much
+#: larger serving batch shards the query panel across probe calls
+#: (the same bound that governs the broadcast probe sides).
+_NSW_SC_PARTS = 1
 #: long-link strides: +/- powers of two over the id space (Kleinberg
 #: small-world routing — any id is reachable in O(log n) hops)
 _NSW_STEPS = tuple(2**j for j in range(20))
@@ -2692,53 +2701,86 @@ def _nsw_edge_lookup(frontier: DataFrame, near: DataFrame) -> DataFrame:
 
 
 _CONSTRAINT_KEY = "spark.sql.constraintPropagation.enabled"
+_BLOOM_KEY = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+#: Optimizer-STRENGTH knobs pinned during the hop loop — each one can
+#: only change how much work the optimizer/runtime spends, never a row:
+#: - constraint propagation: Catalyst's constraint inference is
+#:   superlinear on the hop shape (a 3-way union of alias-derived
+#:   ``node`` expressions feeding two join conditions); measured ~3 s
+#:   of the contract-scale probe with byte-identical results without
+#:   it (round 13). The hop joins already carry their selective
+#:   predicates explicitly (``node >= 0`` + partition-key equality).
+#: - runtime bloom filters: InjectRuntimeFilter builds a bloom filter
+#:   over the CORPUS-SIZED near/vecs tables' join keys to prefilter
+#:   the <= B-row frontier side — two full-table scans PER HOP at
+#:   bench scale (the round-14 profile's 32-task jobs, the dominant
+#:   residual cost), protecting a side that is already bounded by the
+#:   serving batch. Worse, the injected subquery on the broadcast side
+#:   blocks the DPP filter's broadcast-exchange reuse
+#:   (reuseBroadcastOnly=true), so the executed hop degraded to
+#:   dynamicpruningexpression(true) — NO partition pruning. At real
+#:   scale Spark's own creationSideThreshold (10 MB) would veto the
+#:   bloom anyway; pinning it off makes the bench shape match the
+#:   at-scale shape AND restores the pruned reads.
+_FAST_HOP_CONFS: dict[str, str] = {
+    _CONSTRAINT_KEY: "false",
+    _BLOOM_KEY: "false",
+}
 #: reentrancy/concurrency guard for _fast_hop_planning: SparkSession
 #: conf is session-global, so overlapping hop loops (two probes on
 #: different threads) must save/restore as a unit — a naive per-entry
-#: save would let interleaved exits leak the flag permanently
+#: save would let interleaved exits leak the flags permanently
 #: (round-13 review). The lock guards only the enter/exit bookkeeping,
 #: never the loop body, so concurrent probes still plan in parallel.
 _FAST_HOP_LOCK = threading.Lock()
-#: per-SESSION (depth, saved-flag) state: conf is per-session, so a
-#: module-global counter would make probe A on session 1 and probe B
-#: on session 2 (the standard newSession()-per-thread serving pattern)
-#: share one depth — B would never get the optimization and the last
-#: exit would restore A's saved value onto B's session while leaking
-#: 'false' into A's forever (round-13 review, reproduced live).
-#: Entries are deleted at depth 0, so the dict never outlives a scope.
-_FAST_HOP_STATE: dict[object, list] = {}
+#: per-SESSION [depth, saved-confs, session-handle] state: conf is
+#: per-session, so a module-global counter would make probe A on
+#: session 1 and probe B on session 2 (the standard
+#: newSession()-per-thread serving pattern) share one depth — B would
+#: never get the optimization and the last exit would restore A's
+#: saved values onto B's session while leaking 'false' into A's
+#: forever (round-13 review, reproduced live). Keyed by the JVM
+#: session's sessionUUID, NOT the Python wrapper object: two Python
+#: wrappers of one JVM session (e.g. a manually constructed
+#: SparkSession(sc, jsparkSession)) share one conf, so they must
+#: share one depth counter too — wrapper-keyed state would let
+#: interleaved exits restore a stale value, the exact leak class the
+#: per-session redesign fixed (round-13 ADVICE). Entries are deleted
+#: at depth 0, so the dict never outlives a scope.
+_FAST_HOP_STATE: dict[str, list] = {}
+
+
+def _fast_hop_key(spark: SparkSession) -> str:
+    """JVM-session identity (wrapper-independent): all Python wrappers
+    of one JVM SparkSession map to the same guard entry."""
+    return str(spark._jsparkSession.sessionUUID())
 
 
 @contextmanager
 def _fast_hop_planning(spark: SparkSession):
-    """Pin constraint propagation OFF while the beam hops are planned.
-
-    Each hop's ``localCheckpoint(eager=False)`` computes its executed
-    plan EAGERLY, and Catalyst's constraint inference is superlinear on
-    the hop shape (a 3-way union of alias-derived ``node`` expressions
-    feeding two join conditions): measured ~3 s of the contract-scale
-    probe's ~9 s wall was optimizer time attributable to this rule
-    alone, with byte-identical results without it. Constraint
-    propagation only ADDS inferred predicates (an optimizer-strength
-    knob, never a semantics one), and the hop joins already carry
-    their selective predicates explicitly (``node >= 0`` +
-    partition-key equality), so there is nothing for it to find here.
-    Scoped: the flag is restored after the LAST active hop loop ON
-    THAT SESSION exits (depth-counted PER SESSION — conf is
-    per-session state, so probes on sibling `newSession()` handles
-    each get their own save/set/restore and cannot interleave-leak
-    each other's flag). While a hop loop is active, an
-    unrelated query planned concurrently on the same session also
-    skips constraint inference — a plan-strength (never correctness)
-    trade documented here because Spark conf has no narrower scope."""
+    """Pin the optimizer-strength knobs in ``_FAST_HOP_CONFS`` OFF
+    while the beam hops are planned and eagerly staged (each hop's
+    ``localCheckpoint(eager=False)`` builds its executed plan — and
+    with it any injected runtime-filter jobs — at call time; see the
+    per-key rationale on ``_FAST_HOP_CONFS``). Scoped: the flags are
+    restored after the LAST active hop loop ON THAT SESSION exits
+    (depth-counted per JVM session — conf is per-session state, so
+    probes on sibling `newSession()` handles each get their own
+    save/set/restore and cannot interleave-leak each other's flags).
+    While a hop loop is active, an unrelated query planned
+    concurrently on the same session also skips these rules — a
+    plan-strength (never correctness) trade documented here because
+    Spark conf has no narrower scope; a serving wrapper that co-hosts
+    other queries should give each probe pool its own ``newSession()``
+    handle."""
+    key = _fast_hop_key(spark)
     with _FAST_HOP_LOCK:
-        state = _FAST_HOP_STATE.get(spark)
+        state = _FAST_HOP_STATE.get(key)
         if state is None:
-            state = _FAST_HOP_STATE[spark] = [
-                0,
-                spark.conf.get(_CONSTRAINT_KEY, None),
-            ]
-            spark.conf.set(_CONSTRAINT_KEY, "false")
+            saved = {k: spark.conf.get(k, None) for k in _FAST_HOP_CONFS}
+            state = _FAST_HOP_STATE[key] = [0, saved]
+            for k, v in _FAST_HOP_CONFS.items():
+                spark.conf.set(k, v)
         state[0] += 1
     try:
         yield
@@ -2746,11 +2788,12 @@ def _fast_hop_planning(spark: SparkSession):
         with _FAST_HOP_LOCK:
             state[0] -= 1
             if state[0] == 0:
-                del _FAST_HOP_STATE[spark]
-                if state[1] is None:
-                    spark.conf.unset(_CONSTRAINT_KEY)
-                else:
-                    spark.conf.set(_CONSTRAINT_KEY, state[1])
+                del _FAST_HOP_STATE[key]
+                for k, old in state[1].items():
+                    if old is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, old)
 
 
 def nsw_beam(
@@ -2782,9 +2825,15 @@ def nsw_beam(
     inserts a dynamic-partition-pruning subquery on each scan and a
     hop reads ONLY the partitions its <= B frontier nodes /
     <= B x (degree + strides) candidates land in, never the corpus
-    and never the full edge set. This is the serving-path answer to
-    the residual 100x-scale cost (the in-memory checkpoints below are
-    the self-contained-plan answer and cap at executor memory)."""
+    and never the full edge set. Each hop's FRONTIER is also
+    checkpointed (after its top-B window): Spark drops a DPP filter
+    from the executed plan when the filtering side contains a Window
+    operator, so an uncheckpointed frontier silently degrades every
+    hop after the first to a full-table read (measured round 14;
+    pinned by test_nsw_full_probe_hops_keep_dpp). This is the
+    serving-path answer to the residual 100x-scale cost (the
+    in-memory checkpoints below are the self-contained-plan answer
+    and cap at executor memory)."""
     if store is None and vecs is None:
         raise ValueError(
             "nsw_beam needs a scoring side: pass vecs (in-memory path) "
@@ -2799,8 +2848,14 @@ def nsw_beam(
     # scoring join, and without this each of the H broadcasts re-runs
     # qs's upstream plan (a parquet scan per hop in the serving path —
     # measured ~1.5 s of the contract-scale probe; the panel is the
-    # serving batch, bounded by construction)
-    qs = qs.coalesce(1).localCheckpoint(eager=False)
+    # serving batch, bounded by construction). coalesce(1) only in the
+    # serving path, where the panel scan is predicate-pruned to the
+    # batch: in the in-memory path the panel is filtered out of the
+    # FULL vector table, and a pre-checkpoint coalesce would fold that
+    # corpus-sized scan into one task (round-13 ADVICE).
+    if store is not None:
+        qs = qs.coalesce(1)
+    qs = qs.localCheckpoint(eager=False)
     if store is None:
         # checkpoint the scoring side ONCE: every hop joins candidates
         # against it, and without the checkpoint each hop re-scans the
@@ -2840,7 +2895,18 @@ def nsw_beam(
             longc = frontier.select("query_id", "node", strides).select(
                 "query_id", (F.col("node") + F.col("s")).alias("node")
             )
-            cand = hops.union(longc).union(frontier).distinct()
+            cand = hops.union(longc).union(frontier)
+            if store is not None:
+                # coalesce(1) BEFORE the dedup: the union is bounded by
+                # the serving batch (queries x B x (degree + strides)),
+                # and a SinglePartition child satisfies the distinct's
+                # ClusteredDistribution — no exchange, no AQE
+                # stage-job, the hop's whole candidate derivation runs
+                # as one task inside the store-lookup broadcast job
+                # (round-14 profile: the per-hop tiny-job tax, 7
+                # jobs/hop, was the probe's residual cost)
+                cand = cand.coalesce(1)
+            cand = cand.distinct()
             if store is None:
                 looked = cand.join(nodes, cand.node == nodes.node_id)
             else:
@@ -2863,6 +2929,16 @@ def nsw_beam(
                 # that governs the broadcast probe sides above).
                 .coalesce(_NSW_SC_PARTS)
                 .localCheckpoint(eager=False)
+                # re-coalesce AFTER the checkpoint: under AQE a lazy
+                # checkpoint's final partitioning is undecided at
+                # checkpoint time, so the LogicalRDD reports
+                # UnknownPartitioning even though the RDD has exactly
+                # _NSW_SC_PARTS(=1) partitions — the next hop's window
+                # then re-inserts a per-hop shuffle. The no-op narrow
+                # coalesce restores SinglePartition to the planner and
+                # the window/distinct exchanges (and their AQE
+                # stage-jobs) vanish from every hop (round-14 profile).
+                .coalesce(_NSW_SC_PARTS)
             )
             visited = sc if visited is None else visited.union(sc)
             frontier = (
@@ -2870,6 +2946,27 @@ def nsw_beam(
                 .where(F.col("rn") <= beam)
                 .select("query_id", "node")
             )
+            if store is not None:
+                # checkpoint the frontier AFTER the top-B window: a
+                # Window operator anywhere in a DPP filtering side
+                # makes Spark drop the dynamic-pruning filter from the
+                # EXECUTED plan (measured round 14: the isolated
+                # window-shaped lookup reads all _NSW_PARTS partitions
+                # under every conf combination, parquet- or
+                # RDD-backed alike, while the same frontier
+                # checkpointed after the window prunes), so without
+                # this every hop after the first silently scanned the
+                # corpus-sized store and edge tables whole — the exact
+                # shape the serving path exists to avoid. The
+                # checkpoint also computes the top-B selection once
+                # per hop instead of once per consumer (edge lookup,
+                # strides, candidate union). Frontier is <= queries x
+                # B rows — serving-batch bounded; the post-checkpoint
+                # coalesce restores SinglePartition to the planner
+                # (same AQE-lazy-checkpoint caveat as sc above).
+                frontier = frontier.localCheckpoint(eager=False).coalesce(
+                    _NSW_SC_PARTS
+                )
     return visited.distinct()
 
 

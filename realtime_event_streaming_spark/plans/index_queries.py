@@ -1321,7 +1321,17 @@ graph_ann_serve.__doc__ = """The graph-ANN SERVING read — `pq_rerank_serve`'s 
     (PERF.md round 12; the r11 unpruned scan was 24.8 s, and the
     intermediate vector-only-DPP design measured 9.6/7.8 s by still
     caching the whole edge table — the shape that cannot hold at
-    10^9 vectors). Same result as
+    10^9 vectors). Round 14 halved the contract-scale probe again
+    (~7 -> ~3.5-4 s calm-host) by attacking the per-hop tiny-job tax
+    the r13 profile had misread as planner time: runtime bloom-filter
+    injection was building corpus-sized filters per hop (pinned off
+    in the hop scope — Spark's own 10 MB creation threshold vetoes it
+    at real scale anyway), single-partition hop checkpoints erase the
+    per-hop window/distinct exchanges, and checkpointing each frontier
+    AFTER its top-B window un-breaks executed DPP (a Window in the
+    filtering side silently drops the pruning filter — every hop
+    after the first was reading both index tables whole; pinned by
+    test_nsw_full_probe_hops_keep_dpp). Same result as
     `graph_ann_beam` (whose plan retrains the graph inline — the
     self-contained correctness form); the oracle restates build +
     search in one statement.

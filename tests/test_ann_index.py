@@ -629,8 +629,10 @@ def test_fast_hop_planning_nested_and_interleaved_restore(spark):
     # cascade into unrelated tests (round-13 third review).
     from realtime_event_streaming_spark.operators.similarity import (
         _FAST_HOP_STATE,
+        _fast_hop_key,
     )
 
+    before_raw = spark.conf.get(_CONSTRAINT_KEY, None)
     a = _fast_hop_planning(spark)
     b = _fast_hop_planning(spark)
     try:
@@ -643,8 +645,15 @@ def test_fast_hop_planning_nested_and_interleaved_restore(spark):
         b.__exit__(None, None, None)
         assert spark.conf.get(_CONSTRAINT_KEY) == before
     finally:
-        _FAST_HOP_STATE.clear()
-        spark.conf.set(_CONSTRAINT_KEY, before)
+        # clean up ONLY this test's guard entry, and restore an
+        # unset flag via unset — clearing the whole dict or force-
+        # setting the key would clobber guard state owned by other
+        # sessions/threads in the process (round-13 ADVICE)
+        _FAST_HOP_STATE.pop(_fast_hop_key(spark), None)
+        if before_raw is None:
+            spark.conf.unset(_CONSTRAINT_KEY)
+        else:
+            spark.conf.set(_CONSTRAINT_KEY, before_raw)
 
 
 def test_fast_hop_planning_is_per_session(spark):
@@ -666,8 +675,11 @@ def test_fast_hop_planning_is_per_session(spark):
 
     from realtime_event_streaming_spark.operators.similarity import (
         _FAST_HOP_STATE,
+        _fast_hop_key,
     )
 
+    before1_raw = spark.conf.get(_CONSTRAINT_KEY, None)
+    before2_raw = s2.conf.get(_CONSTRAINT_KEY, None)
     a = _fast_hop_planning(spark)
     b = _fast_hop_planning(s2)
     # try/finally: a mid-schedule failure must not leak the flag into
@@ -686,6 +698,126 @@ def test_fast_hop_planning_is_per_session(spark):
         assert spark.conf.get(_CONSTRAINT_KEY) == before1
         assert s2.conf.get(_CONSTRAINT_KEY) == before2
     finally:
-        _FAST_HOP_STATE.clear()
-        spark.conf.set(_CONSTRAINT_KEY, before1)
-        s2.conf.set(_CONSTRAINT_KEY, before2)
+        # pop only this test's sessions; restore unset flags via
+        # unset, never a forced set (round-13 ADVICE: clearing the
+        # dict or unconditionally setting the key clobbers guard
+        # state owned by other sessions/threads)
+        _FAST_HOP_STATE.pop(_fast_hop_key(spark), None)
+        _FAST_HOP_STATE.pop(_fast_hop_key(s2), None)
+        for sess, raw in ((spark, before1_raw), (s2, before2_raw)):
+            if raw is None:
+                sess.conf.unset(_CONSTRAINT_KEY)
+            else:
+                sess.conf.set(_CONSTRAINT_KEY, raw)
+
+
+def test_fast_hop_planning_shared_across_wrappers(spark):
+    """Wrapper-identity contract (round-13 ADVICE, closed round 14):
+    two PYTHON wrappers of the SAME JVM session share one conf, so
+    they must share one guard entry — state keyed by the wrapper
+    object would give each its own depth/saved-flag, and the
+    interleaved schedule below (wrapper A enters, wrapper B enters,
+    A exits, B exits) would restore a stale value mid-flight and
+    then leak 'false' permanently. The guard keys by the JVM
+    session's sessionUUID, making every wrapper equivalent."""
+    from realtime_event_streaming_spark.operators.similarity import (
+        _CONSTRAINT_KEY,
+        _FAST_HOP_STATE,
+        _fast_hop_key,
+        _fast_hop_planning,
+    )
+
+    w2 = type(spark)(spark.sparkContext, spark._jsparkSession)
+    assert w2 is not spark
+    assert _fast_hop_key(w2) == _fast_hop_key(spark)
+
+    before = spark.conf.get(_CONSTRAINT_KEY)
+    before_raw = spark.conf.get(_CONSTRAINT_KEY, None)
+    a = _fast_hop_planning(spark)
+    b = _fast_hop_planning(w2)
+    try:
+        a.__enter__()
+        b.__enter__()
+        # ONE shared entry at depth 2, not two independent entries
+        assert len(
+            [k for k in _FAST_HOP_STATE if k == _fast_hop_key(spark)]
+        ) == 1
+        assert _FAST_HOP_STATE[_fast_hop_key(spark)][0] == 2
+        a.__exit__(None, None, None)
+        # wrapper A's exit must NOT restore while wrapper B is active
+        assert spark.conf.get(_CONSTRAINT_KEY) == "false"
+        assert w2.conf.get(_CONSTRAINT_KEY) == "false"
+        b.__exit__(None, None, None)
+        assert spark.conf.get(_CONSTRAINT_KEY) == before
+        assert _fast_hop_key(spark) not in _FAST_HOP_STATE
+    finally:
+        _FAST_HOP_STATE.pop(_fast_hop_key(spark), None)
+        if before_raw is None:
+            spark.conf.unset(_CONSTRAINT_KEY)
+        else:
+            spark.conf.set(_CONSTRAINT_KEY, before_raw)
+
+
+def test_nsw_full_probe_hops_keep_dpp(spark, tmp_path):
+    """The REAL probe's executed hop plans must keep live dynamic-
+    pruning subqueries on both index scans (round-14 regression pin):
+    a Window operator anywhere in a DPP filtering side makes Spark
+    drop the pruning filter from the EXECUTED plan (measured: the
+    window-shaped lookup reads all _NSW_PARTS partitions under every
+    conf combination, parquet- or RDD-backed alike), so every hop
+    after the first was silently scanning the store and edge tables
+    whole while the isolated-shape pins above stayed green. The probe
+    now checkpoints each frontier after its top-B window; this test
+    captures the actual hop DataFrames from a full probe run and
+    asserts no executed hop degraded to dynamicpruningexpression(true)
+    — and that mid-loop hops (window-derived frontiers, the shape
+    that regressed) carry a live IN-subquery filter."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDataFrame
+
+    from realtime_event_streaming_spark.operators.similarity import (
+        LSH_BITS,
+        N_QUERIES,
+        _vectors,
+        probe_nsw_index,
+        write_nsw_index,
+    )
+
+    path = str(tmp_path / "nsw_full_dpp")
+    write_nsw_index(spark, SF, path, bucket_bits=LSH_BITS)
+    qs = (
+        _vectors(spark, SF)
+        .where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+
+    captured = []
+    orig = CDataFrame.localCheckpoint
+
+    def capturing(self, eager=True):
+        captured.append(self)
+        return orig(self, eager=eager)
+
+    CDataFrame.localCheckpoint = capturing
+    try:
+        probe_nsw_index(spark, path, None, qs).collect()
+    finally:
+        CDataFrame.localCheckpoint = orig
+
+    hop_plans = []
+    for df in captured:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "FileScan" in plan:  # scored hops; skip qs/frontier RDDs
+            hop_plans.append(plan)
+    assert len(hop_plans) >= 4, "expected the H scored hops captured"
+    live = 0
+    for plan in hop_plans:
+        assert "dynamicpruningexpression(true)" not in plan, plan[:3000]
+        if "IN dynamicpruning#" in plan:
+            live += 1
+    # mid-loop (window-frontier) hops must carry live filters, not
+    # merely avoid the degraded literal
+    assert live >= len(hop_plans) - 1, (live, len(hop_plans))
