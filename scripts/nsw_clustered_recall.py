@@ -48,15 +48,21 @@ from realtime_event_streaming_spark.operators.similarity import (  # noqa: E402
 )
 from realtime_event_streaming_spark.session import get_spark  # noqa: E402
 
-N_VECS = 20_000
+#: scale knobs are env-overridable so the same script records the 20k
+#: (10x) point AND the 200k (100x) store-probe point (round-13 verdict
+#: item 6) — the premise check below re-validates the stride/cluster
+#: coprimality for whatever N_CLUSTERS is chosen
+N_VECS = int(os.environ.get("NSW_CLUSTERED_N", 20_000))
 DIM = 64
-N_CLUSTERS = 200
+N_CLUSTERS = int(os.environ.get("NSW_CLUSTERED_CLUSTERS", 200))
 NOISE_SIGMA = 0.15
 N_Q = 100
 TOPK = 5
 SEED = 20260816
 
-CLUSTERED_DIR = os.environ.get("NSW_CLUSTERED_DIR", "/tmp/rtes_nsw_clustered")
+CLUSTERED_DIR = os.environ.get(
+    "NSW_CLUSTERED_DIR", f"/tmp/rtes_nsw_clustered_{N_VECS}"
+)
 
 
 def synth_clustered(out_dir: str) -> str:
