@@ -3324,7 +3324,15 @@ def nsw_beam_width_for(n: int, contract_n: int = 2_000) -> int:
     0.838 vs ~0.80) — treat the rule as an upper bound — or densify
     the stored graph instead
     (M=24/B=128 matched M=8/B=192 in the same sweep: pay once in the
-    index, not per query). The registered contract queries pin B={b}
+    index, not per query). VALIDITY RANGE: reliable to ~10x corpus
+    growth from the tuning point. At 100x (200k clustered, PERF.md
+    round 14) the rule width recovers only 0.644 (M=8) / 0.708
+    (M=24) — the flat-graph regime where H fixed-entry hops can no
+    longer cross the corpus (the problem HNSW's hierarchy exists
+    for). Past ~10x, re-tune against scripts/nsw_clustered_recall.py
+    (env-knob scale/M/beam overrides), or shard the index and merge
+    per-shard top-k so each shard stays in the rule's validated
+    range. The registered contract queries pin B={b}
     (the oracle restates the hops at that width), so this rule is the
     PRODUCTION caller's lever via ``probe_nsw_index(beam_width=)``,
     never an implicit default."""

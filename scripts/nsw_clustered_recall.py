@@ -59,6 +59,24 @@ NOISE_SIGMA = 0.15
 N_Q = 100
 TOPK = 5
 SEED = 20260816
+#: graph degree override (None = the contract _NSW_M=8) — the
+#: DENSIFICATION lever's measurement knob: at 100x corpus the beam
+#: rule alone under-recovers (round 14: rule B=1014 reads 0.644 on
+#: the 200k clustered fixture), and the documented production answer
+#: is to densify the stored graph as the corpus grows. Patching the
+#: module constant is safe here: this is an offline measurement
+#: script, and nsw_near_links reads the constant at call time.
+M_OVERRIDE = (
+    int(os.environ["NSW_CLUSTERED_M"])
+    if os.environ.get("NSW_CLUSTERED_M")
+    else None
+)
+#: probe beam widths; default = contract, half-rule, rule
+BEAMS_OVERRIDE = (
+    [int(b) for b in os.environ["NSW_CLUSTERED_BEAMS"].split(",")]
+    if os.environ.get("NSW_CLUSTERED_BEAMS")
+    else None
+)
 
 CLUSTERED_DIR = os.environ.get(
     "NSW_CLUSTERED_DIR", f"/tmp/rtes_nsw_clustered_{N_VECS}"
@@ -166,7 +184,13 @@ def main() -> None:
     spark = get_spark("nsw-clustered-recall")
     spark.sparkContext.setLogLevel("ERROR")
     truth = exact_topk(sf_dir)
+    from realtime_event_streaming_spark.operators import similarity
     from realtime_event_streaming_spark.operators.similarity import _vectors
+
+    m = _NSW_M
+    if M_OVERRIDE is not None:
+        m = M_OVERRIDE
+        similarity._NSW_M = M_OVERRIDE
 
     with tempfile.TemporaryDirectory() as tmp:
         idx = os.path.join(tmp, "nsw")
@@ -178,8 +202,9 @@ def main() -> None:
             F.col("norm").alias("qnorm"),
         )
         rule_b = nsw_beam_width_for(N_VECS)
+        beams = BEAMS_OVERRIDE or [64, 128, rule_b]
         recalls = {}
-        for b in (64, 128, rule_b):
+        for b in beams:
             got: dict[int, set[int]] = {}
             for r in probe_nsw_index(
                 spark, idx, None, qs, beam_width=b
@@ -200,7 +225,7 @@ def main() -> None:
                 "n_vecs": N_VECS,
                 "n_clusters": N_CLUSTERS,
                 "noise_sigma": NOISE_SIGMA,
-                "M": _NSW_M,
+                "M": m,
                 "rule_B": rule_b,
                 "recall_at_5": recalls,
                 "uniform_20k_B64_reference": 0.26,
