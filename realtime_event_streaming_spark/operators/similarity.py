@@ -2485,11 +2485,11 @@ _NSW_M = 8
 _NSW_B = 64
 #: unrolled greedy hops
 _NSW_H = 6
-#: partitions per checkpointed scored hop — the hop frame is
-#: O(queries x B x (degree + strides)) rows regardless of corpus
-#: size, so a small constant is scale-safe; without it each hop
-#: inherits the store scan's ~30 pruned partitions and H hops leak
-#: ~180 near-empty partitions into every downstream stage.
+#: partitions per checkpointed scored hop in the SERVING path — the
+#: hop frame is O(queries x B x (degree + strides)) rows regardless
+#: of corpus size, so a small constant is scale-safe; without it each
+#: hop inherits the store scan's ~30 pruned partitions and H hops
+#: leak ~180 near-empty partitions into every downstream stage.
 #: Pinned at 1 (round 14): a single-partition checkpoint reports
 #: SinglePartition, which satisfies the next hop's window
 #: ClusteredDistribution outright — the per-hop row_number exchange
@@ -2500,6 +2500,14 @@ _NSW_H = 6
 #: larger serving batch shards the query panel across probe calls
 #: (the same bound that governs the broadcast probe sides).
 _NSW_SC_PARTS = 1
+#: ...and in the IN-MEMORY path (store=None, the self-contained
+#: correctness form), where each hop's scoring join runs against the
+#: FULL checkpointed vector table: the pre-checkpoint coalesce
+#: propagates into that corpus-sized join, so collapsing it to one
+#: task would serialize the hop's real work at the in-memory path's
+#: own 100x point (round-14 self-review). Kept at the round-13 value;
+#: the serving path is where the tiny-job shave applies.
+_NSW_SC_PARTS_INMEM = 4
 #: long-link strides: +/- powers of two over the id space (Kleinberg
 #: small-world routing — any id is reachable in O(log n) hops)
 _NSW_STEPS = tuple(2**j for j in range(20))
@@ -2733,7 +2741,7 @@ _FAST_HOP_CONFS: dict[str, str] = {
 #: (round-13 review). The lock guards only the enter/exit bookkeeping,
 #: never the loop body, so concurrent probes still plan in parallel.
 _FAST_HOP_LOCK = threading.Lock()
-#: per-SESSION [depth, saved-confs, session-handle] state: conf is
+#: per-SESSION [depth, saved-confs] state: conf is
 #: per-session, so a module-global counter would make probe A on
 #: session 1 and probe B on session 2 (the standard
 #: newSession()-per-thread serving pattern) share one depth — B would
@@ -2884,8 +2892,25 @@ def nsw_beam(
         "query_id", F.lit(0).cast("long").alias("node")
     )
     visited = None
-    with _fast_hop_planning(qs.sparkSession):
-        for _ in range(_NSW_H):
+    # pin the hop-scope confs on EVERY session involved in the hop
+    # plans, not just the panel's: each hop DataFrame plans under its
+    # own session (a join inherits the LEFT operand's — the store/near
+    # side in serving mode), so a caller following the
+    # newSession()-per-probe co-tenancy recipe with a panel built on a
+    # sibling session would otherwise pin the flags on the wrong one
+    # (round-14 self-review). The guard depth-counts per JVM session,
+    # so duplicate wrappers of one session just nest.
+    from contextlib import ExitStack
+
+    sessions = {qs.sparkSession}
+    sessions.add(
+        (store if store is not None else nodes).sparkSession
+    )
+    sessions.add(near.sparkSession)
+    with ExitStack() as stack:
+        for sess in sessions:
+            stack.enter_context(_fast_hop_planning(sess))
+        for hop in range(_NSW_H):
             if store is None:
                 hops = frontier.join(
                     near, frontier.node == near.src
@@ -2920,15 +2945,24 @@ def nsw_beam(
                 # hop), so H hops checkpoint ~180 near-empty partitions
                 # and every downstream stage pays a task per partition
                 # (measured 29 s of executor time on the final stage at
-                # contract scale). The narrow coalesce folds the hop's
-                # scan+join+score into _NSW_SC_PARTS tasks — bounded by
-                # the candidate set (queries x B x (degree + strides)),
-                # i.e. by the SERVING BATCH, never the corpus; a much
-                # larger query panel should raise _NSW_SC_PARTS or
+                # contract scale). SERVING path: _NSW_SC_PARTS(=1)
+                # tasks, bounded by the candidate set (queries x B x
+                # (degree + strides)) — the SERVING BATCH, never the
+                # corpus; a much larger query panel should raise it or
                 # shard the panel across probe calls (the same bound
                 # that governs the broadcast probe sides above).
-                .coalesce(_NSW_SC_PARTS)
+                # IN-MEMORY path: the pre-checkpoint coalesce
+                # propagates into the hop's corpus-sized scoring join,
+                # so it keeps the round-13 width instead of
+                # serializing that join into one task.
+                .coalesce(
+                    _NSW_SC_PARTS
+                    if store is not None
+                    else _NSW_SC_PARTS_INMEM
+                )
                 .localCheckpoint(eager=False)
+            )
+            if store is not None:
                 # re-coalesce AFTER the checkpoint: under AQE a lazy
                 # checkpoint's final partitioning is undecided at
                 # checkpoint time, so the LogicalRDD reports
@@ -2938,9 +2972,13 @@ def nsw_beam(
                 # coalesce restores SinglePartition to the planner and
                 # the window/distinct exchanges (and their AQE
                 # stage-jobs) vanish from every hop (round-14 profile).
-                .coalesce(_NSW_SC_PARTS)
-            )
+                sc = sc.coalesce(_NSW_SC_PARTS)
             visited = sc if visited is None else visited.union(sc)
+            if hop == _NSW_H - 1:
+                # the last hop's frontier is never consumed — skip its
+                # derivation (and in the serving path the checkpoint's
+                # eager plan build, the very cost this shave targets)
+                break
             frontier = (
                 sc.withColumn("rn", F.row_number().over(wbeam))
                 .where(F.col("rn") <= beam)
