@@ -938,6 +938,21 @@ def probe_ann_index(
         _kmeans_rank(q, cents)
         .where(F.col("rn") <= nprobe)
         .select(F.col("vec_id").alias("query_id"), "cid")
+        # checkpoint AFTER the cell-rank window, then restate a
+        # visible selective predicate: a Window operator anywhere in
+        # a DPP filtering side makes Spark drop the pruning filter
+        # from the EXECUTED plan even though the static plan carries
+        # the subquery (the round-14 NSW finding, and exactly what
+        # the extended plan-audit sweep caught here: the executed
+        # probe read the postings whole, dynamicpruningexpression
+        # degraded to true — invisible at test scale because a
+        # 50-query panel's nprobe cells saturate K=8, ruinous at a
+        # production K). The qprobe frame is queries x nprobe rows —
+        # batch-bounded; `cid >= 0` is semantically free but gives
+        # the PartitionPruning rule the likely-selective filter it
+        # requires on a checkpoint-backed side.
+        .localCheckpoint(eager=False)
+        .where(F.col("cid") >= 0)
     )
     qnorm = q.select(
         F.col("vec_id").alias("query_id"),
@@ -958,8 +973,11 @@ def probe_ann_index(
         F.desc("cosine"), F.col("neighbor_id")
     )
     return (
-        qprobe.join(qnorm, "query_id")
-        .join(post, "cid")
+        # postings on the LEFT, query side explicitly broadcast: the
+        # checkpointed qprobe has no size stats, so without the hint
+        # Spark would plan a sort-merge join and lose both the
+        # broadcast shape and the DPP reuse path
+        post.join(F.broadcast(qprobe.join(qnorm, "query_id")), "cid")
         .select("query_id", "neighbor_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= topk)
@@ -2936,43 +2954,45 @@ def nsw_beam(
                 looked = cand.join(nodes, cand.node == nodes.node_id)
             else:
                 looked = _nsw_store_lookup(cand, store)
-            sc = (
-                looked.join(F.broadcast(qs), "query_id")
-                .select("query_id", "node", score.alias("score"))
-                # coalesce before checkpointing: the scored hop is
-                # O(queries x B x (degree + strides)) rows but inherits
-                # the store scan's partitioning (~30 pruned partitions/
-                # hop), so H hops checkpoint ~180 near-empty partitions
-                # and every downstream stage pays a task per partition
-                # (measured 29 s of executor time on the final stage at
-                # contract scale). SERVING path: _NSW_SC_PARTS(=1)
-                # tasks, bounded by the candidate set (queries x B x
-                # (degree + strides)) — the SERVING BATCH, never the
-                # corpus; a much larger query panel should raise it or
-                # shard the panel across probe calls (the same bound
-                # that governs the broadcast probe sides above).
-                # IN-MEMORY path: the pre-checkpoint coalesce
-                # propagates into the hop's corpus-sized scoring join,
-                # so it keeps the round-13 width instead of
-                # serializing that join into one task.
-                .coalesce(
-                    _NSW_SC_PARTS
-                    if store is not None
-                    else _NSW_SC_PARTS_INMEM
-                )
-                .localCheckpoint(eager=False)
+            sc = looked.join(F.broadcast(qs), "query_id").select(
+                "query_id", "node", score.alias("score")
             )
             if store is not None:
-                # re-coalesce AFTER the checkpoint: under AQE a lazy
-                # checkpoint's final partitioning is undecided at
-                # checkpoint time, so the LogicalRDD reports
-                # UnknownPartitioning even though the RDD has exactly
-                # _NSW_SC_PARTS(=1) partitions — the next hop's window
-                # then re-inserts a per-hop shuffle. The no-op narrow
-                # coalesce restores SinglePartition to the planner and
-                # the window/distinct exchanges (and their AQE
-                # stage-jobs) vanish from every hop (round-14 profile).
-                sc = sc.coalesce(_NSW_SC_PARTS)
+                # SERVING path: checkpoint EAGERLY at the scan's own
+                # (partition-pruned) width, then coalesce the cached
+                # result to one partition for the planner.
+                # - eager, natural width: the hop's scan+score work is
+                #   bounded by candidate PARTITIONS x partition size,
+                #   which grows with the corpus — a pre-checkpoint
+                #   coalesce(1) would serialize it through the first
+                #   consumer's single task (measured at 200k: the lazy
+                #   single-partition shape cost ~1 s/hop of serial
+                #   scan; contract scale hid it). Eager keeps that
+                #   pass parallel and every later consumer reads the
+                #   cached blocks.
+                # - post-checkpoint coalesce(1): the CACHED hop frame
+                #   is O(queries x B x (degree + strides)) rows — the
+                #   SERVING BATCH, never the corpus — and a
+                #   SinglePartition child satisfies the next window's
+                #   ClusteredDistribution, erasing the per-hop
+                #   row_number exchange and its AQE stage-job
+                #   (round-14 profile: the tiny-job tax was the
+                #   probe's residual cost). Without it the hop's ~30
+                #   pruned partitions leak into every downstream
+                #   stage (H hops -> ~180 near-empty partitions,
+                #   measured 29 s of executor task-launch tax at
+                #   contract scale in round 13).
+                sc = sc.localCheckpoint(eager=True).coalesce(
+                    _NSW_SC_PARTS
+                )
+            else:
+                # IN-MEMORY path (round-13 shape): lazy checkpoint at
+                # a small fixed width — the pre-checkpoint coalesce
+                # propagates into the hop's corpus-sized scoring join,
+                # so it must stay >1 to keep that join parallel.
+                sc = sc.coalesce(_NSW_SC_PARTS_INMEM).localCheckpoint(
+                    eager=False
+                )
             visited = sc if visited is None else visited.union(sc)
             if hop == _NSW_H - 1:
                 # the last hop's frontier is never consumed — skip its

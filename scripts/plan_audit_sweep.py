@@ -48,6 +48,17 @@ def main() -> int:
             "nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
             "cartesian": plan.count("CartesianProduct"),
             "sort_merge_joins": plan.count("SortMergeJoin"),
+            # runtime bloom filters: REVIEW counter, not a failure —
+            # beneficial when the creation side is small, pathological
+            # when it is the corpus (the round-14 NSW finding: a
+            # corpus-sized bloom built per hop to prefilter a <=B-row
+            # frontier, which also degraded executed DPP)
+            "runtime_bloom_filters": plan.count("might_contain"),
+            # a DPP filter that degraded to literal true in the final
+            # plan = a partitioned scan that silently reads everything
+            "dpp_degraded_to_true": plan.count(
+                "dynamicpruningexpression(true)"
+            ),
         }
         print(json.dumps(row), flush=True)
         if row["row_at_a_time_python"]:

@@ -822,9 +822,56 @@ def test_nsw_full_probe_hops_keep_dpp(spark, tmp_path):
     live = 0
     for plan in hop_plans:
         assert "dynamicpruningexpression(true)" not in plan, plan[:3000]
-        if "IN dynamicpruning#" in plan:
+        # match the open paren, not the full "IN dynamicpruning#"
+        # form: plan toString truncates long PartitionFilters lines
+        # mid-expression (seen on the IVF twin of this test)
+        if "dynamicpruningexpression(" in plan:
             live += 1
     # mid-loop (window-frontier) hops must carry live filters, not
     # merely avoid the degraded literal; slack of 1 covers hop 1,
     # whose frontier is the literal entry node
     assert live >= len(hop_plans) - 1, (live, len(hop_plans))
+
+
+def test_ivf_probe_partitions_read_runtime(spark, tmp_path):
+    """The IVF probe's scale contract MEASURED on the EXECUTED plan
+    (round-14 regression pin, the `test_nsw_full_probe_hops_keep_dpp`
+    discipline applied to the IVF stack): the extended plan-audit
+    sweep caught `probe_ann_index`'s executed scan degraded to
+    dynamicpruningexpression(true) — the cell-rank window in the
+    probe side makes Spark drop the DPP filter at execution even
+    though the static plan pin (test_ivf_probe_partition_pruned)
+    stays green, and the registered 50-query panel saturates K=8
+    cells so a partitions-read check on it is vacuous. The probe now
+    checkpoints the ranked cells before the postings join; this test
+    probes a 2-query panel (nprobe=2 -> at most 4 distinct cells) and
+    asserts the postings scan's runtime partitions-read metric."""
+    from realtime_event_streaming_spark.operators.similarity import (
+        IVF_NPROBE,
+        _vectors,
+    )
+
+    path = str(tmp_path / "ivf_runtime_dpp")
+    write_ann_index(spark, SF, path)
+    q = (
+        _vectors(spark, SF)
+        .where(F.col("vec_id") < 2)
+        .select(F.col("vec_id").alias("query_id"), "v")
+    )
+    df = probe_ann_index(spark, path, q)
+    assert df.count() > 0
+    df.collect()
+    scans = [
+        m
+        for m in _executed_file_scans(df)
+        if "numPartitions" in m and "staticFilesNum" in m
+    ]
+    assert scans, "no partitioned postings scan executed"
+    for m in scans:
+        total = m["staticFilesNum"]
+        assert total > 2 * IVF_NPROBE, (
+            "fixture regressed: K too small for a non-vacuous check",
+            m,
+        )
+        assert 0 < m["numPartitions"] <= 2 * IVF_NPROBE, m
+        assert m["numPartitions"] < total, m
