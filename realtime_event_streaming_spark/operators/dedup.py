@@ -880,7 +880,21 @@ def probe_dedup_index(
     (``exact_dup``) and whether any MinHash band collides
     (``near_dup``). Plan shape: two equi-joins from the small batch
     side into the index tables — the batch's signatures are computed
-    fresh (O(batch)), the corpus side is only read."""
+    fresh (O(batch)), the corpus side is only read.
+
+    Scale note (what the probe reads): one pass over the INDEX tables
+    (32 B + 8 band rows per corpus doc — a small fraction of corpus
+    bytes), never corpus text. For NIGHTLY-sized batches this is the
+    correct shape outright: a 10^5+-doc batch's bands hit every
+    band_hash bucket of any practical sub-partitioning (8 bands x
+    batch >> buckets), so a finer ``pmod(band_hash)`` directory layout
+    would prune nothing while multiplying small files — the index
+    read amortizes over the whole batch. Only a SMALL interactive
+    admission batch (say < buckets) would benefit from band_hash
+    sub-partitioning + DPP (the `write_nsw_index` store discipline);
+    a deployment serving that path should add the bucket column at
+    build time and derive it on the probe side — the join semantics
+    here are unchanged by that layout choice."""
     hashes = spark.read.parquet(f"{path}/content_hash").select(
         F.col("h").alias("bh")
     ).distinct()
