@@ -938,18 +938,19 @@ def probe_ann_index(
         _kmeans_rank(q, cents)
         .where(F.col("rn") <= nprobe)
         .select(F.col("vec_id").alias("query_id"), "cid")
-        # checkpoint AFTER the cell-rank window, then restate a
-        # visible selective predicate: a Window operator anywhere in
-        # a DPP filtering side makes Spark drop the pruning filter
-        # from the EXECUTED plan even though the static plan carries
-        # the subquery (the round-14 NSW finding, and exactly what
-        # the extended plan-audit sweep caught here: the executed
-        # probe read the postings whole, dynamicpruningexpression
-        # degraded to true — invisible at test scale because a
-        # 50-query panel's nprobe cells saturate K=8, ruinous at a
-        # production K). The qprobe frame is queries x nprobe rows —
-        # batch-bounded; `cid >= 0` is semantically free but gives
-        # the PartitionPruning rule the likely-selective filter it
+        # checkpoint AFTER the cell ranking, then restate a visible
+        # selective predicate: an explode-derived filtering side
+        # (here _kmeans_rank's crossJoin + posexplode — the same
+        # failure class as the NSW hops' Window shape) makes Spark
+        # drop the DPP filter from the EXECUTED plan even though the
+        # static plan carries the subquery. The extended plan-audit
+        # sweep caught exactly that here: the executed probe read the
+        # postings whole, dynamicpruningexpression degraded to true —
+        # invisible at test scale because a 50-query panel's nprobe
+        # cells saturate K=8, ruinous at a production K. The qprobe
+        # frame is queries x nprobe ID PAIRS — batch-bounded and
+        # vector-free; `cid >= 0` is semantically free but gives the
+        # PartitionPruning rule the likely-selective filter it
         # requires on a checkpoint-backed side.
         .localCheckpoint(eager=False)
         .where(F.col("cid") >= 0)
@@ -973,11 +974,18 @@ def probe_ann_index(
         F.desc("cosine"), F.col("neighbor_id")
     )
     return (
-        # postings on the LEFT, query side explicitly broadcast: the
-        # checkpointed qprobe has no size stats, so without the hint
-        # Spark would plan a sort-merge join and lose both the
-        # broadcast shape and the DPP reuse path
-        post.join(F.broadcast(qprobe.join(qnorm, "query_id")), "cid")
+        # broadcast ONLY the id-pair qprobe for the cell join: the
+        # checkpointed side has no size stats, so without the hint
+        # Spark plans a sort-merge join and loses the DPP reuse path
+        # — but the hint is safe precisely because qprobe carries two
+        # longs per (query, probed cell), never the query vectors
+        # (at 10^6 queries x nprobe 2 that is ~32 MB). The VECTOR
+        # join (qnorm) is left to the planner: for a huge admission
+        # batch it degrades gracefully to sort-merge instead of
+        # tripping the 8 GB broadcast hard limit (round-14 review —
+        # streaming corpus admission probes whole microbatches).
+        post.join(F.broadcast(qprobe), "cid")
+        .join(qnorm, "query_id")
         .select("query_id", "neighbor_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= topk)
@@ -2859,7 +2867,22 @@ def nsw_beam(
     pinned by test_nsw_full_probe_hops_keep_dpp). This is the
     serving-path answer to the residual 100x-scale cost (the
     in-memory checkpoints below are the self-contained-plan answer
-    and cap at executor memory)."""
+    and cap at executor memory; their pre-checkpoint coalesce caps
+    each hop's corpus-wide scoring join at _NSW_SC_PARTS_INMEM tasks
+    — acceptable for the bounded correctness form, and the serving
+    path is the one that scales).
+
+    Laziness caveat: CONSTRUCTING the serving-path DataFrame stages
+    and executes the hop chain (the per-hop checkpoints are eager so
+    each hop's partition-pruned scan runs at its own parallel width
+    rather than serialized through its first consumer); only the
+    final top-k aggregation stays lazy. This is a difference in
+    degree, not kind, from the lazy-checkpoint form it replaced —
+    under AQE even eager=False checkpoint plan-building executes
+    every stage but the last — and it also means the
+    _fast_hop_planning conf pin spans hop execution, not just
+    planning: co-tenant callers use the newSession() recipe in the
+    README."""
     if store is None and vecs is None:
         raise ValueError(
             "nsw_beam needs a scoring side: pass vecs (in-memory path) "
