@@ -3353,6 +3353,305 @@ graph_beam_recall_curve.__doc__ = """The beam-width (efSearch) half of the graph
 
 
 # ---------------------------------------------------------------------------
+# sharded NSW: per-shard graphs + global top-k merge (the distributed
+# ANN shape — what a 10^9-vector deployment runs instead of one flat
+# graph; PERF.md "NSW beam rule at 100x" measured flat NSW's recall
+# collapsing past ~10x corpus growth and prescribed exactly this)
+# ---------------------------------------------------------------------------
+
+#: shard count for the sharded-search fixture. ``shard = vec_id % S``:
+#: a shard's ids form an arithmetic progression, so the intra-shard
+#: long-link strides are +/- S*2^j (adding a multiple of S preserves
+#: vec_id % S — every arithmetic candidate stays in its own shard),
+#: near links are built within (LSH bucket x shard) so stored edges
+#: are intra-shard by construction, and the per-shard visited sets
+#: are therefore DISJOINT: the merge is a plain top-k window, no
+#: cross-shard dedup needed. Shard s's entry node is vec_id = s
+#: (dense ids guarantee it exists).
+_NSW_SHARDS = 4
+#: per-shard beam width: the flat contract width split evenly across
+#: shards, so the sharded search spends the SAME total evaluation
+#: budget (S x B_s = _NSW_B) as `graph_ann_beam` — recall
+#: comparisons between the two forms are budget-fair.
+_NSW_SHARD_B = _NSW_B // _NSW_SHARDS
+
+#: intra-shard strides, both signs (S x the flat stride set)
+_NSW_SHARD_STEP_VALUES_SIGNED = ", ".join(
+    f"({s * _NSW_SHARDS})"
+    for s in (*_NSW_STEPS, *(-s for s in _NSW_STEPS))
+)
+
+
+def _nsw_sharded_duck() -> str:
+    """DuckDB CTE block for the sharded search: per-shard edge table,
+    query panel, and the H unrolled hops keyed by (query_id, shard) —
+    `_nsw_hops_duck_for`'s shape with the window key widened to the
+    shard and the strides scaled by S. Every hop CTE MATERIALIZED for
+    the same anti-exponential reason as the flat form."""
+    parts = [
+        f"""{_DUCK_VECTORS},
+sedges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY list_dot_product(a.v, b.v) / (a.norm * b.norm) DESC,
+                      b.vec_id) AS rn
+    FROM vecs a JOIN vecs b
+      ON a.bucket = b.bucket
+     AND a.vec_id % {_NSW_SHARDS} = b.vec_id % {_NSW_SHARDS}
+     AND a.vec_id <> b.vec_id)
+  WHERE rn <= {_NSW_M}
+),
+qs AS MATERIALIZED (
+  SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+  FROM vecs WHERE vec_id < {N_QUERIES}
+),
+sfrontier0 AS (
+  SELECT q.query_id, s.shard, CAST(s.shard AS BIGINT) AS node
+  FROM qs q, range({_NSW_SHARDS}) s(shard))"""
+    ]
+    for h in range(1, _NSW_H + 1):
+        prev = f"sfrontier{h - 1}"
+        parts.append(f""",
+scand{h} AS MATERIALIZED (
+  SELECT DISTINCT query_id, shard, node FROM (
+    SELECT f.query_id, f.shard, e.dst AS node
+    FROM {prev} f JOIN sedges e ON e.src = f.node
+    UNION ALL
+    SELECT f.query_id, f.shard, f.node + t.s
+    FROM {prev} f, (VALUES {_NSW_SHARD_STEP_VALUES_SIGNED}) AS t(s)
+    UNION ALL SELECT query_id, shard, node FROM {prev})
+),
+ssc{h} AS MATERIALIZED (
+  SELECT c.query_id, c.shard, c.node,
+         round(list_dot_product(q.qv, x.v) / (q.qnorm * x.norm), 4) AS score
+  FROM scand{h} c
+  JOIN vecs x ON x.vec_id = c.node
+  JOIN qs q ON q.query_id = c.query_id
+),
+sfrontier{h} AS MATERIALIZED (
+  SELECT query_id, shard, node FROM (
+    SELECT query_id, shard, node,
+           row_number() OVER (PARTITION BY query_id, shard
+                              ORDER BY score DESC, node) AS rn
+    FROM ssc{h})
+  WHERE rn <= {_NSW_SHARD_B}
+)""")
+    return "".join(parts)
+
+
+_GRAPH_ANN_SHARDED_DUCK = f"""
+WITH {_nsw_sharded_duck()},
+svisited AS MATERIALIZED (
+  SELECT DISTINCT query_id, node, score FROM (
+    {" UNION ALL ".join(
+        f"SELECT query_id, node, score FROM ssc{h}"
+        for h in range(1, _NSW_H + 1)
+    )})),
+beam AS (
+  SELECT query_id, node AS neighbor_id, score AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, node) AS rank
+  FROM svisited WHERE node <> query_id)
+SELECT query_id, rank, neighbor_id, cosine
+FROM beam WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
+def nsw_sharded_near_links(vecs: DataFrame) -> DataFrame:
+    """Per-shard NSW near links: top-M cosine neighbors within each
+    node's (LSH bucket x shard) block — `nsw_near_links` with the
+    candidate join additionally blocked on ``vec_id % S``, so every
+    stored edge is intra-shard by construction and the S graphs can
+    be built in ONE bucketed self-join (no per-shard driver loop; at
+    production scale each shard's build is also independently
+    schedulable). ``vecs`` must carry (vec_id, v, norm, bucket)."""
+    a = vecs.select(
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("av"),
+        F.col("norm").alias("an"),
+        "bucket",
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("bv"),
+        F.col("norm").alias("bn"),
+        F.col("bucket").alias("bbucket"),
+    )
+    ncos = F.expr(_DOT.format(a="av", b="bv")) / (F.col("an") * F.col("bn"))
+    wnear = Window.partitionBy("src").orderBy(F.desc("ncos"), F.col("dst"))
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bbucket"))
+            & (
+                F.pmod(F.col("src"), F.lit(_NSW_SHARDS))
+                == F.pmod(F.col("dst"), F.lit(_NSW_SHARDS))
+            )
+            & (F.col("src") != F.col("dst")),
+        )
+        .select("src", "dst", ncos.alias("ncos"))
+        .withColumn("rn", F.row_number().over(wnear))
+        .where(F.col("rn") <= _NSW_M)
+        .select("src", "dst")
+    )
+
+
+def nsw_sharded_beam(
+    qs: DataFrame,
+    vecs: DataFrame,
+    near: DataFrame,
+    n_shards: int = _NSW_SHARDS,
+    beam_width: int = _NSW_SHARD_B,
+) -> DataFrame:
+    """Greedy beam search over S per-shard NSW graphs in ONE hop loop:
+    the frontier carries a ``shard`` column, hop h's top-B_s window is
+    keyed by (query_id, shard), strides are S-scaled (intra-shard by
+    arithmetic), and the stored edges are intra-shard by construction
+    — so all S searches advance in the SAME H jobs, not S sequential
+    hop loops (the per-hop driver cost that dominates the flat serving
+    probe is paid once regardless of S). Returns every (query_id,
+    shard, node, score) any shard's beam evaluated.
+
+    This is the distributed shape `nsw_beam`'s 100x measurements
+    point at (PERF.md: flat recall 0.644 at 200k even at rule width —
+    hop count from one entry node outgrows H; HNSW fixes it with
+    layers, distributed deployments fix it by sharding): per-shard
+    corpora stay inside the beam rule's validated ~10x envelope, each
+    shard keeps its own close entry point, and the merge is a
+    serving-batch-bounded top-k. The in-memory form here is the
+    correctness fixture; a materialized serving twin stores each
+    shard's near links/vectors exactly like `write_nsw_index` (the
+    shard id prepends the partition key) and probes them with the
+    same DPP discipline."""
+    qs = qs.localCheckpoint(eager=False)
+    # one global scoring table: a candidate join on vec_id is already
+    # shard-correct (candidates are intra-shard by construction), and
+    # one checkpointed table beats S per-shard copies
+    nodes = vecs.select(
+        F.col("vec_id").alias("node_id"),
+        F.col("v").alias("nv"),
+        F.col("norm").alias("nn"),
+    ).localCheckpoint(eager=False)
+    score = F.round(
+        F.expr(_DOT.format(a="qv", b="nv")) / (F.col("qnorm") * F.col("nn")),
+        4,
+    )
+    wbeam = Window.partitionBy("query_id", "shard").orderBy(
+        F.desc("score"), F.col("node")
+    )
+    strides = F.explode(
+        F.array(
+            *[F.lit(s * n_shards) for s in _NSW_STEPS],
+            *[F.lit(-s * n_shards) for s in _NSW_STEPS],
+        )
+    ).alias("s")
+    shards = qs.sparkSession.range(n_shards).select(
+        F.col("id").cast("int").alias("shard")
+    )
+    frontier = qs.select("query_id").crossJoin(F.broadcast(shards)).select(
+        "query_id", "shard", F.col("shard").cast("long").alias("node")
+    )
+    visited = None
+    from contextlib import ExitStack
+
+    sessions = {qs.sparkSession, nodes.sparkSession, near.sparkSession}
+    with ExitStack() as stack:
+        for sess in sessions:
+            stack.enter_context(_fast_hop_planning(sess))
+        for hop in range(_NSW_H):
+            hops = frontier.join(near, frontier.node == near.src).select(
+                "query_id", "shard", F.col("dst").alias("node")
+            )
+            longc = frontier.select("query_id", "shard", "node", strides).select(
+                "query_id", "shard", (F.col("node") + F.col("s")).alias("node")
+            )
+            cand = (
+                hops.union(longc)
+                .union(frontier.select("query_id", "shard", "node"))
+                .distinct()
+            )
+            sc = (
+                cand.join(nodes, cand.node == nodes.node_id)
+                .join(F.broadcast(qs), "query_id")
+                .select("query_id", "shard", "node", score.alias("score"))
+            )
+            # same lineage-chain discipline as the flat in-memory path:
+            # lazy checkpoint at a small width >1 so the corpus-sized
+            # scoring join stays parallel
+            sc = sc.coalesce(_NSW_SC_PARTS_INMEM).localCheckpoint(
+                eager=False
+            )
+            visited = sc if visited is None else visited.union(sc)
+            if hop == _NSW_H - 1:
+                break
+            frontier = (
+                sc.withColumn("rn", F.row_number().over(wbeam))
+                .where(F.col("rn") <= beam_width)
+                .select("query_id", "shard", "node")
+            )
+    return visited.distinct()
+
+
+@register(
+    "graph_ann_sharded",
+    _GRAPH_ANN_SHARDED_DUCK,
+    tags=("similarity", "retrieval"),
+)
+def graph_ann_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors(spark, sf_dir)
+    near = nsw_sharded_near_links(vecs).localCheckpoint(eager=False)
+    qs = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    visited = nsw_sharded_beam(qs, vecs, near)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("node"))
+    return (
+        visited.where(F.col("node") != F.col("query_id"))
+        .select("query_id", "node", "score")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            "rank",
+            F.col("node").alias("neighbor_id"),
+            F.col("score").alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )
+graph_ann_sharded.__doc__ = """SHARDED graph ANN — the distributed-deployment form of
+    `graph_ann_beam`: the corpus is hash-sharded ({s} shards,
+    shard = vec_id % {s}), each shard gets its OWN NSW graph (top-{m}
+    cosine links within (LSH bucket x shard); long links +/- {s}*2^j,
+    intra-shard by arithmetic) and its own entry node (vec_id = s),
+    every shard is searched with a {h}-hop width-{bs} beam — all
+    shards advancing in ONE hop loop keyed by (query_id, shard) — and
+    per-shard results merge by a global top-{k} window. The total
+    evaluation budget ({s} x {bs} = {b}) equals the flat contract
+    search, so the two forms are budget-comparable.
+
+    Why it exists (PERF.md "NSW beam rule at 100x"): a FLAT NSW's
+    recall collapses past ~10x corpus growth from its tuning point —
+    hop count from one fixed entry node outgrows H, and even rule
+    width B=1014 recovered only 0.644 at 200k vectors. Sharding is
+    the standard production answer at 10^9 vectors: per-shard corpora
+    stay inside `nsw_beam_width_for`'s validated envelope, each shard
+    keeps a close entry point, and searches parallelize perfectly
+    (shard-local graphs, no cross-shard edges, disjoint visited sets
+    — the merge needs no dedup). At 100 TB each shard's graph builds,
+    maintains (`merge_nsw_index`), and serves independently; the
+    scatter-gather is queries x {s} x {bs} rows — serving-batch
+    bounded. Malkov et al. (NSW) for the graph; the shard-and-merge
+    composition is the FAISS/Vespa/Milvus deployment shape.""".format(
+    s=_NSW_SHARDS, m=_NSW_M, h=_NSW_H, bs=_NSW_SHARD_B, b=_NSW_B, k=TOPK
+)
+
+
+# ---------------------------------------------------------------------------
 # NSW index lifecycle: write / merge (bulk insertion) / probe
 # ---------------------------------------------------------------------------
 

@@ -99,16 +99,21 @@ def register(
 #: (their proof is cumulative across rounds, and every one of them
 #: remains oracle-gated locally by tests/test_oracle_parity.py, which
 #: checks the FULL registry at every run).
-#: Round-14 rotation (standing stalest-first rule; all 244 queries
-#: are ever-green as of round 12, so the window is pure freshness
-#: maintenance): (a) the FULL round-8 remainder — the 44 queries
-#: whose last green row is round 8, in name order from
-#: `dedup_exact_groups` (the first 6 of that cohort rowed in round
-#: 13); then (b) the first 6 of the round-9 cohort in name order.
-#: The round-9 remainder (from `bpe_decode_roundtrip`) queues for
-#: round 15. Every yielded query remains locally oracle-gated by
-#: tests/test_oracle_parity.py on the FULL registry at every run.
+#: Round-14 rotation (standing stalest-first rule; all 244 carried
+#: queries are ever-green as of round 12, so the carried window is
+#: pure freshness maintenance): (0) `graph_ann_sharded`, NEW this
+#: round (never-rowed queries lead, per the ordering policy above);
+#: then (a) the FULL round-8 remainder — the 44 queries whose last
+#: green row is round 8, in name order from `dedup_exact_groups`
+#: (the first 6 of that cohort rowed in round 13); then (b) the
+#: first 5 of the round-9 cohort in name order (`bloom_prefilter_join`
+#: yielded its top-up slot to the new query). The round-9 remainder
+#: (from `bloom_prefilter_join`) queues for round 15. Every yielded
+#: query remains locally oracle-gated by tests/test_oracle_parity.py
+#: on the FULL registry at every run.
 DRIVER_QUERIES: tuple[str, ...] = (
+    # -- (0) new this round, never driver-rowed
+    "graph_ann_sharded",
     # -- (a) the full round-8 remainder (stalest cohort), name order
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
@@ -154,13 +159,12 @@ DRIVER_QUERIES: tuple[str, ...] = (
     "user_sessions",
     "view_purchase_conversions",
     "weekly_retention_cohorts",
-    # -- (b) round-9 cohort, first 6 in name order
+    # -- (b) round-9 cohort, first 5 in name order
     "ann_ivf_kmeans_topk",
     "ann_lsh_multiprobe",
     "anomaly_zscore_batch",
     "audience_overlap_minhash",
     "benford_by_source",
-    "bloom_prefilter_join",
 )
 
 
