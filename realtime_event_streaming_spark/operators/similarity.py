@@ -3642,11 +3642,20 @@ graph_ann_sharded.__doc__ = """SHARDED graph ANN — the distributed-deployment 
     stay inside `nsw_beam_width_for`'s validated envelope, each shard
     keeps a close entry point, and searches parallelize perfectly
     (shard-local graphs, no cross-shard edges, disjoint visited sets
-    — the merge needs no dedup). At 100 TB each shard's graph builds,
-    maintains (`merge_nsw_index`), and serves independently; the
-    scatter-gather is queries x {s} x {bs} rows — serving-batch
-    bounded. Malkov et al. (NSW) for the graph; the shard-and-merge
-    composition is the FAISS/Vespa/Milvus deployment shape.""".format(
+    — the merge needs no dedup). MEASURED at 200k clustered vectors
+    (8 x 25k production indexes, scripts/nsw_clustered_recall.py
+    sharded mode, PERF.md round 14): budget-fair split of the flat
+    rule width reads 0.618 (~ flat's 0.644); the rule applied PER
+    SHARD (the deployment's actual sizing) reads 0.786 — above every
+    measured flat arm including the densified M=24 one (0.708).
+    Inside the envelope the split costs recall at equal budget
+    (0.70 vs 0.84 flat at sf0.1's 2000 vectors) — sharding is the
+    BEYOND-envelope lever, not a free win. At 100 TB each shard's
+    graph builds, maintains (`merge_nsw_index`), and serves
+    independently; the scatter-gather is queries x {s} x {bs} rows —
+    serving-batch bounded. Malkov et al. (NSW) for the graph; the
+    shard-and-merge composition is the FAISS/Vespa/Milvus deployment
+    shape.""".format(
     s=_NSW_SHARDS, m=_NSW_M, h=_NSW_H, bs=_NSW_SHARD_B, b=_NSW_B, k=TOPK
 )
 

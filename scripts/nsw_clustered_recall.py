@@ -82,6 +82,23 @@ CLUSTERED_DIR = os.environ.get(
     "NSW_CLUSTERED_DIR", f"/tmp/rtes_nsw_clustered_{N_VECS}"
 )
 
+#: >0 switches to SHARDED mode (round 14): the corpus splits into S
+#: per-shard fixtures with dense LOCAL ids (local = vec_id // S for
+#: vec_id % S == s — so each shard's entry node, strides and bucket
+#: self-scaling work unchanged), each shard gets its OWN materialized
+#: index via the production `write_nsw_index`, every query probes
+#: every shard (scatter-gather), and per-shard top-k merge by
+#: (cosine, global id). This measures the `graph_ann_sharded`
+#: deployment shape at the scale where the FLAT graph's recall was
+#: measured collapsing (200k: 0.644 even at rule width B=1014).
+N_SHARDS = int(os.environ.get("NSW_CLUSTERED_SHARDS", "0"))
+
+#: probe query_ids are shifted out of the local-id range so the
+#: probe's `node != query_id` self-exclusion can never alias a
+#: shard-local node id (the real self-hit is dropped post-merge on
+#: GLOBAL ids)
+_Q_SHIFT = 1_000_000_000
+
 
 def synth_clustered(out_dir: str) -> str:
     """Deterministic clustered embeddings in the testdata schema
@@ -179,11 +196,130 @@ def exact_topk(sf_dir: str) -> dict[int, set[int]]:
     return truth
 
 
+def synth_shard_dirs(sf_dir: str, out_root: str, s_count: int) -> list[str]:
+    """Split the clustered fixture into S per-shard dirs with dense
+    local ids. Premise check, sharded form: two locals in shard s are
+    same-cluster iff they are congruent mod N_CLUSTERS/gcd(S,
+    N_CLUSTERS), so a local stride 2^j shortcuts within-cluster iff
+    that period divides it — reject knob combinations where it does
+    (and S sharing all of N_CLUSTERS' structure, period <= 1)."""
+    import math
+
+    from realtime_event_streaming_spark.operators.similarity import (
+        _NSW_STEPS,
+    )
+
+    period = N_CLUSTERS // math.gcd(s_count, N_CLUSTERS)
+    if period <= 1 or any(st % period == 0 for st in _NSW_STEPS):
+        raise ValueError(
+            f"shard count {s_count} breaks the fixture premise: the "
+            f"within-shard cluster period is {period} and a local "
+            "long-link stride can shortcut within-cluster"
+        )
+    con = duckdb.connect()
+    dirs = []
+    for s in range(s_count):
+        d = os.path.join(out_root, f"shard{s}")
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, "embeddings.parquet")
+        if not os.path.exists(p):
+            con.sql(
+                f"COPY (SELECT vec_id // {s_count} AS vec_id, embedding,"
+                f" label FROM read_parquet('{sf_dir}/embeddings.parquet')"
+                f" WHERE vec_id % {s_count} = {s} ORDER BY vec_id)"
+                f" TO '{p}' (FORMAT PARQUET)"
+            )
+        dirs.append(d)
+    return dirs
+
+
+def run_sharded(spark, sf_dir: str, truth: dict[int, set[int]]) -> None:
+    """S per-shard production indexes, scatter-gather probe, global
+    top-k merge — recall + wall per beam width. Beam arms: the
+    contract width (cheap reference), the FLAT rule width split
+    budget-fairly across shards (same total evaluation budget as the
+    recorded flat-graph 100x measurement), and the rule applied
+    PER SHARD (each shard inside the rule's validated ~10x envelope —
+    the deployment's actual sizing)."""
+    import time
+
+    from realtime_event_streaming_spark.operators import similarity
+    from realtime_event_streaming_spark.operators.similarity import (
+        _vectors,
+    )
+
+    if M_OVERRIDE is not None:
+        similarity._NSW_M = M_OVERRIDE
+
+    shard_root = f"{CLUSTERED_DIR}_shards{N_SHARDS}"
+    dirs = synth_shard_dirs(sf_dir, shard_root, N_SHARDS)
+    vecs = _vectors(spark, sf_dir)
+    qs = vecs.where(F.col("vec_id") < N_Q).select(
+        (F.col("vec_id") + _Q_SHIFT).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    flat_rule = nsw_beam_width_for(N_VECS)
+    shard_rule = nsw_beam_width_for(N_VECS // N_SHARDS)
+    beams = BEAMS_OVERRIDE or sorted(
+        {64, max(1, flat_rule // N_SHARDS), shard_rule}
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.perf_counter()
+        idxs = []
+        for s, d in enumerate(dirs):
+            idx = os.path.join(tmp, f"nsw{s}")
+            write_nsw_index(spark, d, idx)
+            idxs.append(idx)
+        build_sec = round(time.perf_counter() - t0, 1)
+        recalls: dict[str, float] = {}
+        walls: dict[str, float] = {}
+        for b in beams:
+            got: dict[int, list[tuple[float, int]]] = {}
+            t0 = time.perf_counter()
+            for s, idx in enumerate(idxs):
+                for r in probe_nsw_index(
+                    spark, idx, None, qs, beam_width=b
+                ).collect():
+                    q = r.query_id - _Q_SHIFT
+                    g = r.neighbor_id * N_SHARDS + s
+                    if g == q:
+                        continue
+                    got.setdefault(q, []).append((-r.cosine, g))
+            walls[str(b)] = round(time.perf_counter() - t0, 1)
+            rec = 0.0
+            for q in truth:
+                top = {g for _, g in sorted(got.get(q, []))[:TOPK]}
+                rec += len(top & truth[q]) / TOPK
+            recalls[str(b)] = round(rec / len(truth), 3)
+    print(
+        json.dumps(
+            {
+                "fixture": "clustered-sharded",
+                "n_vecs": N_VECS,
+                "n_clusters": N_CLUSTERS,
+                "n_shards": N_SHARDS,
+                "per_shard_n": N_VECS // N_SHARDS,
+                "M": similarity._NSW_M,
+                "flat_rule_B": flat_rule,
+                "per_shard_rule_B": shard_rule,
+                "build_sec_all_shards": build_sec,
+                "recall_at_5": recalls,
+                "probe_wall_sec": walls,
+                "flat_200k_ruleB_reference": 0.644,
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = synth_clustered(CLUSTERED_DIR)
     spark = get_spark("nsw-clustered-recall")
     spark.sparkContext.setLogLevel("ERROR")
     truth = exact_topk(sf_dir)
+    if N_SHARDS > 0:
+        run_sharded(spark, sf_dir, truth)
+        return
     from realtime_event_streaming_spark.operators import similarity
     from realtime_event_streaming_spark.operators.similarity import _vectors
 
