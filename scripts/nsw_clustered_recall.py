@@ -216,6 +216,23 @@ def synth_shard_dirs(sf_dir: str, out_root: str, s_count: int) -> list[str]:
             f"within-shard cluster period is {period} and a local "
             "long-link stride can shortcut within-cluster"
         )
+    # shard splits inherit the BASE fixture's param stamp (+ shard
+    # count): a base regenerated under different knobs must not be
+    # silently merged against stale shard files — the same
+    # wrong-numbers-no-warning class the base stamp guards against
+    with open(os.path.join(sf_dir, "params.json")) as fh:
+        params = json.load(fh)
+    params["n_shards"] = s_count
+    stamp = os.path.join(out_root, "params.json")
+    fresh = False
+    if os.path.isdir(out_root) and os.path.exists(stamp):
+        with open(stamp) as fh:
+            fresh = json.load(fh) == params
+    if not fresh and os.path.isdir(out_root):
+        import shutil
+
+        shutil.rmtree(out_root)
+    os.makedirs(out_root, exist_ok=True)
     con = duckdb.connect()
     dirs = []
     for s in range(s_count):
@@ -230,6 +247,8 @@ def synth_shard_dirs(sf_dir: str, out_root: str, s_count: int) -> list[str]:
                 f" TO '{p}' (FORMAT PARQUET)"
             )
         dirs.append(d)
+    with open(stamp, "w") as fh:
+        json.dump(params, fh)
     return dirs
 
 
