@@ -99,6 +99,15 @@ N_SHARDS = int(os.environ.get("NSW_CLUSTERED_SHARDS", "0"))
 #: GLOBAL ids)
 _Q_SHIFT = 1_000_000_000
 
+#: 1 = probe all shards CONCURRENTLY (one thread per shard on the one
+#: SparkSession — Spark schedules concurrent jobs; the hop-planning
+#: conf guard depth-counts per JVM session under a lock, so
+#: overlapping probes nest instead of clobbering). Measures the
+#: scatter-gather parallelism claim instead of asserting it: the
+#: sequential mode's probe wall is S x per-probe; concurrent should
+#: approach max(per-probe) + scheduler contention.
+CONCURRENT = os.environ.get("NSW_CLUSTERED_CONCURRENT") == "1"
+
 
 def synth_clustered(out_dir: str) -> str:
     """Deterministic clustered embeddings in the testdata schema
@@ -295,11 +304,25 @@ def run_sharded(spark, sf_dir: str, truth: dict[int, set[int]]) -> None:
         walls: dict[str, float] = {}
         for b in beams:
             got: dict[int, list[tuple[float, int]]] = {}
-            t0 = time.perf_counter()
-            for s, idx in enumerate(idxs):
-                for r in probe_nsw_index(
+
+            def _probe_one(s_idx):
+                s, idx = s_idx
+                return s, probe_nsw_index(
                     spark, idx, None, qs, beam_width=b
-                ).collect():
+                ).collect()
+
+            t0 = time.perf_counter()
+            if CONCURRENT:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=N_SHARDS) as ex:
+                    shard_rows = list(
+                        ex.map(_probe_one, enumerate(idxs))
+                    )
+            else:
+                shard_rows = [_probe_one(si) for si in enumerate(idxs)]
+            for s, rows in shard_rows:
+                for r in rows:
                     q = r.query_id - _Q_SHIFT
                     g = r.neighbor_id * N_SHARDS + s
                     if g == q:
@@ -315,6 +338,7 @@ def run_sharded(spark, sf_dir: str, truth: dict[int, set[int]]) -> None:
         json.dumps(
             {
                 "fixture": "clustered-sharded",
+                "concurrent_probes": CONCURRENT,
                 "n_vecs": N_VECS,
                 "n_clusters": N_CLUSTERS,
                 "n_shards": N_SHARDS,
