@@ -1057,11 +1057,17 @@ def update_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..operators.similarity import (  # noqa: E402
     _DUCK_VECTORS,
+    _GRAPH_ANN_SHARDED_DUCK,
     _nsw_hops_duck_for,
     _nsw_visited_duck_for,
+    _NSW_H,
     _NSW_M,
+    _NSW_SHARD_B,
+    _NSW_SHARDS,
     _vectors,
     LSH_BITS,
+    probe_nsw_sharded_index,
+    write_nsw_sharded_index,
     merge_nsw_index,
     probe_nsw_index,
     write_nsw_index,
@@ -1343,3 +1349,70 @@ graph_ann_serve.__doc__ = """The graph-ANN SERVING read — `pq_rerank_serve`'s 
     ~equal recall) OR densify the stored graph once at build time
     (M=24/B=128 matches M=8/B=192 — pay in the index, not per query).
     Full sweep: PERF.md "NSW recall vs corpus growth"."""
+
+
+# ---------------------------------------------------------------------------
+# Sharded NSW serving probe: graph_ann_sharded's materialized twin
+# ---------------------------------------------------------------------------
+
+
+def _build_nsw_sharded_base(spark: SparkSession, sf_dir: str, path: str) -> None:
+    # bits pinned at the contract-scale value for the same
+    # oracle-bucket reason as _build_nsw_base
+    write_nsw_sharded_index(spark, sf_dir, f"{path}/base", bucket_bits=LSH_BITS)
+
+
+@register(
+    "graph_ann_sharded_serve",
+    # the serving probe reads a materialization of EXACTLY the graph
+    # `graph_ann_sharded` trains inline and runs the same search, so
+    # the oracle is the same single statement (per-shard build + the
+    # (query_id, shard)-keyed hops + global top-k, all restated
+    # inline) — reused, not re-derived
+    _GRAPH_ANN_SHARDED_DUCK,
+    headline=True,
+    tags=("similarity", "retrieval"),
+)
+def graph_ann_sharded_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _index_path(spark, sf_dir, "nsw_sharded_base", _build_nsw_sharded_base)
+    vecs = _vectors(spark, sf_dir)
+    qs = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    return probe_nsw_sharded_index(spark, f"{path}/base", qs).orderBy(
+        "query_id", "rank"
+    )
+graph_ann_sharded_serve.__doc__ = """The SHARDED graph-ANN serving read — `graph_ann_serve`'s
+    discipline applied to `graph_ann_sharded`'s deployment form: the
+    query panel scatter-gathers across {s} per-shard NSW stores
+    materialized once per process per SF by `write_nsw_sharded_index`
+    (shard id PREPENDED to the partition key: {{path}}/near and
+    {{path}}/vecs both partitioned by (shard, pt)), all shards
+    advancing in ONE {h}-hop loop keyed by (query_id, shard) with
+    per-shard width {bs} ({s} x {bs} = the flat contract budget), and
+    per-shard top-k merging by one global window (disjoint shards —
+    no cross-shard dedup). Zero graph construction in the query plan;
+    each hop's edge AND vector lookups are broadcast probes carrying
+    BOTH partition keys, so the executed scans keep live
+    dynamic-partition-pruning filters and read only the (shard, pt)
+    leaves the frontier/candidates land in (the round-14
+    Window-kills-DPP discipline, pinned by
+    test_nsw_sharded_probe_hops_keep_dpp). Same result as
+    `graph_ann_sharded` (whose plan trains the {s} graphs inline —
+    the self-contained correctness form); the oracle restates
+    per-shard build + search in one statement.
+
+    Why this exists at 100 TB / 10^9 vectors: the flat serving path's
+    recall collapses past ~10x corpus growth (PERF.md "NSW beam rule
+    at 100x" — even rule width B=1014 recovered only 0.644 at 200k);
+    sharding keeps each shard inside the beam rule's validated
+    envelope (measured 0.786 at 200k with the per-shard rule,
+    `probe_nsw_sharded_index(beam_width="per-shard-rule")`) and each
+    shard's subtree is a flat `write_nsw_index` layout for its
+    residue class, so per-shard builds, merges and probes schedule
+    independently — the FAISS/Vespa/Milvus scatter-gather shape with
+    the merge bounded by the serving batch.""".format(
+    s=_NSW_SHARDS, h=_NSW_H, bs=_NSW_SHARD_B
+)

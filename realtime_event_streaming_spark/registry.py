@@ -99,72 +99,73 @@ def register(
 #: (their proof is cumulative across rounds, and every one of them
 #: remains oracle-gated locally by tests/test_oracle_parity.py, which
 #: checks the FULL registry at every run).
-#: Round-14 rotation (standing stalest-first rule; all 244 carried
-#: queries are ever-green as of round 12, so the carried window is
-#: pure freshness maintenance): (0) `graph_ann_sharded`, NEW this
-#: round (never-rowed queries lead, per the ordering policy above);
-#: then (a) the FULL round-8 remainder — the 44 queries whose last
-#: green row is round 8, in name order from `dedup_exact_groups`
-#: (the first 6 of that cohort rowed in round 13); then (b) the
-#: first 5 of the round-9 cohort in name order (`bloom_prefilter_join`
-#: yielded its top-up slot to the new query). The round-9 remainder
-#: (from `bloom_prefilter_join`) queues for round 15. Every yielded
-#: query remains locally oracle-gated by tests/test_oracle_parity.py
-#: on the FULL registry at every run.
+#: Round-15 rotation (standing stalest-first rule; all 245 carried
+#: queries are ever-green as of round 14, so the carried window is
+#: pure freshness maintenance): (0) `graph_ann_sharded_serve`, NEW
+#: this round (never-rowed queries lead, per the ordering policy
+#: above — the materialized sharded-NSW serving twin); then (a) the
+#: FULL round-9 remainder — the 45 queries whose last green row is
+#: round 9, in name order from `bloom_prefilter_join`; then (b) the
+#: first 4 of the round-11 cohort in name order (`ann_recall_eval`
+#: through `blocklist_phrase_census`; `bm25_rm3_topk` yielded its
+#: top-up slot to the new query). The round-11 remainder (from
+#: `bm25_rm3_topk`) queues for round 16. Every yielded query remains
+#: locally oracle-gated by tests/test_oracle_parity.py on the FULL
+#: registry at every run.
 DRIVER_QUERIES: tuple[str, ...] = (
     # -- (0) new this round, never driver-rowed
-    "graph_ann_sharded",
-    # -- (a) the full round-8 remainder (stalest cohort), name order
-    "dedup_exact_groups",
-    "dedup_ngram_jaccard",
-    "dedup_survivors_cc",
-    "doc_chunks",
-    "embedding_space_audit",
-    "geo_breakdown",
-    "jl_projection_distortion",
-    "join_size_estimate",
-    "k_anonymity_census",
-    "kmeans_centroids",
-    "lang_id_markers",
-    "latency_stats",
-    "matryoshka_recall_eval",
-    "mmr_diverse_topk",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "ndcg_rank_eval",
-    "page_pair_lift",
-    "pagerank_pages",
-    "pipeline_health",
-    "pretraining_mix_manifest",
-    "pricing_summary",
-    "quality_classifier_apply",
-    "quality_score_auc",
-    "range_join_windows",
-    "reagg_sketch_hourly",
-    "regional_supplier_volume",
-    "rollup_parts_replay",
-    "segment_top_orders",
-    "sequence_pack",
-    "simhash_docs",
-    "simhash_near_pairs",
-    "source_mix_weights",
-    "stratified_sample_counts",
-    "tfidf_top_terms",
-    "throughput_per_minute",
-    "token_pmi_topk",
-    "token_stats",
-    "top_types_per_country",
-    "training_corpus_pipeline",
-    "update_rollup_incremental",
-    "user_sessions",
-    "view_purchase_conversions",
-    "weekly_retention_cohorts",
-    # -- (b) round-9 cohort, first 5 in name order
-    "ann_ivf_kmeans_topk",
-    "ann_lsh_multiprobe",
-    "anomaly_zscore_batch",
-    "audience_overlap_minhash",
-    "benford_by_source",
+    "graph_ann_sharded_serve",
+    # -- (a) the full round-9 remainder (stalest cohort), name order
+    "bloom_prefilter_join",
+    "bpe_decode_roundtrip",
+    "bpe_merge_steps",
+    "brackets_revenue",
+    "cluster_source_mix",
+    "cms_heavy_hitters",
+    "concurrent_session_peaks",
+    "contrastive_triplets",
+    "corpus_snapshot_diff",
+    "covisit_triangle_census",
+    "customer_order_distribution",
+    "dedup_incremental_minhash",
+    "dedup_minhash_lsh",
+    "dedup_rate_by_source",
+    "doc_length_quantiles",
+    "embedding_norm_stats",
+    "funnel_time_to_convert",
+    "generation_provenance",
+    "hll_overlap_estimate",
+    "html_strip_roundtrip",
+    "important_parts_by_value",
+    "ivf_nprobe_recall_curve",
+    "jl_ann_recall",
+    "join_skew_diagnostics",
+    "ks_length_drift",
+    "large_volume_customers",
+    "lm_score_filter",
+    "lsh_scurve_calibration",
+    "manifest_admission_replay",
+    "market_share_by_year",
+    "min_cost_supplier",
+    "minute_rollup",
+    "mix_schedule_plan",
+    "multimodal_audio_segments",
+    "nation_trade_volume",
+    "packing_efficiency",
+    "path_trigrams_topk",
+    "pii_redaction_roundtrip",
+    "pq_rerank_tuned",
+    "pq_rerank_tuned_recall",
+    "theil_sen_trend",
+    "tokenizer_fertility_by_lang",
+    "top_pages",
+    "video_frame_dup_pairs",
+    "winnowing_dup_pairs",
+    # -- (b) round-11 cohort, first 4 in name order
+    "ann_recall_eval",
+    "anomaly_tws_replay",
+    "bigram_lm_perplexity",
+    "blocklist_phrase_census",
 )
 
 

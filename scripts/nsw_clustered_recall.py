@@ -177,9 +177,9 @@ def synth_clustered(out_dir: str) -> str:
 
 
 def exact_topk(sf_dir: str) -> dict[int, set[int]]:
-    con = duckdb.connect()
-    rows = con.sql(
-        f"""
+    with duckdb.connect() as con:
+        rows = con.sql(
+            f"""
         WITH vecs AS (
           SELECT vec_id, embedding::DOUBLE[] AS v,
                  sqrt(list_dot_product(embedding::DOUBLE[],
@@ -198,7 +198,7 @@ def exact_topk(sf_dir: str) -> dict[int, set[int]]:
                                     ORDER BY cos DESC, nid) AS rn
           FROM scored) WHERE rn <= {TOPK}
         """
-    ).fetchall()
+        ).fetchall()
     truth: dict[int, set[int]] = {}
     for qid, nid in rows:
         truth.setdefault(qid, set()).add(nid)
@@ -242,20 +242,20 @@ def synth_shard_dirs(sf_dir: str, out_root: str, s_count: int) -> list[str]:
 
         shutil.rmtree(out_root)
     os.makedirs(out_root, exist_ok=True)
-    con = duckdb.connect()
     dirs = []
-    for s in range(s_count):
-        d = os.path.join(out_root, f"shard{s}")
-        os.makedirs(d, exist_ok=True)
-        p = os.path.join(d, "embeddings.parquet")
-        if not os.path.exists(p):
-            con.sql(
-                f"COPY (SELECT vec_id // {s_count} AS vec_id, embedding,"
-                f" label FROM read_parquet('{sf_dir}/embeddings.parquet')"
-                f" WHERE vec_id % {s_count} = {s} ORDER BY vec_id)"
-                f" TO '{p}' (FORMAT PARQUET)"
-            )
-        dirs.append(d)
+    with duckdb.connect() as con:
+        for s in range(s_count):
+            d = os.path.join(out_root, f"shard{s}")
+            os.makedirs(d, exist_ok=True)
+            p = os.path.join(d, "embeddings.parquet")
+            if not os.path.exists(p):
+                con.sql(
+                    f"COPY (SELECT vec_id // {s_count} AS vec_id, embedding,"
+                    f" label FROM read_parquet('{sf_dir}/embeddings.parquet')"
+                    f" WHERE vec_id % {s_count} = {s} ORDER BY vec_id)"
+                    f" TO '{p}' (FORMAT PARQUET)"
+                )
+            dirs.append(d)
     with open(stamp, "w") as fh:
         json.dump(params, fh)
     return dirs

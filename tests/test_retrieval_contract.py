@@ -119,3 +119,89 @@ def test_graph_ann_sharded_meets_recall_floor():
         len(got.get(q, set()) & truth[q]) / TOPK for q in truth
     ) / len(truth)
     assert mean >= 0.65, f"sharded graph ANN mean recall@5 {mean} < 0.65"
+
+
+def test_sharded_per_shard_rule_meets_recall_floor(spark):
+    """The promoted per-shard rule width (round-14 verdict item 4:
+    `probe_nsw_sharded_index(beam_width="per-shard-rule")`, sizing
+    each shard's beam by `nsw_sharded_beam_width_for` — the flat
+    n^0.6 rule on the SHARD size) must hold a high floor at the sweep
+    scale. At sf0.1 the per-shard corpora (2000/4 = 500) sit below
+    the rule's contract point, so the rule floors to B_s = 64 — a 4x
+    budget premium over the contract 4x16 point (the same
+    budget-premium trade the 200k measurement quantified at 2.3x vs
+    the flat rule for recall 0.786 > every flat arm; PERF.md round
+    14). Measured here: 1.000; floored at 0.9 so a routing or rule
+    regression (e.g. the width silently falling back to the split
+    default) is a test failure, not a silent recall drop. Runs the
+    REAL serving path — materialized index + DPP probe — so the
+    option's plumbing is covered end-to-end."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from realtime_event_streaming_spark.operators.similarity import (
+        LSH_BITS,
+        N_QUERIES,
+        TOPK,
+        _vectors,
+        nsw_sharded_beam_width_for,
+        probe_nsw_sharded_index,
+        write_nsw_sharded_index,
+    )
+
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="shrule_floor_")
+    try:
+        write_nsw_sharded_index(spark, SWEEP_SF, path, bucket_bits=LSH_BITS)
+        n = spark.read.parquet(f"{path}/vecs").count()
+        # the rule must floor at the contract width below the contract
+        # point — per-shard corpora here are inside the envelope
+        assert nsw_sharded_beam_width_for(n) >= 64
+        qs = (
+            _vectors(spark, SWEEP_SF)
+            .where(F.col("vec_id") < N_QUERIES)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("norm").alias("qnorm"),
+            )
+        )
+        rows = probe_nsw_sharded_index(
+            spark, path, qs, beam_width="per-shard-rule"
+        ).collect()
+    finally:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    with duckdb.connect() as con:
+        truth: dict[int, set[int]] = {}
+        for qid, nid in con.sql(
+            f"""
+            WITH vecs AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) AS norm
+              FROM read_parquet('{SWEEP_SF}/embeddings.parquet')
+            ),
+            q AS (SELECT * FROM vecs WHERE vec_id < {N_QUERIES}),
+            s AS (
+              SELECT q.vec_id AS qid, c.vec_id AS nid,
+                     list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cos
+              FROM q JOIN vecs c ON c.vec_id <> q.vec_id
+            )
+            SELECT qid, nid FROM (
+              SELECT qid, nid, row_number() OVER (
+                PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+              FROM s) WHERE rn <= {TOPK}
+            """
+        ).fetchall():
+            truth.setdefault(qid, set()).add(nid)
+    assert truth, "exact arm returned no rows"
+    mean = sum(
+        len(got.get(q, set()) & truth[q]) / TOPK for q in truth
+    ) / len(truth)
+    assert mean >= 0.9, f"per-shard-rule mean recall@5 {mean} < 0.9"
