@@ -1388,8 +1388,8 @@ graph_ann_sharded_serve.__doc__ = """The SHARDED graph-ANN serving read — `gra
     discipline applied to `graph_ann_sharded`'s deployment form: the
     query panel scatter-gathers across {s} per-shard NSW stores
     materialized once per process per SF by `write_nsw_sharded_index`
-    (shard id PREPENDED to the partition key: {{path}}/near and
-    {{path}}/vecs both partitioned by (shard, pt)), all shards
+    (shard id PREPENDED to the partition key: near and vecs tables
+    both directory-partitioned by (shard, pt)), all shards
     advancing in ONE {h}-hop loop keyed by (query_id, shard) with
     per-shard width {bs} ({s} x {bs} = the flat contract budget), and
     per-shard top-k merging by one global window (disjoint shards —

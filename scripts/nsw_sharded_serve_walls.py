@@ -24,11 +24,14 @@ from __future__ import annotations
 
 import os
 import shutil
+import sys
 import tempfile
 import time
 
 import duckdb
 import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from realtime_event_streaming_spark.operators.similarity import (
     LSH_BITS,
