@@ -39,7 +39,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import dialect as D
-from ..io import load_table
+from ..io import load_table, read_index_parquet
 from ..registry import format_doc, register
 
 N_HASHES = 16
@@ -937,10 +937,10 @@ def probe_dedup_index(
     probe detects it from the table schema and switches to the
     broadcast + dynamic-partition-pruned join automatically; the
     probe RESULT is identical under either layout (pinned by test)."""
-    hashes = spark.read.parquet(f"{path}/content_hash").select(
+    hashes = read_index_parquet(spark, f"{path}/content_hash").select(
         F.col("h").alias("bh")
     ).distinct()
-    bands_tbl = spark.read.parquet(f"{path}/minhash_bands")
+    bands_tbl = read_index_parquet(spark, f"{path}/minhash_bands")
     hashed = batch.select("doc_id", F.md5("text").alias("h"))
     exact = (
         hashed.join(hashes, hashed.h == hashes.bh, "left")
@@ -1030,7 +1030,7 @@ def merge_dedup_index(
         "append"
     ).parquet(f"{path}/content_hash")
     bands = band_table_of(signature_arrays_of(batch))
-    if "hb" in spark.read.parquet(f"{path}/minhash_bands").columns:
+    if "hb" in read_index_parquet(spark, f"{path}/minhash_bands").columns:
         bands.withColumn(
             "hb", F.pmod(F.col("band_hash"), F.lit(DEDUP_BAND_BUCKETS))
         ).write.mode("append").partitionBy("band_idx", "hb").parquet(

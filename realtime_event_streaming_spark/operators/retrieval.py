@@ -36,7 +36,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import dialect as D
-from ..io import register_views
+from ..io import read_index_parquet, register_views
 from ..registry import format_doc, register
 
 BM25_K1 = 1.2
@@ -1969,13 +1969,13 @@ def probe_ivfpq_index(
 
     from .similarity import _D2_SPARK, _kmeans_rank
 
-    cents = spark.read.parquet(f"{path}/centroids")
+    cents = read_index_parquet(spark, f"{path}/centroids")
     qprobe = (
         _kmeans_rank(queries, cents)
         .where(F.col("rn") <= nprobe)
         .select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"))
     )
-    c1 = spark.read.parquet(f"{path}/codebooks")
+    c1 = read_index_parquet(spark, f"{path}/codebooks")
     lut = (
         _pq_subvectors(queries)
         .join(F.broadcast(c1), "s")
@@ -1988,7 +1988,7 @@ def probe_ivfpq_index(
             ),
         )
     )
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = read_index_parquet(spark, f"{path}/codes")
     pair = (
         codes.join(F.broadcast(qprobe), "cell")
         .where(F.col("vec_id") != F.col("qid"))
@@ -2011,7 +2011,7 @@ def probe_ivfpq_index(
         .where(F.col("rnk") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    vecs = spark.read.parquet(f"{path}/vectors")
+    vecs = read_index_parquet(spark, f"{path}/vectors")
     rer = (
         vecs.select(
             F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
@@ -2051,8 +2051,8 @@ def merge_ivfpq_index(
     add-vs-train split."""
     from .similarity import _kmeans_rank
 
-    cents = spark.read.parquet(f"{path}/centroids")
-    c1 = spark.read.parquet(f"{path}/codebooks")
+    cents = read_index_parquet(spark, f"{path}/centroids")
+    c1 = read_index_parquet(spark, f"{path}/codebooks")
     vecs = batch.select(
         "vec_id", F.expr("transform(v, x -> cast(x AS DOUBLE))").alias("v")
     )

@@ -32,7 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import dialect as D
-from ..io import load_table
+from ..io import load_table, read_index_parquet
 from ..registry import format_doc, register
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -929,7 +929,7 @@ def probe_ann_index(
     shape: the corpus appears ONLY as a cid-pruned postings read — no
     training, no full scan, O(batch x probed-cells) work. Self-matches
     are retained (a dedup-style caller can filter them)."""
-    cents = spark.read.parquet(f"{path}/centroids")
+    cents = read_index_parquet(spark, f"{path}/centroids")
     q = queries.select(
         F.col("query_id").alias("vec_id"),
         F.expr("transform(v, x -> cast(x AS DOUBLE))").alias("v"),
@@ -960,7 +960,7 @@ def probe_ann_index(
         F.col("v").alias("qv"),
         F.sqrt(F.expr(_DOT.format(a="v", b="v"))).alias("qnorm"),
     )
-    post = spark.read.parquet(f"{path}/postings").select(
+    post = read_index_parquet(spark, f"{path}/postings").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("cv"),
         F.col("norm").alias("cnorm"),
@@ -1012,7 +1012,7 @@ def merge_ann_index(
 
     ``batch`` must carry (vec_id, v); vec_ids must not collide with
     indexed ones (the probe's ranks treat ids as identity)."""
-    cents = spark.read.parquet(f"{path}/centroids")
+    cents = read_index_parquet(spark, f"{path}/centroids")
     b = batch.select(
         "vec_id", F.expr("transform(v, x -> cast(x AS DOUBLE))").alias("v")
     )
@@ -3799,7 +3799,7 @@ format_doc(write_nsw_index, b=LSH_BITS)
 
 def _read_nsw_store(spark: SparkSession, path: str) -> DataFrame:
     """The index's pt-partitioned vector store in lookup shape."""
-    return spark.read.parquet(f"{path}/vecs").select(
+    return read_index_parquet(spark, f"{path}/vecs").select(
         F.col("vec_id").alias("node_id"),
         F.col("v").alias("nv"),
         F.col("norm").alias("nn"),
@@ -3856,7 +3856,7 @@ def merge_nsw_index(
     cross-engine parity holds because both engines fold the SAME
     doubles in the SAME sequential order (unlike shuffled aggregates,
     where this repo quantizes to 4dp)."""
-    near_pt = spark.read.parquet(f"{path}/near").select("src", "dst", "pt")
+    near_pt = read_index_parquet(spark, f"{path}/near").select("src", "dst", "pt")
     store = _read_nsw_store(spark, path)
     bqs = batch_vecs.select(
         F.col("vec_id").alias("query_id"),
@@ -3904,7 +3904,7 @@ def merge_nsw_index(
         .collect()
     )
     old_pt = (
-        spark.read.parquet(f"{path}/near")
+        read_index_parquet(spark, f"{path}/near")
         .where(F.col("pt").isin(pts))
         .select("src", "dst")
     )
@@ -4003,13 +4003,13 @@ def probe_nsw_index(
         # serving mode: BOTH index tables stay on disk and every hop
         # reads only the partitions its frontier/candidates land in —
         # no corpus-sized cache on the vector OR the edge side
-        near = spark.read.parquet(f"{path}/near").select(
+        near = read_index_parquet(spark, f"{path}/near").select(
             "src", "dst", "pt"
         )
         store = _read_nsw_store(spark, path)
     else:
         near = (
-            spark.read.parquet(f"{path}/near")
+            read_index_parquet(spark, f"{path}/near")
             .select("src", "dst")
             .localCheckpoint(eager=False)
         )
@@ -4283,12 +4283,12 @@ def probe_nsw_sharded_index(
     at a stated 2.3x budget premium over the flat rule (pinned by
     tests/test_retrieval_contract.py's per-shard-rule floor)."""
     if beam_width == "per-shard-rule":
-        n = spark.read.parquet(f"{path}/vecs").count()
+        n = read_index_parquet(spark, f"{path}/vecs").count()
         beam_width = nsw_sharded_beam_width_for(n, n_shards)
-    near = spark.read.parquet(f"{path}/near").select(
+    near = read_index_parquet(spark, f"{path}/near").select(
         "src", "dst", "shard", "pt"
     )
-    store = spark.read.parquet(f"{path}/vecs").select(
+    store = read_index_parquet(spark, f"{path}/vecs").select(
         F.col("vec_id").alias("node_id"),
         F.col("v").alias("nv"),
         F.col("norm").alias("nn"),

@@ -40,7 +40,7 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..io import compact_index_table, load_table
+from ..io import compact_index_table, load_table, read_index_parquet
 from ..operators.dedup import (
     MH_P,
     MH_SHIFT,
@@ -715,7 +715,7 @@ def _build_rollup_base(spark: SparkSession, sf_dir: str, path: str) -> None:
 )
 def update_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _index_path(spark, sf_dir, "rollup_base", _build_rollup_base)
-    base = spark.read.parquet(f"{path}/base")
+    base = read_index_parquet(spark, f"{path}/base")
     ev = load_table(spark, sf_dir, "events")
     ep = ev.select(
         F.expr(_RU_EP_SPARK).alias("ep"),

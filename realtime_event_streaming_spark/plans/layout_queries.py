@@ -33,7 +33,7 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..io import load_table, write_zorder_table
+from ..io import load_table, read_index_parquet, write_zorder_table
 from ..registry import ROUND_DIGITS, register
 
 #: Integer-percent bounds of the selected slice of each dimension's
@@ -117,7 +117,7 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # post-scan and skip nothing.
     ts_lo = F.timestamp_micros(F.lit(t_lo)).cast("timestamp_ntz")
     ts_hi = F.timestamp_micros(F.lit(t_hi)).cast("timestamp_ntz")
-    z = spark.read.parquet(path)
+    z = read_index_parquet(spark, path)
     return (
         z.where(
             F.col("ts").between(ts_lo, ts_hi)
@@ -304,7 +304,7 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     listing cost dominates every scan."""
     path = _compacted_events_path(spark, sf_dir)
     return (
-        spark.read.parquet(path)
+        read_index_parquet(spark, path)
         .groupBy(F.col("month").cast("string").alias("month"))
         .agg(
             F.count("*").cast("bigint").alias("n_rows"),

@@ -36,6 +36,18 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Partition-discovery listing switches from driver-side to a Spark
+    # JOB when a table has more than this many dirs (default 32). The
+    # materialized index tables here have 32-132 partition dirs, right
+    # over the default, so EVERY probe construction was paying a
+    # listing job (measured 0.2-0.4 s warm) to parallelize a listing
+    # the driver does in milliseconds. 256 keeps small-partition-count
+    # tables on the driver at any corpus size — a table under a few
+    # hundred dirs lists faster serially even on object stores (one
+    # LIST round-trip per dir vs job scheduling + task launch) — while
+    # genuinely wide tables (thousands of date/tenant partitions at
+    # 100 TB) still exceed it and keep the parallel path.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "256",
 }
 
 #: Stateful STREAMING shuffles are not AQE-coalesced and pin their
