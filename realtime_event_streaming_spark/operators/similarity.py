@@ -2736,6 +2736,7 @@ def _nsw_edge_lookup(frontier: DataFrame, near: DataFrame) -> DataFrame:
 
 _CONSTRAINT_KEY = "spark.sql.constraintPropagation.enabled"
 _BLOOM_KEY = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+_ADAPTIVE_KEY = "spark.sql.adaptive.enabled"
 #: Optimizer-STRENGTH knobs pinned during the hop loop — each one can
 #: only change how much work the optimizer/runtime spends, never a row:
 #: - constraint propagation: Catalyst's constraint inference is
@@ -2759,6 +2760,7 @@ _BLOOM_KEY = "spark.sql.optimizer.runtime.bloomFilter.enabled"
 _FAST_HOP_CONFS: dict[str, str] = {
     _CONSTRAINT_KEY: "false",
     _BLOOM_KEY: "false",
+    _ADAPTIVE_KEY: "false",
 }
 #: reentrancy/concurrency guard for _fast_hop_planning: SparkSession
 #: conf is session-global, so overlapping hop loops (two probes on
