@@ -106,6 +106,26 @@ def read_index_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
+def evict_index_schema(path: str) -> None:
+    """Drop cached schemas for ``path`` and everything under it.
+
+    Called by every index WRITER that overwrites a table (layout
+    options like ``write_dedup_index(bucket_bands=...)`` can rewrite
+    the same path with a different column set — ± the ``hb`` partition
+    column — which the bare-path cache above would otherwise serve
+    stale, silently flipping probes onto the wrong layout branch).
+    Append-mode maintenance (``merge_*``) preserves the writer-detected
+    layout by construction and does NOT evict: the one inference job
+    per (process, table) stays amortized across maintenance cycles."""
+    prefix = path.rstrip("/") + "/"
+    for key in [
+        k
+        for k in _SCHEMA_CACHE
+        if isinstance(k, str) and (k == path or k.startswith(prefix))
+    ]:
+        del _SCHEMA_CACHE[key]
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register temp views for ``spark.sql`` queries over one SF dir."""
     for name in tables:
@@ -436,6 +456,9 @@ def compact_index_table(
     old = root.parent / f".compact_old_{root.name}"
     if not root.exists() and old.exists():
         old.rename(root)
+    # The rewrite can re-shape the table (± partition dirs / column
+    # order), so any schema cached for it must not outlive the swap.
+    evict_index_schema(path)
     files_before = len(list(root.rglob("*.parquet")))
     df = spark.read.parquet(str(root))
     if partition_col is not None:

@@ -1908,7 +1908,9 @@ def write_ivfpq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     so probe output == `pq_rerank_tuned` output, oracle-checkable."""
     from .similarity import _train_kmeans, _kmeans_rank
 
-    from ..io import load_table
+    from ..io import evict_index_schema, load_table
+
+    evict_index_schema(path)  # overwrite may change layout vs cached
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select(

@@ -900,6 +900,9 @@ def write_ann_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     postings are the corpus re-partitioned by cell (same bytes, better
     layout); cid partition dirs mean a probe's scan prunes to its
     cells' files only."""
+    from ..io import evict_index_schema
+
+    evict_index_schema(path)  # overwrite may change layout vs cached
     vecs = _vectors(spark, sf_dir).select("vec_id", "v", "norm")
     cents, _ = _train_kmeans(vecs.select("vec_id", "v"))
     cells = (
@@ -3771,6 +3774,9 @@ def write_nsw_index(
     contract-shape one (round-11 judge item 4). The registered
     contract queries PIN bits={b} explicitly (hash-stable across
     corpus growth); pass an explicit value to reproduce a shape."""
+    from ..io import evict_index_schema
+
+    evict_index_schema(path)  # overwrite may change layout vs cached
     vecs = _vectors(spark, sf_dir)
     if bucket_bits is None:
         bucket_bits = nsw_bucket_bits_for(vecs.count())
@@ -4089,6 +4095,9 @@ def write_nsw_sharded_index(
     oracle's `_DUCK_VECTORS` bucket)."""
     import math
 
+    from ..io import evict_index_schema
+
+    evict_index_schema(path)  # sharded layout differs from flat at same path
     vecs = _vectors(spark, sf_dir)
     if bucket_bits is None:
         bucket_bits = nsw_bucket_bits_for(

@@ -48,17 +48,23 @@ RUNTIME_CONFS: dict[str, str] = {
     # genuinely wide tables (thousands of date/tenant partitions at
     # 100 TB) still exceed it and keep the parallel path.
     "spark.sql.sources.parallelPartitionDiscovery.threshold": "256",
-    # PySpark 4 wraps every DataFrame API call to capture the Python
-    # call site for error contexts — THREE extra Py4J round trips per
-    # call (conf.get + origin set/clear), measured ~4 ms per wrapped
-    # call and ~0.7 s of a single NSW probe construction (round-15
-    # cProfile: 167 wrapped calls). Query CONSTRUCTION is query
-    # latency on the serving paths, so trade the Python-side call-site
-    # line in error messages (JVM stack traces and error classes are
-    # unaffected) for driver latency. The flag is read once per
-    # process and cached by pyspark.errors.utils.
-    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
+
+#: PySpark 4 wraps every DataFrame API call to capture the Python call
+#: site for error contexts — THREE extra Py4J round trips per call
+#: (conf.get + origin set/clear), measured ~4 ms per wrapped call and
+#: ~0.7 s of a single NSW probe construction (round-15 cProfile: 167
+#: wrapped calls). Query CONSTRUCTION is query latency on the serving
+#: paths, so trade the Python-side call-site line in error messages
+#: (JVM stack traces and error classes are unaffected) for driver
+#: latency. STATIC conf: settable only at session build (get_spark);
+#: on driver-handed sessions whatever the builder chose stands. The
+#: flag is read once per process and cached by pyspark.errors.utils.
+#: Debug sessions can opt back in with RTES_DF_DEBUGGING=1 (round-15
+#: advice).
+_DF_DEBUGGING = (
+    "true" if os.environ.get("RTES_DF_DEBUGGING") == "1" else "false"
+)
 
 #: Stateful STREAMING shuffles are not AQE-coalesced and pin their
 #: partition count into the state layout; 200 (the global default) is
@@ -128,9 +134,6 @@ def get_spark(app_name: str = "realtime-event-streaming-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # set at build time too: the pyspark.errors.utils cache reads
-        # this on the FIRST DataFrame API call, which can precede the
-        # first prepare() on sessions handed to us (see RUNTIME_CONFS)
-        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        .config("spark.python.sql.dataFrameDebugging.enabled", _DF_DEBUGGING)
     )
     return prepare(builder.getOrCreate())

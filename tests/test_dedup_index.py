@@ -190,3 +190,49 @@ def test_bucketed_probe_partitions_read(spark, tmp_path):
     resend = novel.select((F.col("doc_id") + 1).alias("doc_id"), "text")
     post = probe_dedup_index(spark, bkt_path, resend).collect()[0]
     assert (post.exact_dup, post.near_dup) == (True, True)
+
+
+def test_layout_rewrite_same_path_evicts_cached_schema(spark, tmp_path):
+    """Round-15 verdict item 1: `read_index_parquet` caches schemas per
+    bare path, and `write_dedup_index` can rewrite the SAME path with a
+    different layout (± the `hb` partition column). Without eviction the
+    probe after a bucketed→flat rewrite would read with the stale
+    bucketed schema, take the bucketed branch, and join on a column
+    that no longer exists on disk. The writers must evict, so both
+    rewrite directions keep returning the layout-correct answer."""
+    from realtime_event_streaming_spark.operators.dedup import (
+        write_dedup_index as _write,
+    )
+
+    path = str(tmp_path / "index")
+    docs = load_table(spark, SF, "documents")
+    batch = docs.where("doc_id = 42").select(
+        F.lit(9001).alias("doc_id"), "text"
+    )
+
+    # flat reference answer from an untouched path
+    ref_path = str(tmp_path / "ref")
+    _write(spark, SF, ref_path)
+    ref = sorted(map(tuple, probe_dedup_index(spark, ref_path, batch).collect()))
+    assert ref  # the re-sent doc must flag
+
+    # bucketed write + probe caches the (band_idx, hb) schema for `path`
+    _write(spark, SF, path, bucket_bands=True)
+    first = sorted(map(tuple, probe_dedup_index(spark, path, batch).collect()))
+    assert first == ref
+
+    # rewrite the SAME path flat: the probe must see the flat layout
+    # (stale cached schema would error or silently return no dups)
+    _write(spark, SF, path, bucket_bands=False)
+    assert "hb" not in spark.read.parquet(f"{path}/minhash_bands").columns
+    after_flat = sorted(
+        map(tuple, probe_dedup_index(spark, path, batch).collect())
+    )
+    assert after_flat == ref
+
+    # and back: flat→bucketed must re-detect the bucketed branch
+    _write(spark, SF, path, bucket_bands=True)
+    after_bkt = probe_dedup_index(spark, path, batch)
+    plan = after_bkt._jdf.queryExecution().executedPlan().toString()
+    assert sorted(map(tuple, after_bkt.collect())) == ref
+    assert "dynamicpruningexpression(true)" not in plan, plan[:3000]
