@@ -2707,15 +2707,18 @@ def _nsw_store_lookup(cand: DataFrame, store: DataFrame) -> DataFrame:
     # (queries x B x degree), and a batch too big to compute in one
     # task is also too big to broadcast — shard the query panel across
     # probe calls before that point.
+    # parsed-string construction (round-16, the round-15 signature
+    # technique): one selectExpr/expr command per frame instead of a
+    # Column-object Py4J round trip per operator — the hop loop builds
+    # these ~12x per probe and construction is serving latency. The
+    # probe-side key is named qpt so the join condition can be stated
+    # by name unambiguously; the resolved plan is identical.
     candp = (
-        cand.where(F.col("node") >= 0)
-        .withColumn("pt", _nsw_pt("node"))
+        cand.where("node >= 0")
+        .selectExpr("*", f"pmod(node, {_NSW_PARTS}) AS qpt")
         .coalesce(1)
     )
-    return store.join(
-        F.broadcast(candp),
-        (store["pt"] == candp["pt"]) & (store["node_id"] == candp["node"]),
-    )
+    return store.join(F.broadcast(candp), F.expr("pt = qpt AND node_id = node"))
 
 
 def _nsw_edge_lookup(frontier: DataFrame, near: DataFrame) -> DataFrame:
@@ -2727,14 +2730,13 @@ def _nsw_edge_lookup(frontier: DataFrame, near: DataFrame) -> DataFrame:
     partitions its <= B frontier nodes live in. ``near`` must carry
     (src, dst, pt)."""
     fp = (
-        frontier.where(F.col("node") >= 0)
-        .withColumn("pt", _nsw_pt("node"))
+        frontier.where("node >= 0")
+        .selectExpr("query_id", "node", f"pmod(node, {_NSW_PARTS}) AS qpt")
         .coalesce(1)
     )
     return near.join(
-        F.broadcast(fp),
-        (near["pt"] == fp["pt"]) & (near["src"] == fp["node"]),
-    ).select("query_id", F.col("dst").alias("node"))
+        F.broadcast(fp), F.expr("pt = qpt AND src = node")
+    ).selectExpr("query_id", "dst AS node")
 
 
 _CONSTRAINT_KEY = "spark.sql.constraintPropagation.enabled"
@@ -2760,6 +2762,20 @@ _ADAPTIVE_KEY = "spark.sql.adaptive.enabled"
 #:   scale Spark's own creationSideThreshold (10 MB) would veto the
 #:   bloom anyway; pinning it off makes the bench shape match the
 #:   at-scale shape AND restores the pruned reads.
+#: - adaptive execution: every hop materializes through a
+#:   localCheckpoint within one driver thread, so AQE's re-planning
+#:   machinery (per-exchange stage jobs, runtime re-optimization)
+#:   only adds planning latency to plans whose exchanges are already
+#:   erased by the SinglePartition hop shape — there is nothing left
+#:   for AQE to adapt. Measured round 16 (A/B, warm session,
+#:   median-of-5 at sf0.1): sharded serve 3.18 s pinned off vs
+#:   4.16 s with AQE on; flat serve within noise (3.73 vs 3.32 —
+#:   walls converge to ~3.1 either way). Physical-only: plans and
+#:   results are byte-identical (oracle-pinned), job counts equal.
+#:   Scoped to the hop loop like the other keys; cluster sessions
+#:   keep AQE everywhere else, including skew handling on real
+#:   shuffles (the hop joins are explicit broadcasts — no skew
+#:   surface inside the pin's scope).
 _FAST_HOP_CONFS: dict[str, str] = {
     _CONSTRAINT_KEY: "false",
     _BLOOM_KEY: "false",
@@ -2881,13 +2897,13 @@ def nsw_beam(
     and executes the hop chain (the per-hop checkpoints are eager so
     each hop's partition-pruned scan runs at its own parallel width
     rather than serialized through its first consumer); only the
-    final top-k aggregation stays lazy. This is a difference in
-    degree, not kind, from the lazy-checkpoint form it replaced —
-    under AQE even eager=False checkpoint plan-building executes
-    every stage but the last — and it also means the
-    _fast_hop_planning conf pin spans hop execution, not just
-    planning: co-tenant callers use the newSession() recipe in the
-    README."""
+    final top-k aggregation stays lazy. (With AQE pinned off in the
+    hop scope — see _FAST_HOP_CONFS — the lazy frontier checkpoints
+    genuinely defer until first consumed by the next hop's broadcast
+    build; the eager per-hop checkpoints are what stage the chain.)
+    The _fast_hop_planning conf pin therefore spans hop execution,
+    not just planning: co-tenant callers use the newSession() recipe
+    in the README."""
     if store is None and vecs is None:
         raise ValueError(
             "nsw_beam needs a scoring side: pass vecs (in-memory path) "
@@ -2921,22 +2937,23 @@ def nsw_beam(
             F.col("v").alias("nv"),
             F.col("norm").alias("nn"),
         ).localCheckpoint(eager=False)
-    score = F.round(
-        F.expr(_DOT.format(a="qv", b="nv")) / (F.col("qnorm") * F.col("nn")),
-        4,
+    # per-hop frames are built from PRE-FORMATTED expression strings /
+    # hoisted Column objects (round-16; the round-15 signature-codegen
+    # technique): the loop constructs ~6x per probe and every Column
+    # operator is a Py4J round trip, so one parsed string per frame
+    # keeps construction latency off the serving path. Resolved plans
+    # are identical (oracle- and DPP-test-pinned).
+    score_sql = (
+        f"round(({_DOT.format(a='qv', b='nv')}) / (qnorm * nn), 4) AS score"
     )
-    wbeam = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.col("node")
+    rn_col = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("node"))
     )
-    strides = F.explode(
-        F.array(
-            *[F.lit(s) for s in _NSW_STEPS],
-            *[F.lit(-s) for s in _NSW_STEPS],
-        )
-    ).alias("s")
-    frontier = qs.select(
-        "query_id", F.lit(0).cast("long").alias("node")
+    steps_csv = ", ".join(
+        str(s) for s in (*_NSW_STEPS, *(-s for s in _NSW_STEPS))
     )
+    longc_sql = f"explode(transform(array({steps_csv}), s -> node + s)) AS node"
+    frontier = qs.selectExpr("query_id", "CAST(0 AS LONG) AS node")
     visited = None
     # pin the hop-scope confs on EVERY session involved in the hop
     # plans, not just the panel's: each hop DataFrame plans under its
@@ -2963,9 +2980,7 @@ def nsw_beam(
                 ).select("query_id", F.col("dst").alias("node"))
             else:
                 hops = _nsw_edge_lookup(frontier, near)
-            longc = frontier.select("query_id", "node", strides).select(
-                "query_id", (F.col("node") + F.col("s")).alias("node")
-            )
+            longc = frontier.selectExpr("query_id", longc_sql)
             cand = hops.union(longc).union(frontier)
             if store is not None:
                 # coalesce(1) BEFORE the dedup: the union is bounded by
@@ -2982,8 +2997,8 @@ def nsw_beam(
                 looked = cand.join(nodes, cand.node == nodes.node_id)
             else:
                 looked = _nsw_store_lookup(cand, store)
-            sc = looked.join(F.broadcast(qs), "query_id").select(
-                "query_id", "node", score.alias("score")
+            sc = looked.join(F.broadcast(qs), "query_id").selectExpr(
+                "query_id", "node", score_sql
             )
             if store is not None:
                 # SERVING path: checkpoint EAGERLY at the scan's own
@@ -3028,8 +3043,8 @@ def nsw_beam(
                 # eager plan build, the very cost this shave targets)
                 break
             frontier = (
-                sc.withColumn("rn", F.row_number().over(wbeam))
-                .where(F.col("rn") <= beam)
+                sc.withColumn("rn", rn_col)
+                .where(f"rn <= {beam}")
                 .select("query_id", "node")
             )
             if store is not None:
@@ -4135,16 +4150,18 @@ def _nsw_sharded_store_lookup(cand: DataFrame, store: DataFrame) -> DataFrame:
     so pt determines shard) — it is stated for the pruning rule, not
     for row matching."""
     candp = (
-        cand.where(F.col("node") >= 0)
-        .select("query_id", F.col("shard").alias("qshard"), "node")
-        .withColumn("qpt", _nsw_pt("node"))
+        cand.where("node >= 0")
+        .selectExpr(
+            "query_id",
+            "shard AS qshard",
+            "node",
+            f"pmod(node, {_NSW_PARTS}) AS qpt",
+        )
         .coalesce(1)
     )
     return store.join(
         F.broadcast(candp),
-        (store["shard"] == candp["qshard"])
-        & (store["pt"] == candp["qpt"])
-        & (store["node_id"] == candp["node"]),
+        F.expr("shard = qshard AND pt = qpt AND node_id = node"),
     )
 
 
@@ -4153,21 +4170,19 @@ def _nsw_sharded_edge_lookup(frontier: DataFrame, near: DataFrame) -> DataFrame:
     both-partition-columns shape as `_nsw_sharded_store_lookup`);
     ``near`` must carry (src, dst, shard, pt)."""
     fp = (
-        frontier.where(F.col("node") >= 0)
-        .select("query_id", F.col("shard").alias("qshard"), "node")
-        .withColumn("qpt", _nsw_pt("node"))
+        frontier.where("node >= 0")
+        .selectExpr(
+            "query_id",
+            "shard AS qshard",
+            "node",
+            f"pmod(node, {_NSW_PARTS}) AS qpt",
+        )
         .coalesce(1)
     )
     return near.join(
         F.broadcast(fp),
-        (near["shard"] == fp["qshard"])
-        & (near["pt"] == fp["qpt"])
-        & (near["src"] == fp["node"]),
-    ).select(
-        "query_id",
-        F.col("qshard").alias("shard"),
-        F.col("dst").alias("node"),
-    )
+        F.expr("shard = qshard AND pt = qpt AND src = node"),
+    ).selectExpr("query_id", "qshard AS shard", "dst AS node")
 
 
 def nsw_sharded_serve_beam(
@@ -4200,25 +4215,27 @@ def nsw_sharded_serve_beam(
         raise ValueError(f"beam_width must be >= 1, got {beam_width}")
     beam = beam_width if beam_width is not None else _NSW_SHARD_B
     qs = qs.coalesce(1).localCheckpoint(eager=False)
-    score = F.round(
-        F.expr(_DOT.format(a="qv", b="nv")) / (F.col("qnorm") * F.col("nn")),
-        4,
+    # pre-formatted expression strings / hoisted Columns for the hop
+    # loop — same Py4J-consolidation rationale as nsw_beam
+    score_sql = (
+        f"round(({_DOT.format(a='qv', b='nv')}) / (qnorm * nn), 4) AS score"
     )
-    wbeam = Window.partitionBy("query_id", "shard").orderBy(
-        F.desc("score"), F.col("node")
-    )
-    strides = F.explode(
-        F.array(
-            *[F.lit(s * n_shards) for s in _NSW_STEPS],
-            *[F.lit(-s * n_shards) for s in _NSW_STEPS],
+    rn_col = F.row_number().over(
+        Window.partitionBy("query_id", "shard").orderBy(
+            F.desc("score"), F.col("node")
         )
-    ).alias("s")
-    shards = qs.sparkSession.range(n_shards).select(
-        F.col("id").cast("int").alias("shard")
+    )
+    steps_csv = ", ".join(
+        str(s * n_shards)
+        for s in (*_NSW_STEPS, *(-s for s in _NSW_STEPS))
+    )
+    longc_sql = f"explode(transform(array({steps_csv}), s -> node + s)) AS node"
+    shards = qs.sparkSession.range(n_shards).selectExpr(
+        "CAST(id AS INT) AS shard"
     )
     # entry node of shard s is vec_id = s (dense ids guarantee it)
-    frontier = qs.select("query_id").crossJoin(F.broadcast(shards)).select(
-        "query_id", "shard", F.col("shard").cast("long").alias("node")
+    frontier = qs.select("query_id").crossJoin(F.broadcast(shards)).selectExpr(
+        "query_id", "shard", "CAST(shard AS LONG) AS node"
     )
     visited = None
     from contextlib import ExitStack
@@ -4229,13 +4246,7 @@ def nsw_sharded_serve_beam(
             stack.enter_context(_fast_hop_planning(sess))
         for hop in range(_NSW_H):
             hops = _nsw_sharded_edge_lookup(frontier, near)
-            longc = frontier.select(
-                "query_id", "shard", "node", strides
-            ).select(
-                "query_id",
-                "shard",
-                (F.col("node") + F.col("s")).alias("node"),
-            )
+            longc = frontier.selectExpr("query_id", "shard", longc_sql)
             cand = (
                 hops.union(longc)
                 .union(frontier.select("query_id", "shard", "node"))
@@ -4246,11 +4257,8 @@ def nsw_sharded_serve_beam(
                 .distinct()
             )
             looked = _nsw_sharded_store_lookup(cand, store)
-            sc = looked.join(F.broadcast(qs), "query_id").select(
-                "query_id",
-                F.col("qshard").alias("shard"),
-                "node",
-                score.alias("score"),
+            sc = looked.join(F.broadcast(qs), "query_id").selectExpr(
+                "query_id", "qshard AS shard", "node", score_sql
             )
             # eager at the pruned scan's width, then SinglePartition
             # for the planner — see nsw_beam's serving-path comments
@@ -4260,8 +4268,8 @@ def nsw_sharded_serve_beam(
                 # dead-frontier skip, as in nsw_beam
                 break
             frontier = (
-                sc.withColumn("rn", F.row_number().over(wbeam))
-                .where(F.col("rn") <= beam)
+                sc.withColumn("rn", rn_col)
+                .where(f"rn <= {beam}")
                 .select("query_id", "shard", "node")
             )
             # checkpoint AFTER the window: executed-DPP discipline
