@@ -81,10 +81,23 @@ _SHINGLE_EXPR = (
 
 
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-3-gram shingles per document."""
+    """Distinct word-3-gram shingles per document.
+
+    The explode + downstream fingerprinting do ~50x the scan's work
+    per input byte, so when the documents scan yields FEWER tasks than
+    the session can run concurrently (one small file at bench scale;
+    the tail partition of a real corpus), the whole shingle derivation
+    serializes onto those tasks — measured 0.7 s single-task at sf0.1
+    where the same work spread over the cores takes ~0.1 s. Spread the
+    raw (doc_id, text) rows round-robin BEFORE the explode in exactly
+    that case: the added shuffle moves each text byte once (bounded by
+    input bytes, which are small precisely when the gate fires), and a
+    corpus-scale scan with >= cores partitions adds NO shuffle — the
+    gate is partition-count-derived, not tuned to this host."""
     docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
     return (
-        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        base.select("doc_id", F.split("text", " ").alias("tk"))
         .where(F.size("tk") >= 3)
         .select("doc_id", F.expr(_SHINGLE_EXPR).alias("s"))
     )
@@ -194,7 +207,15 @@ def rare_shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cast(conv(substr(md5(s), 1, 14), 16, 10) as bigint)"
             ).alias("sid"),
         )
-        .localCheckpoint(eager=False)
+        # EAGER: this posting list feeds the DF histogram AND both
+        # sides of the candidate self-join downstream. Lazy, its first
+        # action is several CONCURRENT AQE stage jobs, and concurrent
+        # first-users all miss the checkpoint cache — the corpus-wide
+        # explode+fingerprint ran 3x in parallel (measured 3 x 0.7 s
+        # single-task jobs at sf0.1; 3x corpus CPU at scale). Eager
+        # materializes it exactly once, at the parallel width the
+        # shingles() gate provides.
+        .localCheckpoint(eager=True)
     )
     dfs = sh.groupBy("sid").agg(F.count("*").alias("df_s"))
     hist = dfs.groupBy("df_s").agg(F.count("*").alias("n_sh"))
@@ -554,7 +575,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One posting-list materialization feeds both join sides and the
     # per-doc counts (else repeated recomputations of the shingle
     # explode). At warehouse scale: an explicit shingle-posting table.
-    rs = rare_shingle_postings(spark, sf_dir).localCheckpoint(eager=False)
+    # eager for the same concurrent-first-use reason as the posting
+    # list inside rare_shingle_postings: cnt and BOTH self-join sides
+    # consume this, and lazy checkpoints triple-compute under AQE's
+    # parallel stage submission
+    rs = rare_shingle_postings(spark, sf_dir).localCheckpoint(eager=True)
     cnt = rs.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = rs.alias("a"), rs.alias("b")
     inter = (
