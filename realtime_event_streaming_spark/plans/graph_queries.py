@@ -156,7 +156,13 @@ def pagerank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         hops.where(F.col("src").isNotNull())
         .groupBy("src", "dst")
         .agg(F.count("*").cast("bigint").alias("w"))
-        .localCheckpoint(eager=False)  # bounded: <= |pages|^2 rows
+        # bounded (<= |pages|^2 rows) and EAGER: outdeg, the node set
+        # and every iteration's join consume this, and several of
+        # those are submitted as concurrent AQE stage jobs — a lazy
+        # checkpoint re-runs the corpus-sized window once per
+        # concurrent first-user (the dedup posting-list lesson);
+        # eager runs it exactly once
+        .localCheckpoint(eager=True)
     )
     outdeg = edges.groupBy("src").agg(
         F.sum("w").cast("bigint").alias("wout")
