@@ -452,7 +452,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both sides of the pair join) would otherwise each recompute the
     # shingle explosion. At warehouse scale this materialization is an
     # explicit signatures table; in-query, a local checkpoint.
-    sig_arr = minhash_signature_arrays(spark, sf_dir).localCheckpoint(eager=False)
+    # EAGER: banding (both self-join sides) and both signature-fetch
+    # joins consume this concurrently; lazy re-runs the corpus
+    # signature pass per concurrent first-user (posting-list lesson)
+    sig_arr = minhash_signature_arrays(spark, sf_dir).localCheckpoint(eager=True)
     # band key over (sorted) pair of rows: deterministic set hash
     bands = band_table_of(sig_arr)
     a, b = bands.alias("a"), bands.alias("b")
@@ -860,8 +863,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     batch = organic.unionByName(planted)
+    # EAGER: the corpus+batch signature pass is consumed by both band
+    # splits' concurrent stage jobs; lazy double-computes it (the
+    # posting-list lesson)
     sig = signature_arrays_of(corpus.unionByName(batch)).localCheckpoint(
-        eager=False
+        eager=True
     )
     bands = band_table_of(sig).crossJoin(mx)
     corpus_bands = bands.where("doc_id < c").select(
@@ -1312,7 +1318,11 @@ def repeated_substring_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cast(conv(substr(md5(w), 1, 14), 16, 10) as bigint)"
             ).alias("fid"),
         )
-        .localCheckpoint(eager=False)
+        # EAGER: the frequency group-by and the per-doc join consume
+        # this concurrently, and lazy checkpoints re-run the corpus
+        # explode+fingerprint once per concurrent first-user (the
+        # posting-list lesson); eager fingerprints exactly once
+        .localCheckpoint(eager=True)
     )
     freq = wins.groupBy("fid").agg(F.count("*").alias("df"))
     j = wins.join(freq, "fid").select("doc_id", "pos", "df")
@@ -1820,8 +1830,9 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     land exactly on half-ulp midpoints (two 4dp values averaged end in
     ...5), where the engines' round() disagree. Raw doubles keep the
     midpoint probability at ~0; only the output columns round."""
+    # eager: multi-consumer corpus signature pass (see dedup_minhash_lsh)
     sig_arr = minhash_signature_arrays(spark, sf_dir).localCheckpoint(
-        eager=False
+        eager=True
     )
     bands = band_table_of(sig_arr)
     a, b = bands.alias("a"), bands.alias("b")
@@ -1857,7 +1868,9 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", est_expr.alias("est_j"))
     )
-    sh = shingles(spark, sf_dir).localCheckpoint(eager=False)
+    # eager: ns and both inter join sides consume the corpus shingle
+    # explode concurrently
+    sh = shingles(spark, sf_dir).localCheckpoint(eager=True)
     ns = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(
@@ -2388,8 +2401,9 @@ FROM est
 
 @register("dedup_threshold_sweep", _SWEEP_DUCK, tags=("dedup",))
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # eager: multi-consumer corpus signature pass (see dedup_minhash_lsh)
     sig_arr = minhash_signature_arrays(spark, sf_dir).localCheckpoint(
-        eager=False
+        eager=True
     )
     bands = band_table_of(sig_arr)
     a, b = bands.alias("a"), bands.alias("b")
