@@ -99,73 +99,69 @@ def register(
 #: (their proof is cumulative across rounds, and every one of them
 #: remains oracle-gated locally by tests/test_oracle_parity.py, which
 #: checks the FULL registry at every run).
-#: Round-15 rotation (standing stalest-first rule; all 245 carried
-#: queries are ever-green as of round 14, so the carried window is
-#: pure freshness maintenance): (0) `graph_ann_sharded_serve`, NEW
-#: this round (never-rowed queries lead, per the ordering policy
-#: above — the materialized sharded-NSW serving twin); then (a) the
-#: FULL round-9 remainder — the 45 queries whose last green row is
-#: round 9, in name order from `bloom_prefilter_join`; then (b) the
-#: first 4 of the round-11 cohort in name order (`ann_recall_eval`
-#: through `blocklist_phrase_census`; `bm25_rm3_topk` yielded its
-#: top-up slot to the new query). The round-11 remainder (from
-#: `bm25_rm3_topk`) queues for round 16. Every yielded query remains
-#: locally oracle-gated by tests/test_oracle_parity.py on the FULL
-#: registry at every run.
+#: Round-16 rotation (standing stalest-first rule; every carried query
+#: is ever-green on record): (a) the FULL round-11 remainder — the 46
+#: queries whose last green row is round 11, in name order from
+#: `bm25_rm3_topk` (exactly where the round-15 comment queued it);
+#: then (b) the first 4 of the still-stale round-12 cohort in name
+#: order (`activity_streak_histogram` through
+#: `approx_quantile_accuracy`). The round-12 remainder (from
+#: `attribution_model_compare`) queues for the next rotation. Every
+#: yielded query remains locally oracle-gated by
+#: tests/test_oracle_parity.py on the FULL registry at every run.
 DRIVER_QUERIES: tuple[str, ...] = (
-    # -- (0) new this round, never driver-rowed
-    "graph_ann_sharded_serve",
-    # -- (a) the full round-9 remainder (stalest cohort), name order
-    "bloom_prefilter_join",
-    "bpe_decode_roundtrip",
-    "bpe_merge_steps",
-    "brackets_revenue",
-    "cluster_source_mix",
-    "cms_heavy_hitters",
-    "concurrent_session_peaks",
-    "contrastive_triplets",
-    "corpus_snapshot_diff",
-    "covisit_triangle_census",
-    "customer_order_distribution",
-    "dedup_incremental_minhash",
-    "dedup_minhash_lsh",
-    "dedup_rate_by_source",
-    "doc_length_quantiles",
-    "embedding_norm_stats",
-    "funnel_time_to_convert",
-    "generation_provenance",
-    "hll_overlap_estimate",
-    "html_strip_roundtrip",
-    "important_parts_by_value",
-    "ivf_nprobe_recall_curve",
-    "jl_ann_recall",
-    "join_skew_diagnostics",
-    "ks_length_drift",
-    "large_volume_customers",
-    "lm_score_filter",
-    "lsh_scurve_calibration",
-    "manifest_admission_replay",
-    "market_share_by_year",
-    "min_cost_supplier",
-    "minute_rollup",
-    "mix_schedule_plan",
-    "multimodal_audio_segments",
-    "nation_trade_volume",
-    "packing_efficiency",
-    "path_trigrams_topk",
-    "pii_redaction_roundtrip",
-    "pq_rerank_tuned",
-    "pq_rerank_tuned_recall",
-    "theil_sen_trend",
-    "tokenizer_fertility_by_lang",
-    "top_pages",
-    "video_frame_dup_pairs",
-    "winnowing_dup_pairs",
-    # -- (b) round-11 cohort, first 4 in name order
-    "ann_recall_eval",
-    "anomaly_tws_replay",
-    "bigram_lm_perplexity",
-    "blocklist_phrase_census",
+    # -- (a) the full round-11 remainder (stalest cohort), name order
+    "bm25_rm3_topk",
+    "bm25_topk",
+    "boilerplate_strip",
+    "bpe_encode_lengths",
+    "bpe_merge_steps_runs",
+    "cdc_chunk_dedup",
+    "clickgen_source_histogram",
+    "cluster_cap_sample",
+    "compaction_roundtrip",
+    "cusum_change_points",
+    "doremi_mix_reweight",
+    "exact_substring_strip",
+    "filter_funnel_census",
+    "funnel_survival_by_source",
+    "graph_ann_beam",
+    "graph_ann_recall",
+    "paragraph_dedup_census",
+    "part_supplier_variety",
+    "pca_power_iteration",
+    "per_source_sample",
+    "pii_scan",
+    "pq_rerank_serve",
+    "probe_ann_index",
+    "probe_dedup_index",
+    "props_field_stats",
+    "prototypicality_prune",
+    "quality_classifier_scores",
+    "quality_quartile_mix",
+    "returned_item_ranking",
+    "salted_user_enrich",
+    "seasonal_anomaly_hourly",
+    "session_tws_replay",
+    "shard_manifest",
+    "sole_return_suppliers",
+    "source_ablation_contrast",
+    "source_syndication_matrix",
+    "stream_dedup_replay",
+    "temperature_resample_counts",
+    "text_normalize_roundtrip",
+    "top_supplier_revenue",
+    "update_chunk_store",
+    "update_ivfpq_index",
+    "vocab_coverage_curve",
+    "vocab_top_bigrams",
+    "weighted_doc_sample",
+    "zorder_pruned_scan",
+    # -- (b) round-12 cohort, first 4 still-stale in name order
+    "activity_streak_histogram",
+    "ann_lsh_topk",
+    "approx_distinct_accuracy",
+    "approx_quantile_accuracy",
 )
 
 
