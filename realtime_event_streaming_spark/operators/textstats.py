@@ -1220,9 +1220,12 @@ def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("tk")
     )
+    # EAGER: the pair stream and the vocabulary aggregate consume this
+    # concurrently; lazy re-runs the corpus posexplode per concurrent
+    # first-user (the posting-list lesson)
     toks = docs.select(
         "doc_id", F.posexplode("tk").alias("pos", "w")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     wd = Window.partitionBy("doc_id").orderBy("pos")
     pairs = None
     for off in range(1, _PMI_WINDOW + 1):
